@@ -1,0 +1,13 @@
+"""outbreak_kg_spark — a from-scratch PySpark-native knowledge-graph
+construction engine with the query/data-processing capabilities of
+gyorilab/outbreak_kg (reference read-only at /root/reference).
+
+Design stance (SURVEY.md §7.0): pure ``DataFrame -> DataFrame`` functions,
+declarative plans that Catalyst/AQE optimize, pandas/Arrow UDFs only where
+built-in expressions cannot express the semantics (text extraction state
+machine, gazetteer NER, Fisher exact), broadcast joins for every dimension
+table, explicit salting for hot-key aggregations, stage-level checkpoint +
+per-partition lineage for idempotent resume.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,149 @@
+"""Iterative graph primitives Catalyst lacks (SURVEY.md §4.3.1-2):
+transitive closure over isa-style DAGs, and connected components.
+
+Both are frontier loops of equi-joins with ``localCheckpoint`` per round to
+truncate lineage. The closure table is the engine's replacement for Cypher's
+``[:isa*0..]`` variable-length paths (kg/client.py:85-92,138-177): built once
+per vocabulary release (hierarchies are small and static — 10,030 MeSH +
+54,023 geoname isa edges, BASELINE.md), after which every ``isa*`` query is a
+single broadcast equi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def transitive_closure(
+    edges: DataFrame,
+    child_col: str = "subj",
+    parent_col: str = "obj",
+    max_iters: int = 50,
+    include_self: bool = True,
+) -> DataFrame:
+    """edges(child, parent) -> closure(node, ancestor, depth).
+
+    Frontier BFS: each round joins the frontier's ancestors one more hop up,
+    anti-joins against what is already known (so convergence is by
+    reachability, not path count — safe on DAGs with diamond shapes), and
+    checkpoints to keep plans flat. depth = minimum hop count.
+    include_self adds (node, node, 0) rows so `isa*0..` semantics
+    (kg/client.py:140 — the anchor matches itself) are one join, and does it
+    for BOTH endpoints so anchors that never appear as children still match.
+    """
+    base = (
+        edges.select(
+            F.col(child_col).cast("string").alias("node"),
+            F.col(parent_col).cast("string").alias("ancestor"),
+        )
+        .filter(F.col("node").isNotNull() & F.col("ancestor").isNotNull())
+        .dropDuplicates()
+    )
+    base = base.localCheckpoint(eager=True)
+    hop = base.select(
+        F.col("node").alias("mid"), F.col("ancestor").alias("hop_ancestor")
+    )
+    acc = base.withColumn("depth", F.lit(1)).localCheckpoint(eager=True)
+    frontier = acc
+    for _ in range(max_iters):
+        # one more hop: frontier(node, mid) x base(mid, ancestor); explicit
+        # renames (not alias-joins) keep attribute resolution unambiguous
+        # across checkpoint boundaries.
+        nxt = (
+            frontier.withColumnRenamed("ancestor", "mid")
+            .join(hop, "mid")
+            .select(
+                "node",
+                F.col("hop_ancestor").alias("ancestor"),
+                (F.col("depth") + 1).alias("depth"),
+            )
+            .join(acc.select("node", "ancestor"), ["node", "ancestor"], "left_anti")
+            .dropDuplicates(["node", "ancestor"])
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        acc = acc.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    if include_self:
+        selfs = (
+            base.select("node")
+            .union(base.select(F.col("ancestor").alias("node")))
+            .dropDuplicates()
+            .select("node", F.col("node").alias("ancestor"), F.lit(0).alias("depth"))
+        )
+        acc = selfs.union(acc)
+    return acc
+
+
+def closure_with_roots(edges: DataFrame, nodes: DataFrame,
+                       node_col: str = "curie", **kw) -> DataFrame:
+    """Closure that also carries depth-0 self-rows for isolated nodes (nodes
+    with no isa edges at all) so `isa*0..` matches them too."""
+    cl = transitive_closure(edges, include_self=True, **kw)
+    iso = (
+        nodes.select(F.col(node_col).alias("node"))
+        .dropDuplicates()
+        .join(cl.select("node").dropDuplicates(), "node", "left_anti")
+        .select("node", F.col("node").alias("ancestor"), F.lit(0).alias("depth"))
+    )
+    return cl.union(iso)
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iters: int = 50,
+) -> DataFrame:
+    """edges(src, dst) -> assignments(node, component) via hash-min
+    propagation: every node repeatedly adopts the minimum component id in its
+    closed neighborhood until a fixpoint. Used by entity canonicalization
+    (north rule; reference analog: geoname->MeSH merge kg/build.py:384-407
+    plus neo4j-admin --skip-duplicate-nodes).
+
+    Scale: each round is one groupBy(node).min(component) over the
+    symmetrized edge list — partial aggregation absorbs hot nodes map-side,
+    and AQE handles residual join skew. Rounds ~ graph diameter; entity-dup
+    clusters are tiny, so this converges in a handful of rounds.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    comp = (
+        sym.select(F.col("a").alias("node"))
+        .union(sym.select(F.col("b").alias("node")))
+        .dropDuplicates()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neigh_min = (
+            sym.join(comp.withColumnRenamed("node", "b"), "b")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_comp = (
+            comp.join(neigh_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nmin", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_comp.alias("n")
+            .join(comp.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+        )
+        comp = new_comp
+        if changed.isEmpty():
+            break
+    return comp

@@ -1,0 +1,222 @@
+"""Stage 2 — Gilda-style gazetteer grounding (operators N1-N8, SURVEY.md
+§2.3).
+
+A token-level trie is compiled once on the driver from the vocabulary
+DataFrame, broadcast to executors, and scanned inside an Arrow-batched pandas
+UDF (north rule: "broadcast tries inside pandas/Arrow UDFs"). Matching
+semantics: case-insensitive, word-boundary, greedy longest match, scanning
+left to right, non-overlapping — the standard gazetteer-annotator contract
+(reference delegates this to gilda.annotate, promed_ner.py:49-50).
+
+Everything downstream of the UDF is declarative: namespace-priority
+resolution is a window (or argmin inside the trie lookup — we do it at
+lookup time, matching promed_ner.py:162-176 which walks GILDA_NS in priority
+order per annotation), per-doc term dedup is dropDuplicates on the exploded
+form, blocklists are broadcast isin-filters.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Namespace priority order (promed_ner.py:18 uses ['MESH']; the commented
+# broader list :17 motivates keeping this configurable).
+DEFAULT_NS_PRIORITY = ("MESH", "geonames", "EFO", "HP", "DOID", "GO")
+
+# Generic-term blocklists (reference kg/build.py:39-43 and promed_ner.py:19).
+# These are the *reference's* lists verbatim-as-data (data, not code).
+BUILD_EXCLUDE_NAMES = {
+    "Disease", "Health", "Affected", "control", "Animals", "infection",
+    "Viruses", "vaccination", "Vaccines", "Therapeutics", "Nature", "event",
+    "Population", "Epidemiology", "Names", "submitted", "Laboratories",
+    "Disease Outbreaks", "Central", "strain",
+}
+NER_EXCLUDE_TOKENS = {"J", "one", "news", "large", "go", "cut", "white", "Kelly"}
+
+_TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+
+
+def normalize_term(s: str) -> str:
+    """Normalization chain stand-in for gilda.process (kg/client.py:345-350):
+    dashes to spaces, casefold, whitespace collapse. Deterministic and
+    identical on both the vocabulary and the query side."""
+    s = re.sub(r"[-‐-―]", " ", s)
+    s = re.sub(r"\s+", " ", s.strip().lower())
+    return s
+
+
+def _term_tokens(s: str) -> tuple:
+    """Tokenize a vocabulary surface form with the SAME tokenizer used on
+    document text, so punctuation inside names ('Africa, Western') cannot
+    desynchronize the trie path from the scan path."""
+    return tuple(m.group(0) for m in _TOKEN_RE.finditer(normalize_term(s)))
+
+
+def compile_gazetteer(rows: list[dict], ns_priority=DEFAULT_NS_PRIORITY) -> dict:
+    """Compile vocabulary rows into a token-trie.
+
+    rows: dicts with keys (ns, id, entry_name, synonym). The trie maps token
+    paths to the single best grounding per surface form, chosen by namespace
+    priority then (ns, id) for determinism — the promed_ner.py:162-176
+    priority walk, applied at compile time so the scan is O(tokens).
+    Trie node layout: {token: node, ...} with terminal groundings under the
+    reserved key 0 (int, cannot collide with str tokens).
+    """
+    prio = {ns: i for i, ns in enumerate(ns_priority)}
+    best: dict[tuple, tuple] = {}
+    for r in rows:
+        toks = _term_tokens(r["synonym"])
+        if not toks:
+            continue
+        cand = (prio.get(r["ns"], len(prio)), r["ns"], r["id"], r["entry_name"])
+        cur = best.get(toks)
+        if cur is None or cand < cur:
+            best[toks] = cand
+    trie: dict = {}
+    for toks, (_, ns, id_, name) in best.items():
+        node = trie
+        for t in toks:
+            node = node.setdefault(t, {})
+        node[0] = (ns, id_, name)
+    return trie
+
+
+def scan_text(text: str, trie: dict) -> list[tuple]:
+    """Greedy longest-match scan. Returns (surface, start, end, ns, id,
+    entry_name) tuples with character offsets into the original text."""
+    if not text:
+        return []
+    toks = [(m.group(0).lower(), m.start(), m.end()) for m in _TOKEN_RE.finditer(text)]
+    out = []
+    i, n = 0, len(toks)
+    while i < n:
+        node = trie
+        match_end = -1
+        match_val = None
+        j = i
+        while j < n:
+            node = node.get(toks[j][0])
+            if node is None:
+                break
+            if 0 in node:
+                match_end, match_val = j, node[0]
+            j += 1
+        if match_val is not None:
+            s, e = toks[i][1], toks[match_end][2]
+            out.append((text[s:e], s, e, *match_val))
+            i = match_end + 1
+        else:
+            i += 1
+    return out
+
+
+_MATCH_ARR = ArrayType(
+    StructType(
+        [
+            StructField("text", StringType()),
+            StructField("start", IntegerType()),
+            StructField("end", IntegerType()),
+            StructField("ns", StringType()),
+            StructField("id", StringType()),
+            StructField("entry_name", StringType()),
+        ]
+    )
+)
+
+
+def make_annotate_udf(spark: SparkSession, gazetteer: DataFrame,
+                      ns_priority=DEFAULT_NS_PRIORITY):
+    """Build the broadcast trie from a gazetteer DataFrame and return a
+    pandas UDF text -> array<struct matches>. The gazetteer is collected on
+    the driver (dimension-sized: 32k MeSH + 54k geonames in the reference —
+    BASELINE.md) and broadcast once; executors scan against the shared copy.
+    """
+    rows = [r.asDict() for r in
+            gazetteer.select("ns", "id", "entry_name", "synonym").collect()]
+    trie = compile_gazetteer(rows, ns_priority)
+    bc = spark.sparkContext.broadcast(trie)
+
+    @pandas_udf(_MATCH_ARR)
+    def annotate(texts: pd.Series) -> pd.Series:
+        t = bc.value
+        return texts.map(lambda x: scan_text(x, t) if x is not None else [])
+
+    return annotate
+
+
+def annotate_sections(section_texts: DataFrame, annotate_udf) -> DataFrame:
+    """(doc_id, section_idx, field, text) -> exploded MENTIONS rows."""
+    m = section_texts.select(
+        "doc_id",
+        "section_idx",
+        "field",
+        F.explode(annotate_udf(F.col("text"))).alias("a"),
+    )
+    return m.select(
+        "doc_id", "section_idx", "field",
+        "a.text", "a.start", "a.end", "a.ns", "a.id", "a.entry_name",
+    )
+
+
+def terms_by_alert(mentions: DataFrame,
+                   exclude_tokens: set = NER_EXCLUDE_TOKENS) -> DataFrame:
+    """Distinct grounded terms per document (operator N3; promed_ner.py:
+    156-177 builds a set of (db, id, entry_name) per alert). Kept exploded —
+    one row per (doc_id, ns, id) — so no collection-typed shuffle exists;
+    downstream groupBys are plain hash aggs."""
+    out = mentions
+    if exclude_tokens:
+        out = out.filter(~F.col("text").isin(list(exclude_tokens)))
+    return out.select("doc_id", "ns", "id", "entry_name").dropDuplicates(
+        ["doc_id", "ns", "id"]
+    )
+
+
+def type_dim(gazetteer: DataFrame) -> DataFrame:
+    """(curie, node_type) dimension — the engine's materialized equivalent of
+    the reference's repeated mesh_isa DAG walks (kg/util.py:4-31; SURVEY.md
+    N7). Built once, broadcast into every typed join."""
+    return (
+        gazetteer.select(
+            F.concat_ws(":", "ns", "id").alias("curie"),
+            "node_type",
+        )
+        .filter(F.col("node_type").isNotNull())
+        .dropDuplicates(["curie"])
+    )
+
+
+def ground_names(spark: SparkSession, gazetteer: DataFrame, names: list[str],
+                 ns_priority=DEFAULT_NS_PRIORITY) -> dict[str, str | None]:
+    """Driver-side name -> CURIE grounding (operator N4, kg/client.py:
+    367-378): passthrough when the name already contains ':', else exact
+    normalized-name lookup against the same compiled gazetteer."""
+    rows = [r.asDict() for r in
+            gazetteer.select("ns", "id", "entry_name", "synonym").collect()]
+    trie = compile_gazetteer(rows, ns_priority)
+    out: dict[str, str | None] = {}
+    for name in names:
+        if ":" in name:
+            out[name] = name
+            continue
+        node = trie
+        ok = True
+        for t in _term_tokens(name):
+            node = node.get(t)
+            if node is None:
+                ok = False
+                break
+        out[name] = f"{node[0][0]}:{node[0][1]}" if ok and node and 0 in node else None
+    return out

@@ -1,0 +1,99 @@
+"""Per-partition lineage + idempotent stage checkpointing (north rule;
+SURVEY.md §4.3.7).
+
+A stage = a named DataFrame job materialized to a parquet directory. Each
+committed stage gets one lineage row per output part-file (rows/bytes read
+from parquet footers — metadata only, no data scan) appended to
+``<root>/_lineage`` as parquet. A stage whose output directory already has a
+``_SUCCESS`` marker is skipped on re-run, which is what makes the whole
+pipeline resumable from any boundary: the reference's analog is the pickle
+checkpoint (promed_ner.py:152-153) and the terms-by-alert JSON hand-off
+(:180-181).
+
+Storage: plain parquet locally; in prod the same call sites target Iceberg
+tables (the sandbox has no Iceberg jar — SURVEY.md §4.4) where commit
+atomicity comes from the table format instead of the _SUCCESS marker.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .schemas import LINEAGE
+
+
+def _part_files(path: str) -> list[str]:
+    return [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith("_")
+    ]
+
+
+def _footer_rows(f: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f).metadata.num_rows
+
+
+def stage_done(root: str, name: str) -> bool:
+    return os.path.exists(os.path.join(root, name, "_SUCCESS"))
+
+
+def run_stage(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    build: callable,
+    partition_by: list[str] | None = None,
+    force: bool = False,
+    run_id: str | None = None,
+) -> DataFrame:
+    """Materialize ``build() -> DataFrame`` at <root>/<name> unless already
+    committed; return a reader DataFrame either way (so downstream stages
+    always consume the at-rest copy — deterministic resume)."""
+    out = os.path.join(root, name)
+    if force or not stage_done(root, name):
+        t0 = time.monotonic()
+        df = build()
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(out)
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        _append_lineage(spark, root, name, out, wall_ms,
+                        run_id or uuid.uuid4().hex[:12])
+    return spark.read.parquet(out)
+
+
+def _append_lineage(spark, root, name, out, wall_ms, run_id):
+    files = []
+    for dirpath, _dirs, fnames in os.walk(out):
+        for f in fnames:
+            if f.endswith(".parquet") and not f.startswith("_"):
+                files.append(os.path.join(dirpath, f))
+    now = datetime.datetime.now(datetime.timezone.utc).isoformat()
+    rows = [
+        {
+            "stage": name,
+            "run_id": run_id,
+            "part_file": os.path.relpath(f, root),
+            "rows": _footer_rows(f),
+            "bytes": os.path.getsize(f),
+            "wall_ms": wall_ms,
+            "committed_at": now,
+        }
+        for f in files
+    ]
+    spark.createDataFrame(rows or [], LINEAGE).coalesce(1).write.mode(
+        "append"
+    ).parquet(os.path.join(root, "_lineage"))
+
+
+def read_lineage(spark: SparkSession, root: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(root, "_lineage"))

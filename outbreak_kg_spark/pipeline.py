@@ -1,0 +1,149 @@
+"""End-to-end pages -> KG pipeline with checkpointed stage boundaries.
+
+Stage graph (SURVEY.md §3.1 Spark lifecycle):
+
+  pages ──> extracted ──> alerts(dedup) ──> section_texts ──> mentions
+     └─(lineage row per part-file at every boundary; each stage resumable)
+  mentions ──> terms ──┬─> alert_nodes + mention_edges
+                       ├─> cooccurrence nodes/edges (salted)
+  vocab ───> closure   ├─> hierarchy nodes/edges
+  side inputs ─────────┴─> pathogen/phenotype/indicator/geoname builders
+  all ──> finalize (dedup nodes, drop dangling edges) ──> nodes/, edges/
+
+Edges are written partitioned by ``pred`` (partition pruning for the query
+layer, which always filters on predicate first) — SURVEY.md §4.4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import builders, closure as closure_mod, extract, ground
+from .lineage import run_stage
+
+
+def build_kg(
+    spark: SparkSession,
+    root: str,
+    pages: DataFrame,
+    gazetteer: DataFrame,
+    vocab_isa: DataFrame,
+    outbreaks: DataFrame,
+    pathogen_rels: DataFrame | None = None,
+    xref: DataFrame | None = None,
+    phenotype_rels: DataFrame | None = None,
+    indicators_dev: DataFrame | None = None,
+    indicators_health: DataFrame | None = None,
+    geoname_terms: DataFrame | None = None,
+    geoname_partof: DataFrame | None = None,
+    geoname_grounding: DataFrame | None = None,
+    location_map: DataFrame | None = None,
+    force: bool = False,
+) -> dict[str, DataFrame]:
+    """Run (or resume) the full pipeline; returns the at-rest DataFrames."""
+    annotate_udf = ground.make_annotate_udf(spark, gazetteer)
+    tdim = ground.type_dim(gazetteer)
+
+    extracted = run_stage(
+        spark, root, "extracted",
+        lambda: extract.extract_pages(pages), force=force,
+    )
+    alerts = run_stage(
+        spark, root, "alerts",
+        lambda: extract.dedup_alerts(extracted), force=force,
+    )
+    mentions = run_stage(
+        spark, root, "mentions",
+        lambda: ground.annotate_sections(
+            extract.explode_section_texts(alerts), annotate_udf
+        ),
+        force=force,
+    )
+    terms = run_stage(
+        spark, root, "terms",
+        lambda: ground.terms_by_alert(mentions), force=force,
+    )
+    closure = run_stage(
+        spark, root, "closure",
+        lambda: closure_mod.transitive_closure(
+            vocab_isa, "child_curie", "parent_curie"
+        ),
+        force=force,
+    )
+
+    node_parts: list[DataFrame] = []
+    edge_parts: list[DataFrame] = []
+
+    def add(n_e):
+        n, e = n_e
+        node_parts.append(n)
+        edge_parts.append(e)
+
+    add(builders.build_outbreaks(outbreaks))
+    add(builders.build_alert_nodes_and_mentions(
+        terms, outbreaks, tdim,
+        alert_ids=alerts.select(F.col("archive_number").alias("doc_id")),
+    ))
+    add(builders.build_cooccurrence(terms, tdim))
+    add(builders.build_vocab_hierarchy(gazetteer, vocab_isa, tdim))
+    if pathogen_rels is not None and xref is not None:
+        edge_parts.append(builders.build_pathogen_disease(pathogen_rels, xref))
+    if phenotype_rels is not None:
+        edge_parts.append(builders.build_disease_phenotype(phenotype_rels))
+    if indicators_dev is not None and indicators_health is not None:
+        mesh_nodes_for_ind = builders.build_vocab_hierarchy(
+            gazetteer, vocab_isa, tdim
+        )[0]
+        add(builders.build_indicators(
+            indicators_dev, indicators_health, mesh_nodes_for_ind,
+            location_map if location_map is not None
+            else _empty_location_map(spark),
+        ))
+    if geoname_terms is not None and geoname_partof is not None \
+            and geoname_grounding is not None:
+        add(builders.build_geonames(
+            geoname_terms, geoname_partof,
+            builders.build_vocab_hierarchy(gazetteer, vocab_isa, tdim)[0],
+            geoname_grounding,
+        ))
+
+    def _finalize():
+        nodes = node_parts[0]
+        for p in node_parts[1:]:
+            nodes = nodes.unionByName(p)
+        edges = edge_parts[0]
+        for p in edge_parts[1:]:
+            edges = edges.unionByName(p)
+        n, e = builders.finalize_graph(nodes, edges)
+        return n, e
+
+    nodes = run_stage(
+        spark, root, "nodes", lambda: _finalize()[0], force=force,
+    )
+    edges = run_stage(
+        spark, root, "edges", lambda: _finalize()[1],
+        partition_by=["pred"], force=force,
+    )
+    return {
+        "extracted": extracted,
+        "alerts": alerts,
+        "mentions": mentions,
+        "terms": terms,
+        "closure": closure,
+        "nodes": nodes,
+        "edges": edges,
+    }
+
+
+def _empty_location_map(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], "src_name string, mesh_name string")
+
+
+def symptom_closure(edges: DataFrame) -> DataFrame:
+    """Closure over the union of isa and has_phenotype predicates — the
+    `[:has_phenotype|isa*0..]` mixed path (kg/client.py:171-177, J8)."""
+    rel = edges.filter(F.col("pred").isin("isa", "has_phenotype")).select(
+        "subj", "obj"
+    )
+    return closure_mod.transitive_closure(rel, "subj", "obj")

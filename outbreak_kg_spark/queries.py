@@ -1,0 +1,394 @@
+"""Query layer (SURVEY.md §3) — relational equivalents of the reference's
+Cypher surface (kg/client.py) with Catalyst as the planner instead of the
+reference's string-concatenation query builder (kg/client.py:118-193).
+
+All `isa*0..` variable-length paths are resolved through a precomputed
+closure table (closure.py) so every constraint is one broadcast equi-join;
+query conjunction is a chain of inner joins on the alert key (J9).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+# Query-side generic-MeSH exclusion list (kg/mesh_csr.py:27-48 ==
+# kg/realism_score.py:14-35). The reference has a missing-comma bug that
+# fuses 'D005190' 'D012306' into one bogus id 'D005190D012306'; that bug is
+# query-side only (not on the P/R-checked triple surface) so we fix it here
+# and keep both real ids (SURVEY.md §7.4).
+QUERY_EXCLUDE_MESH = {
+    "D003142", "D004194", "D004196", "D005190", "D012306", "D011634",
+    "D012816", "D042241", "D003141", "D003643", "D007239", "D004630",
+    "D002947", "D012008", "D020478", "D006262", "D011153", "D019090",
+    "D009272", "D003933",
+}
+
+REALISM_HIGH = -4.5   # kg/client.py:275-276
+REALISM_MEDIUM = -7.0
+
+
+def _typed_mention_constraint(
+    mentions: DataFrame,
+    nodes: DataFrame,
+    closure: DataFrame,
+    anchor_curie: str,
+    node_type: str,
+    out_prefix: str,
+) -> DataFrame:
+    """One `-[:mentions]->(x:TYPE)-[:isa*0..]->(anchor)` block
+    (kg/client.py:138-166): alerts whose mentioned entity of the given type
+    reaches the anchor through the closure table."""
+    typed = broadcast(
+        nodes.filter(F.col("node_type") == node_type).select("curie")
+    )
+    reach = broadcast(
+        closure.filter(F.col("ancestor") == anchor_curie).select("node")
+    )
+    return (
+        mentions.join(typed, mentions["obj"] == typed["curie"], "inner")
+        .join(reach, mentions["obj"] == reach["node"], "inner")
+        .select(
+            F.col("subj").alias("alert_curie"),
+            F.col("obj").alias(f"{out_prefix}"),
+            F.lit(anchor_curie).alias(f"{out_prefix}_isa"),
+        )
+        .dropDuplicates()
+    )
+
+
+def query_graph(
+    nodes: DataFrame,
+    edges: DataFrame,
+    closure: DataFrame,
+    symptom_closure: DataFrame | None = None,
+    disease_curie: str | None = None,
+    geolocation_curie: str | None = None,
+    pathogen_curie: str | None = None,
+    timestamp: str | None = None,
+    symptom_curie: str | None = None,
+    limit: int | None = None,
+) -> DataFrame:
+    """The flagship query (kg/client.py:118-193): alerts mentioning entities
+    satisfying ALL supplied constraints; one output row per distinct
+    combination of matched entities, like Cypher's RETURN DISTINCT.
+
+    timestamp is compared by *string equality* — the reference stores alert
+    timestamps stringly and never does range queries (kg/client.py:131-133).
+    """
+    mentions = edges.filter(F.col("pred") == "mentions").select("subj", "obj")
+    alerts = nodes.filter(F.col("node_type") == "alert").select(
+        F.col("curie").alias("alert_curie"),
+        F.col("name").alias("alert_name"),
+        F.col("timestamp").alias("alert_timestamp"),
+    )
+    base = mentions.select(F.col("subj").alias("alert_curie")).dropDuplicates()
+    result = alerts.join(base, "alert_curie", "inner")
+    if timestamp is not None:
+        result = result.filter(F.col("alert_timestamp") == timestamp)
+    for anchor, ntype, prefix, cl in [
+        (disease_curie, "disease", "disease", closure),
+        (geolocation_curie, "geoloc", "geolocation", closure),
+        (pathogen_curie, "pathogen", "pathogen", closure),
+        (symptom_curie, "disease", "symptom",
+         symptom_closure if symptom_closure is not None else closure),
+    ]:
+        if anchor is None:
+            continue
+        c = _typed_mention_constraint(
+            edges.filter(F.col("pred") == "mentions").select("subj", "obj"),
+            nodes, cl, anchor, ntype, prefix,
+        )
+        result = result.join(c, "alert_curie", "inner")
+    result = result.dropDuplicates()
+    if limit:
+        result = result.limit(limit)
+    return result
+
+
+def query_indicators(
+    nodes: DataFrame,
+    edges: DataFrame,
+    closure: DataFrame,
+    geolocation_curie: str,
+    indicator_filter: str = "",
+) -> DataFrame:
+    """Indicator lookup with bidirectional isa*0.. (kg/client.py:76-116):
+    indicators attached to the anchor geolocation, any of its ancestors, or
+    any of its descendants; substring filter on the indicator name."""
+    ind = edges.filter(F.col("pred") == "has_indicator").select(
+        F.col("subj").alias("geo_curie"),
+        F.col("obj").alias("indicator_curie"),
+        "years_data",
+    )
+    up = closure.filter(F.col("ancestor") == geolocation_curie).select(
+        F.col("node").alias("geo_curie")
+    )
+    down = closure.filter(F.col("node") == geolocation_curie).select(
+        F.col("ancestor").alias("geo_curie")
+    )
+    related = broadcast(up.union(down).dropDuplicates())
+    names = nodes.select("curie", "name")
+    out = (
+        ind.join(related, "geo_curie", "inner")
+        .join(
+            broadcast(names.withColumnRenamed("curie", "indicator_curie")
+                      .withColumnRenamed("name", "indicator_name")),
+            "indicator_curie",
+        )
+        .join(
+            broadcast(names.withColumnRenamed("curie", "geo_curie")
+                      .withColumnRenamed("name", "geo_name")),
+            "geo_curie",
+        )
+    )
+    if indicator_filter:
+        out = out.filter(F.col("indicator_name").contains(indicator_filter))
+    return out.select(
+        "indicator_curie", "indicator_name", "geo_curie", "geo_name", "years_data"
+    ).dropDuplicates(["indicator_curie", "geo_curie"])
+
+
+def direct_relations(edges: DataFrame, curies: list[str]) -> DataFrame:
+    """Edges between any two of the given curies (kg/client.py:222-227)."""
+    return edges.filter(F.col("subj").isin(curies) & F.col("obj").isin(curies))
+
+
+def co_mention_alerts(edges: DataFrame, curies: list[str],
+                      top_n: int = 500) -> DataFrame:
+    """Alerts where >=2 of the given curies co-occur, ranked by how many of
+    them appear, top-500 (kg/client.py:238-261). One shuffle: the per-alert
+    distinct-count agg; the top-k is TakeOrderedAndProject."""
+    m = (
+        edges.filter((F.col("pred") == "mentions") & F.col("obj").isin(curies))
+        .select(F.col("subj").alias("alert_curie"), F.col("obj").alias("curie"))
+        .dropDuplicates()
+    )
+    per_alert = m.groupBy("alert_curie").agg(
+        F.countDistinct("curie").alias("n_entities"),
+        F.sort_array(F.collect_set("curie")).alias("entities"),
+    )
+    return (
+        per_alert.filter(F.col("n_entities") >= 2)
+        .orderBy(F.desc("n_entities"), F.asc("alert_curie"))
+        .limit(top_n)
+    )
+
+
+# ---- realism scoring (kg/realism_score.py) ----------------------------------
+
+def pair_score_table(edges: DataFrame) -> DataFrame:
+    """Materialized co-occurrence log-prob table (kg/realism_score.py:55-74):
+    for each unordered pair of MeSH ids mentioned in the same alert,
+    score = log(#alerts with both) - log(#alerts). Built once from the
+    mentions edges; queries probe it with a broadcast join."""
+    m = (
+        edges.filter(
+            (F.col("pred") == "mentions") & F.col("obj").startswith("MESH:")
+        )
+        .select(
+            F.col("subj").alias("alert_curie"),
+            F.expr("substring(obj, 6)").alias("mesh_id"),
+        )
+        .dropDuplicates()
+    )
+    n_alerts = m.select("alert_curie").distinct().count()
+    l = m.withColumnRenamed("mesh_id", "m1")
+    r = m.withColumnRenamed("mesh_id", "m2")
+    pairs = l.join(r, "alert_curie").filter(F.col("m1") < F.col("m2"))
+    return (
+        pairs.groupBy("m1", "m2")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .select(
+            "m1", "m2", "n_co",
+            (F.log("n_co") - F.lit(math.log(n_alerts))).alias("score"),
+        )
+    )
+
+
+def cooccurrence_scores(
+    pair_scores: pd.DataFrame | dict,
+    mesh_types: dict,
+    mesh_ids: list[str],
+    exclude: set = QUERY_EXCLUDE_MESH,
+) -> tuple[dict, float, str]:
+    """Driver-side scoring of a small query id set against the materialized
+    pair table (kg/realism_score.py:77-87 + threshold classification
+    kg/client.py:269-281). pair_scores: {(m1, m2): score}."""
+    from itertools import combinations
+
+    scores = {}
+    for t1, t2 in combinations(mesh_ids, 2):
+        if t1 in exclude or t2 in exclude:
+            continue
+        if t1 not in mesh_types or t2 not in mesh_types:
+            continue
+        key = tuple(sorted((t1, t2)))
+        scores[key] = pair_scores.get(key, float("-inf"))
+    score_sum = _logsumexp(list(scores.values()))
+    cls = ("high" if score_sum > REALISM_HIGH
+           else "medium" if score_sum > REALISM_MEDIUM else "low")
+    return scores, score_sum, cls
+
+
+def _logsumexp(vals: list[float]) -> float:
+    finite = [v for v in vals if v != float("-inf")]
+    if not finite:
+        return float("-inf")
+    m = max(finite)
+    return m + math.log(sum(math.exp(v - m) for v in finite))
+
+
+def logsumexp_agg(df: DataFrame, value_col: str,
+                  group_cols: list[str] | None = None) -> DataFrame:
+    """Distributed logsumexp (operator A6) as a two-pass stable aggregate:
+    m + log(sum(exp(x - m)))."""
+    keys = group_cols or []
+    g = df.groupBy(*keys) if keys else df.groupBy()
+    mx = g.agg(F.max(value_col).alias("_m"))
+    joined = df.join(broadcast(mx), keys) if keys else df.crossJoin(broadcast(mx))
+    g2 = joined.groupBy(*keys, "_m") if keys else joined.groupBy("_m")
+    return g2.agg(
+        F.sum(F.exp(F.col(value_col) - F.col("_m"))).alias("_s")
+    ).select(
+        *keys, (F.col("_m") + F.log("_s")).alias("logsumexp")
+    )
+
+
+# ---- literature co-annotation (kg/mesh_csr.py) -------------------------------
+
+def literature_candidates(
+    mesh_pmids: DataFrame,
+    query_mesh_ids: list[str],
+    exclude: set = QUERY_EXCLUDE_MESH,
+) -> tuple[DataFrame, int, int]:
+    """PMIDs containing enough of the query terms (kg/mesh_csr.py:109-121).
+
+    mesh_pmids: long-form (mesh_id, major, pmid) — the 339M-row CSV
+    (kg/mesh_csr.py:62-77) as a parquet scan instead of a driver-side CSR
+    matrix; the per-PMID counting is a partial+final hash agg. Returns
+    (candidates(pmid, n_query_terms), n_query, total_mesh_terms)."""
+    q = sorted(set(query_mesh_ids) - exclude)
+    threshold = len(q) - 1 if len(q) <= 4 else 3
+    total_terms = mesh_pmids.select("mesh_id").distinct().count()
+    cand = (
+        mesh_pmids.filter(F.col("mesh_id").isin(q))
+        .select("pmid", "mesh_id")
+        .dropDuplicates()
+        .groupBy("pmid")
+        .agg(F.count(F.lit(1)).alias("n_query_terms"))
+        .filter(F.col("n_query_terms") >= threshold)
+    )
+    return cand, len(q), total_terms
+
+
+def literature_pvalues(
+    mesh_pmids: DataFrame,
+    mesh_types: DataFrame,
+    query_mesh_ids: list[str],
+    exclude: set = QUERY_EXCLUDE_MESH,
+    limit: int = 20,
+) -> DataFrame:
+    """Fisher-exact enrichment per candidate PMID (kg/mesh_csr.py:102-166).
+
+    Contingency table per PMID from set sizes (:134-139); Fisher exact via
+    scipy inside a grouped pandas UDF (the only non-SQL step); coverage
+    metrics from the type dimension (:143-151); final ordering
+    (coverage_relevant desc, coverage desc, pval asc) with top-k (:162-173).
+    """
+    cand, n_query, total_terms = literature_candidates(
+        mesh_pmids, query_mesh_ids, exclude
+    )
+    q = sorted(set(query_mesh_ids) - exclude)
+    target = mesh_pmids.join(cand.select("pmid"), "pmid", "left_semi").select(
+        "pmid", "mesh_id"
+    ).dropDuplicates()
+    typed = target.join(
+        broadcast(mesh_types.select("mesh_id", "node_type")), "mesh_id", "left"
+    )
+    per_pmid = typed.groupBy("pmid").agg(
+        F.count(F.lit(1)).alias("n_target"),
+        F.sum(F.col("mesh_id").isin(q).cast("int")).alias("n_overlap"),
+        F.sort_array(
+            F.collect_set(F.when(F.col("mesh_id").isin(q), F.col("mesh_id")))
+        ).alias("overlap"),
+        F.count_distinct(
+            F.when(F.col("mesh_id").isin(q), F.col("node_type"))
+        ).alias("overlap_coverage"),
+        F.count_distinct(
+            F.when(
+                F.col("mesh_id").isin(q)
+                & F.col("node_type").isin("geoloc", "disease", "pathogen"),
+                F.col("node_type"),
+            )
+        ).alias("overlap_coverage_relevant"),
+    )
+
+    def fisher_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        from scipy.stats import fisher_exact
+
+        pvals = []
+        for _, r in pdf.iterrows():
+            table = [
+                [r.n_overlap, n_query - r.n_overlap],
+                [r.n_target - r.n_overlap,
+                 total_terms - (n_query + r.n_target - r.n_overlap)],
+            ]
+            pvals.append(float(fisher_exact(table, alternative="greater")[1]))
+        out = pdf.copy()
+        out["pval"] = pvals
+        return out
+
+    schema = (
+        "pmid string, n_target long, n_overlap long, overlap array<string>, "
+        "overlap_coverage long, overlap_coverage_relevant long, pval double"
+    )
+    with_p = per_pmid.withColumn(
+        "pmid", F.col("pmid").cast("string")
+    ).groupBy(
+        F.spark_partition_id().alias("_g")
+    ).applyInPandas(
+        lambda pdf: fisher_batch(pdf.drop(columns=["_g"])), schema
+    )
+    return (
+        with_p.orderBy(
+            F.desc("overlap_coverage_relevant"),
+            F.desc("overlap_coverage"),
+            F.asc("pval"),
+            F.asc("pmid"),
+        )
+        .limit(limit)
+    )
+
+
+# ---- autocomplete (kg/nodes_trie.py, kg/autocomplete_blueprint.py) ----------
+
+def autocomplete(nodes: DataFrame, label: str, prefix: str,
+                 top_n: int = 100) -> DataFrame:
+    """Case-insensitive prefix search over node names, capped at 100
+    (kg/nodes_trie.py:23-39; caps kg/autocomplete_blueprint.py:18). The
+    reference builds per-label pytrie indexes; relationally this is a
+    pushed-down startswith filter + TakeOrderedAndProject. A prefix
+    containing ':' returns nothing (autocomplete_blueprint.py:16-17)."""
+    if ":" in prefix:
+        return nodes.filter(F.lit(False)).select("curie", "name", "node_type")
+    top_n = min(top_n, 100)
+    lab = label
+    if label == "geoloc_alerts":
+        out = nodes.filter(
+            (F.col("node_type") == "geoloc") & F.col("curie").startswith("MESH")
+        )
+    elif label == "geoloc_indicators":
+        out = nodes.filter(F.col("node_type") == "geoloc")
+    else:
+        out = nodes.filter(F.col("node_type") == lab)
+    return (
+        out.filter(F.lower("name").startswith(prefix.lower()))
+        .select("curie", "name", "node_type")
+        .orderBy(F.lower("name"), "curie")
+        .limit(top_n)
+    )

@@ -1,0 +1,128 @@
+"""Canonical table schemas (SURVEY.md §1.4).
+
+The engine's at-rest model: partitioned parquet (Iceberg in prod — the
+sandbox has no Iceberg jar, see catalog.py) with native types instead of the
+reference's stringly TSV: label arrays instead of ';'-joined strings
+(kg/build.py:83), MAP<STRING,DOUBLE> instead of JSON-in-string years_data
+(kg/build.py:297).
+"""
+
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# Input: Common-Crawl-style pages (BASELINE.json input_hint / FIXTURES.md §1)
+PAGES = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), True),
+        StructField("html", BinaryType(), True),
+        StructField("text", StringType(), True),
+        StructField("lang", StringType(), True),
+    ]
+)
+
+# Stage 1 output: extraction (textproc.extract_alert per page)
+SECTIONS = ArrayType(
+    StructType(
+        [
+            StructField("title", StringType(), True),
+            StructField("content", StringType(), True),
+        ]
+    )
+)
+EXTRACTED = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), True),
+        StructField("lang", StringType(), True),
+        StructField("archive_number", StringType(), True),
+        StructField("subject", StringType(), True),
+        StructField("published_ts", TimestampType(), True),
+        StructField("sections", SECTIONS, True),
+        StructField("extracted_text", StringType(), True),
+        StructField("valid", BooleanType(), False),
+    ]
+)
+
+# Stage 2 output: grounded mentions, exploded (SURVEY.md §1.4 — no
+# collection-typed shuffles; one row per (doc, span, term))
+MENTIONS = StructType(
+    [
+        StructField("doc_id", StringType(), False),  # archive_number
+        StructField("section_idx", IntegerType(), True),
+        StructField("field", StringType(), True),  # 'title' | 'content'
+        StructField("text", StringType(), True),  # matched surface text
+        StructField("start", IntegerType(), True),
+        StructField("end", IntegerType(), True),
+        StructField("ns", StringType(), True),
+        StructField("id", StringType(), True),
+        StructField("entry_name", StringType(), True),
+    ]
+)
+
+# Gazetteer rows (vocabulary stand-in for MeSH/GeoNames, FIXTURES.md §4)
+GAZETTEER = StructType(
+    [
+        StructField("ns", StringType(), False),
+        StructField("id", StringType(), False),
+        StructField("entry_name", StringType(), False),
+        StructField("synonym", StringType(), False),  # surface form to match
+        StructField("node_type", StringType(), True),  # disease|pathogen|geoloc|other
+    ]
+)
+
+# KG at rest
+NODES = StructType(
+    [
+        StructField("curie", StringType(), False),
+        StructField("name", StringType(), True),
+        StructField("labels", ArrayType(StringType()), True),
+        StructField("node_type", StringType(), True),
+        StructField("timestamp", StringType(), True),  # alert nodes only; the
+        # reference stores/compares this stringly (kg/client.py:131-133)
+    ]
+)
+EDGES = StructType(
+    [
+        StructField("subj", StringType(), False),
+        StructField("pred", StringType(), False),
+        StructField("obj", StringType(), False),
+        StructField("count", LongType(), True),  # occurs_with only
+        StructField("years_data", MapType(StringType(), DoubleType()), True),
+        StructField("provenance", StringType(), True),
+    ]
+)
+
+# Closure table (SURVEY.md §4.3.1): one row per (descendant, ancestor) pair
+# reachable via isa*, including depth 0 self-rows so `isa*0..` is one equi-join
+CLOSURE = StructType(
+    [
+        StructField("node", StringType(), False),
+        StructField("ancestor", StringType(), False),
+        StructField("depth", IntegerType(), False),
+    ]
+)
+
+# Per-partition lineage rows (north rule)
+LINEAGE = StructType(
+    [
+        StructField("stage", StringType(), False),
+        StructField("run_id", StringType(), False),
+        StructField("part_file", StringType(), False),
+        StructField("rows", LongType(), False),
+        StructField("bytes", LongType(), False),
+        StructField("wall_ms", LongType(), False),
+        StructField("committed_at", StringType(), False),
+    ]
+)

@@ -1,0 +1,67 @@
+"""Explicit skew handling: salted two-phase aggregation (north rule).
+
+AQE's skew mitigation only splits sort-merge-join partitions; it does not
+split hot *aggregation* keys (SURVEY.md §4.3.4). The reference's data is
+badly skewed — 'Disease' is mentioned 80,133x across 62,620 alerts
+(output/promed_ner_stats.tsv:2) — and at web scale hot entities ('COVID-19',
+'Ebola') dominate. These helpers salt the key space, pre-aggregate per salt
+(map-side partials apply within each salt bucket too), then finish on the
+unsalted key. Invariant: salted_count == naive count for any salt factor
+(property-tested in tests/test_skew.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Column
+from pyspark.sql import functions as F
+
+
+def salted_count(df: DataFrame, keys: list[str], salt: int = 16,
+                 count_col: str = "count") -> DataFrame:
+    """groupBy(keys).count() with a two-phase salted plan."""
+    salted = df.withColumn("_salt", F.pmod(F.hash(*keys), F.lit(salt)))
+    partial = salted.groupBy(*keys, "_salt").agg(F.count(F.lit(1)).alias("_c"))
+    return partial.groupBy(*keys).agg(F.sum("_c").cast("long").alias(count_col))
+
+
+def salted_agg(df: DataFrame, keys: list[str], aggs: dict[str, tuple],
+               salt: int = 16) -> DataFrame:
+    """Two-phase agg for decomposable aggregates.
+
+    aggs: {out_col: (partial_fn, final_fn, in_col)} where partial_fn runs per
+    (keys, salt) bucket and final_fn re-combines per keys — e.g.
+    {'total': (F.sum, F.sum, 'x'), 'hi': (F.max, F.max, 'x')}.
+    """
+    salted = df.withColumn("_salt", F.pmod(F.hash(*keys), F.lit(salt)))
+    partial = salted.groupBy(*keys, "_salt").agg(
+        *[p(c).alias(f"_p_{o}") for o, (p, _, c) in aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[fin(f"_p_{o}").alias(o) for o, (_, fin, _c) in aggs.items()]
+    )
+
+
+def salted_self_join_pairs(df: DataFrame, group_col: str, key_cols: list[str],
+                           order_col: str) -> DataFrame:
+    """Within-group canonical pairs via self-join (operator A3 at scale —
+    replaces itertools.combinations, kg/build.py:58-69).
+
+    Emits one row per unordered pair within group_col, canonically ordered by
+    order_col (the reference sorts pair members by entry name,
+    kg/build.py:61). The join key is the group id; per-group fan-out is
+    quadratic, so extreme groups should be capped upstream. AQE skew-join
+    splits oversized partitions at runtime.
+    """
+    l = df.select(group_col, *[F.col(c).alias(f"a_{c}") for c in key_cols],
+                  F.col(order_col).alias("_oa"))
+    r = df.select(group_col, *[F.col(c).alias(f"b_{c}") for c in key_cols],
+                  F.col(order_col).alias("_ob"))
+    joined = l.join(r, group_col).filter(
+        (F.col("_oa") < F.col("_ob"))
+        | (
+            (F.col("_oa") == F.col("_ob"))
+            & (F.concat_ws("\x00", *[f"a_{c}" for c in key_cols])
+               < F.concat_ws("\x00", *[f"b_{c}" for c in key_cols]))
+        )
+    )
+    return joined.drop("_oa", "_ob")

@@ -1,0 +1,325 @@
+"""Deterministic synthetic fixture corpus (FIXTURES.md §1-7).
+
+Everything is generated from a seeded PRNG — no external data. The pages
+table is ProMED-alert-shaped raw text (FIXTURES.md §2) inside the
+Common-Crawl-style schema (url, warc_ts, html, text, lang); the vocabulary
+is a MeSH/GeoNames stand-in with a >=3-deep isa DAG; term frequencies are
+deliberately skewed (one hot disease in ~40% of docs) to exercise the salted
+aggregation path.
+"""
+
+from __future__ import annotations
+
+import datetime
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+
+# ---- vocabulary stand-in (MeSH-like ids, invented names) -------------------
+
+# (mesh_id, name, type, parent_mesh_id or None, extra synonyms)
+MESH_VOCAB = [
+    ("D0100", "Infections", "disease", None, []),
+    ("D0101", "Virus Diseases", "disease", "D0100", ["viral disease"]),
+    ("D0102", "Hemorrhagic Fevers, Viral", "disease", "D0101", ["viral hemorrhagic fever"]),
+    ("D0103", "Ebolavirus Disease", "disease", "D0102", ["ebola", "ebola virus disease"]),
+    ("D0104", "Marburg Fever", "disease", "D0102", ["marburg disease"]),
+    ("D0105", "Influenza, Avian", "disease", "D0101", ["avian influenza", "bird flu"]),
+    ("D0106", "Measles", "disease", "D0101", []),
+    ("D0107", "Lumpy Skin Disease", "disease", "D0101", ["lumpy skin disease"]),
+    ("D0108", "Cholera", "disease", "D0100", []),
+    ("D0109", "Anthrax Infection", "disease", "D0100", ["anthrax"]),
+    # generic blocked name, present in vocab AND blocklist (kg/build.py:39)
+    ("D0110", "Disease", "disease", "D0100", []),
+    ("D0200", "Viruses", "pathogen", None, []),  # blocked generic
+    ("D0201", "RNA Viruses", "pathogen", "D0200", []),
+    ("D0202", "Ebolavirus", "pathogen", "D0201", []),
+    ("D0203", "Influenza A Virus", "pathogen", "D0201", ["h5n1 virus", "h5n1"]),
+    ("D0204", "Morbillivirus", "pathogen", "D0201", ["measles virus"]),
+    ("D0205", "Bacteria", "pathogen", None, []),
+    ("D0206", "Vibrio cholerae", "pathogen", "D0205", []),
+    ("D0207", "Bacillus anthracis", "pathogen", "D0205", []),
+    ("D0300", "Geographic Locations", "geoloc", None, []),
+    ("D0301", "Africa", "geoloc", "D0300", []),
+    ("D0302", "Africa, Western", "geoloc", "D0301", ["west africa"]),
+    ("D0303", "Guinea", "geoloc", "D0302", []),
+    ("D0304", "Sierra Leone", "geoloc", "D0302", []),
+    ("D0305", "Europe", "geoloc", "D0300", []),
+    ("D0306", "Bulgaria", "geoloc", "D0305", []),
+    ("D0307", "Asia", "geoloc", "D0300", []),
+    ("D0308", "Vietnam", "geoloc", "D0307", ["viet nam"]),
+    ("D0309", "Republic of Korea", "geoloc", "D0307", ["south korea"]),
+    # phenotype-ish diseases for the symptom path (has_phenotype targets)
+    ("D0111", "Fever", "disease", "D0100", []),
+    ("D0112", "Hemorrhage", "disease", "D0100", []),
+]
+
+GEONAME_VOCAB = [
+    # (geonames_id, name, parent_geonames_id or None, grounds_to_mesh_name)
+    ("2963597", "Conakry", "8335", None),
+    ("8335", "Guinea", "6255146", "Guinea"),  # grounds to MESH Guinea -> no node
+    ("6255146", "Africa", None, "Africa"),
+    ("727011", "Sofia", "732800", None),
+    ("732800", "Bulgaria", "6255148", "Bulgaria"),
+    ("6255148", "Europe", None, "Europe"),
+    ("1581130", "Hanoi", "1562822", None),
+    ("1562822", "Viet Nam", None, "Vietnam"),
+]
+
+PATHOGEN_DISEASE_RELS = [
+    # (start_id, end_id) — disease has_pathogen pathogen after xref mapping
+    ("doid:1", "ncbitaxon:101"),
+    ("doid:2", "ncbitaxon:102"),
+    ("umls:C1", "ncbitaxon:101"),  # dropped by the umls filter
+    ("doid:3", "ncbitaxon:999"),  # unmapped target -> dropped
+    ("doid:4", "ncbitaxon:103"),
+]
+XREF = [
+    ("doid", "1", "D0103"), ("doid", "2", "D0105"), ("doid", "4", "D0108"),
+    ("ncbitaxon", "101", "D0202"), ("ncbitaxon", "102", "D0203"),
+    ("ncbitaxon", "103", "D0206"),
+]
+PHENOTYPE_RELS = [
+    ("mesh:d0103", "mesh:d0111"), ("mesh:d0103", "mesh:d0112"),
+    ("mesh:d0105", "mesh:d0111"), ("hp:0001", "mesh:d0111"),
+]
+LOCATION_MAP = [("Viet Nam", "Vietnam"), ("South Korea", "Republic of Korea"),
+                ("Guinee", "Guinea")]
+
+_DISEASE_POOL = ["D0103", "D0104", "D0105", "D0106", "D0107", "D0108", "D0109"]
+_PATHOGEN_POOL = ["D0202", "D0203", "D0204", "D0206", "D0207"]
+_GEO_POOL = ["D0303", "D0304", "D0306", "D0308", "D0309", "D0302"]
+_FILLER = (
+    "surveillance teams reported new cases this week and officials urged "
+    "calm while laboratory confirmation is pending in the affected district"
+).split()
+
+
+def mesh_name(mesh_id: str) -> str:
+    return next(n for i, n, *_ in MESH_VOCAB if i == mesh_id)
+
+
+def gazetteer_rows() -> list[dict]:
+    rows = []
+    for mesh_id, name, ntype, _parent, syns in MESH_VOCAB:
+        for s in [name, *syns]:
+            rows.append(
+                {"ns": "MESH", "id": mesh_id, "entry_name": name,
+                 "synonym": s, "node_type": ntype}
+            )
+    for gid, name, _parent, _m in GEONAME_VOCAB:
+        rows.append(
+            {"ns": "geonames", "id": gid, "entry_name": name,
+             "synonym": name, "node_type": "geoloc"}
+        )
+    return rows
+
+
+def vocab_isa_rows() -> list[dict]:
+    return [
+        {"child_curie": f"MESH:{i}", "parent_curie": f"MESH:{p}"}
+        for i, _n, _t, p, _s in MESH_VOCAB
+        if p is not None
+    ]
+
+
+def _alert_text(rng: random.Random, i: int, terms: list[str],
+                subject_terms: list[str], quirk: str) -> str:
+    """Render one raw ProMED-style page text (FIXTURES.md §2)."""
+    dt = datetime.datetime(2016, 1, 1) + datetime.timedelta(
+        minutes=17 * i % (365 * 24 * 60)
+    )
+    date_line = f"Published Date: {dt:%Y-%m-%d %H:%M:%S} EDT"
+    subject = f"PRO/AH/EDR> {' - '.join(subject_terms)} ({i % 40:02d}): update"
+    archive = f"{20160000 + (i % 9000):08d}.{100000 + i}"
+    header = f"{date_line}\nSubject: {subject}\nArchive Number: {archive}"
+    if quirk == "no_archive":
+        header = f"{date_line}\nSubject: {subject}\nArchive Number: "
+    if quirk == "empty_header":
+        header = ""
+
+    words = list(terms)
+    for w in rng.sample(_FILLER, k=min(6, len(_FILLER))):
+        words.insert(rng.randrange(len(words) + 1), w)
+    body_lines = [f"A {subject_terms[0]} situation report"]
+    marker = "******" if i % 5 == 0 else "-" * 41
+    body_lines.append(marker)
+    mid = max(1, len(words) // 2)
+    body_lines.append("  " + " ".join(words[:mid]) + "  ")
+    body_lines.append(" ".join(words[mid:]))
+    if quirk != "missing_terminator":
+        body_lines.append("--")
+    if quirk == "two_sections":
+        body_lines += ["second section intro", "---", "cases were reported in "
+                       + subject_terms[-1], "--"]
+    if quirk == "closer_before_opener":
+        body_lines = ["--"] + body_lines  # triggers the partial-return path
+    body = "\n".join(body_lines)
+    return f"{header}\n\n{body}"
+
+
+def generate_corpus(n_docs: int, seed: int = 42) -> dict[str, list]:
+    """Driver-side deterministic corpus: pages + outbreaks rows."""
+    rng = random.Random(seed)
+    pages, outbreaks = [], []
+    quirks = ["", "", "", "", "", "two_sections", "missing_terminator",
+              "", "no_archive", "", "closer_before_opener", "", "empty_header"]
+    for i in range(n_docs):
+        # skewed term draw: hot disease D0103 (ebola) in ~40% of docs
+        terms = []
+        d = "D0103" if rng.random() < 0.4 else rng.choice(_DISEASE_POOL)
+        g = rng.choice(_GEO_POOL)
+        terms.append(mesh_name(d).lower())
+        terms.append(mesh_name(g))
+        if rng.random() < 0.6:
+            terms.append(mesh_name(rng.choice(_PATHOGEN_POOL)))
+        if rng.random() < 0.3:
+            terms.append("Disease")  # generic blocked term
+        if rng.random() < 0.2:
+            terms.append(mesh_name(rng.choice(["D0111", "D0112"])))
+        quirk = quirks[i % len(quirks)]
+        txt = _alert_text(rng, i, terms, [mesh_name(d), mesh_name(g)], quirk)
+        archive = f"{20160000 + (i % 9000):08d}.{100000 + i}"
+        crawl = datetime.datetime(2020, 1, 1) + datetime.timedelta(seconds=i)
+        pages.append(
+            {
+                "url": f"promed://{archive}/{i}",
+                "warc_ts": crawl,
+                "html": ("<html><body><pre>" + txt + "</pre></body></html>").encode(),
+                "text": txt,
+                "lang": "en" if i % 17 else "fr",
+            }
+        )
+        # ~8% duplicate pages: same archive number, later crawl, same text
+        if rng.random() < 0.08:
+            pages.append(
+                {
+                    "url": f"promed://{archive}/{i}/dup",
+                    "warc_ts": crawl + datetime.timedelta(days=1),
+                    "html": pages[-1]["html"],
+                    "text": txt,
+                    "lang": "en",
+                }
+            )
+        if rng.random() < 0.35:
+            outbreaks.append(
+                {
+                    "ID": 1000 + (i % 60),
+                    "outbreakName": mesh_name(d),
+                    "archiveNumber": f'"{archive}"' if i % 7 == 0 else archive,
+                    "datePublished": f"2016-01-{1 + i % 28:02d} 08:00:00",
+                }
+            )
+    return {"pages": pages, "outbreaks": outbreaks}
+
+
+# ---- Spark-side constructors ------------------------------------------------
+
+def pages_df(spark: SparkSession, n_docs: int, seed: int = 42) -> DataFrame:
+    from .schemas import PAGES
+
+    return spark.createDataFrame(generate_corpus(n_docs, seed)["pages"], PAGES)
+
+
+def outbreaks_df(spark: SparkSession, n_docs: int, seed: int = 42) -> DataFrame:
+    rows = generate_corpus(n_docs, seed)["outbreaks"]
+    return spark.createDataFrame(
+        rows, "ID long, outbreakName string, archiveNumber string, datePublished string"
+    )
+
+
+def gazetteer_df(spark: SparkSession) -> DataFrame:
+    from .schemas import GAZETTEER
+
+    return spark.createDataFrame(gazetteer_rows(), GAZETTEER)
+
+
+def vocab_isa_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        vocab_isa_rows(), "child_curie string, parent_curie string"
+    )
+
+
+def pathogen_disease_rels_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [{"start_id": a, "end_id": b} for a, b in PATHOGEN_DISEASE_RELS],
+        "start_id string, end_id string",
+    )
+
+
+def xref_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [{"ns": a, "id": b, "mesh_id": c} for a, b, c in XREF],
+        "ns string, id string, mesh_id string",
+    )
+
+
+def phenotype_rels_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [{"start_id": a, "end_id": b} for a, b in PHENOTYPE_RELS],
+        "start_id string, end_id string",
+    )
+
+
+def location_map_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [{"src_name": a, "mesh_name": b} for a, b in LOCATION_MAP],
+        "src_name string, mesh_name string",
+    )
+
+
+def geoname_terms_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [{"geonames_id": g, "name": n} for g, n, _p, _m in GEONAME_VOCAB],
+        "geonames_id string, name string",
+    )
+
+
+def geoname_partof_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [
+            {"child_geonames_id": g, "parent_geonames_id": p}
+            for g, _n, p, _m in GEONAME_VOCAB
+            if p is not None
+        ],
+        "child_geonames_id string, parent_geonames_id string",
+    )
+
+
+def geoname_grounding_df(spark: SparkSession) -> DataFrame:
+    """Materialized geoname->MeSH grounding (builders.build_geonames input)."""
+    name_to_mesh = {n: f"MESH:{i}" for i, n, t, _p, _s in MESH_VOCAB if t == "geoloc"}
+    rows = [
+        {"geonames_id": g, "mesh_curie": name_to_mesh.get(m) if m else None}
+        for g, _n, _p, m in GEONAME_VOCAB
+    ]
+    return spark.createDataFrame(rows, "geonames_id string, mesh_curie string")
+
+
+def indicator_wide_df(spark: SparkSession, kind: str) -> DataFrame:
+    """Wide World-Bank-style indicator table (FIXTURES.md §5)."""
+    years = [f"{y} [YR{y}]" for y in range(2015, 2020)]
+    rng = random.Random(7 if kind == "dev" else 11)
+    countries = ["Guinea", "Bulgaria", "Viet Nam", "South Korea", "Narnia",
+                 "Sierra Leone", "Guinee"]
+    series = (
+        [("NY.GDP.MKTP.CD", "GDP (current US$)"),
+         ("SP.POP.TOTL", "Population, total"),
+         ("SH.SHARED.CODE", "Shared series (in both files)")]
+        if kind == "dev"
+        else [("SH.HIV.INCD", "HIV incidence"),
+              ("SH.MED.BEDS.ZS", "Hospital beds per 1000"),
+              ("SH.SHARED.CODE", "Shared series (in both files)")]
+    )
+    rows = []
+    for c in countries:
+        for code, name in series:
+            r = {"Country Name": c, "Series Code": code, "Series Name": name}
+            for y in years:
+                r[y] = ".." if rng.random() < 0.25 else f"{rng.uniform(1, 500):.5f}"
+            rows.append(r)
+    fields = ", ".join(
+        ["`Country Name` string", "`Series Code` string", "`Series Name` string"]
+        + [f"`{y}` string" for y in years]
+    )
+    return spark.createDataFrame(rows, fields)

@@ -1,0 +1,12 @@
+import pytest
+
+from outbreak_kg_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="outbreak-kg-tests", master="local[4]",
+                  shuffle_partitions=8)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()

@@ -1,0 +1,199 @@
+"""Single-process oracle: an INDEPENDENT reimplementation of the reference
+pipeline semantics (behavioral spec: /root/reference/promed_ner.py:27-100,
+kg/build.py), used only to compute expected outputs for fixture tests.
+
+Deliberately written differently from outbreak_kg_spark (regex/slice based
+matcher instead of a trie; dict loops instead of DataFrames) so agreement is
+evidence, not tautology.
+"""
+
+from __future__ import annotations
+
+import datetime
+import re
+from collections import Counter, defaultdict
+from itertools import combinations
+
+TOKEN = re.compile(r"\w+")
+
+
+# ---- extraction (promed_ner.py:27-46, 57-76, 93-100) -----------------------
+
+def oracle_sections(body: str):
+    res = []
+    lines = body.split("\n")
+    open_ = False
+    title = None
+    seen_title = False
+    buf = []
+    for i, ln in enumerate(lines):
+        s = ln.strip()
+        if s.startswith("---") or s.startswith("******"):
+            open_, title, buf, seen_title = True, lines[i - 1], [], True
+        elif s == "--":
+            if not seen_title:
+                # reference raises UnboundLocalError here and returns the
+                # partial list (promed_ner.py:44-45)
+                return res
+            open_ = False
+            res.append((title, " ".join(buf)))
+        elif open_:
+            buf.append(s)
+    return res
+
+
+def oracle_header(header: str):
+    d = re.search(r"Published Date: (.+)\n", header)
+    s = re.search(r"Subject:(.+?)\n", header)
+    a = re.search(r"Archive Number: (\d{8}\.\d+)?", header)
+    if d is None:
+        return None
+    try:
+        when = datetime.datetime.strptime(d.group(1)[:-4], "%Y-%m-%d %H:%M:%S")
+    except ValueError:
+        return None
+    return {
+        "date": when,
+        "subject": s.group(1).strip() if s else None,
+        "archive": a.group(1) if a else None,
+    }
+
+
+def oracle_extract(page_text: str):
+    """Returns (archive, subject, date, sections, canonical_text) or None."""
+    cut = page_text.find("\n\n")
+    if cut < 0:
+        head, body = page_text + "\n", ""
+    else:
+        head, body = page_text[:cut] + "\n", page_text[cut + 2 :]
+    if not head.strip():
+        return None
+    h = oracle_header(head)
+    if h is None or h["archive"] is None:
+        return None
+    secs = oracle_sections(body)
+    subj = h["subject"] or ""
+    txt = subj + "\n\n"
+    for t, c in secs:
+        txt += t + "\n\n" + c + "\n\n"
+    return {
+        "archive": h["archive"],
+        "subject": h["subject"],
+        "date": h["date"],
+        "sections": secs,
+        "text": txt,
+    }
+
+
+# ---- NER (slice-matcher, not a trie) ----------------------------------------
+
+def _norm(s: str) -> str:
+    return re.sub(r"\s+", " ", re.sub(r"[-‐-―]", " ", s).strip().lower())
+
+
+def oracle_annotate(text: str, gaz_rows, ns_priority=("MESH", "geonames")):
+    """Greedy longest-match, case-insensitive, word-boundary matcher.
+    gaz_rows: dicts with ns/id/entry_name/synonym."""
+    prio = {ns: i for i, ns in enumerate(ns_priority)}
+    table = {}
+    for r in gaz_rows:
+        key = tuple(TOKEN.findall(_norm(r["synonym"])))
+        if not key:
+            continue
+        cand = (prio.get(r["ns"], 99), r["ns"], r["id"], r["entry_name"])
+        if key not in table or cand < table[key]:
+            table[key] = cand
+    max_len = max(len(k) for k in table) if table else 0
+    toks = [(m.group(0).lower(), m.start(), m.end()) for m in TOKEN.finditer(text)]
+    hits = []
+    i = 0
+    while i < len(toks):
+        best = None
+        for L in range(min(max_len, len(toks) - i), 0, -1):
+            key = tuple(t[0] for t in toks[i : i + L])
+            if key in table:
+                best = (L, table[key])
+                break
+        if best:
+            L, (_, ns, id_, name) = best
+            hits.append((text[toks[i][1]: toks[i + L - 1][2]], ns, id_, name))
+            i += L
+        else:
+            i += 1
+    return hits
+
+
+def oracle_terms_by_alert(corpus_pages, gaz_rows, exclude_tokens):
+    """First-wins (earliest warc_ts, then url) per archive number, then
+    distinct grounded terms per alert — mirrors extract.dedup_alerts +
+    ground.terms_by_alert."""
+    by_archive = {}
+    for p in corpus_pages:
+        ex = oracle_extract(p["text"])
+        if ex is None:
+            continue
+        k = ex["archive"]
+        cur = by_archive.get(k)
+        key = (p["warc_ts"], p["url"])
+        if cur is None or key < cur[0]:
+            by_archive[k] = (key, ex)
+    terms = {}
+    for k, (_, ex) in by_archive.items():
+        s = set()
+        for title, content in ex["sections"]:
+            for field_text in (title, content):
+                for surface, ns, id_, name in oracle_annotate(field_text, gaz_rows):
+                    if surface in exclude_tokens:
+                        continue
+                    s.add((ns, id_, name))
+        terms[k] = sorted(s)
+    return terms, {k: ex for k, (_, ex) in by_archive.items()}
+
+
+# ---- builders (kg/build.py) -------------------------------------------------
+
+def oracle_mentions_edges(terms, types, exclude_names):
+    edges = set()
+    for archive, ts in terms.items():
+        for ns, id_, name in ts:
+            if name in exclude_names or ns != "MESH":
+                continue
+            if types.get(f"MESH:{id_}") in ("disease", "pathogen", "geoloc"):
+                edges.add((f"promed:{archive}", "mentions", f"MESH:{id_}"))
+    return edges
+
+
+def oracle_cooccurrence(terms, types, exclude_names):
+    cnt = Counter()
+    patterns = {("geoloc", "pathogen"), ("disease", "pathogen"),
+                ("geoloc", "disease")}
+    for archive, ts in terms.items():
+        for a, b in combinations(ts, 2):
+            a, b = tuple(sorted([a, b], key=lambda x: x[2]))
+            if a[2] in exclude_names or b[2] in exclude_names:
+                continue
+            ta = types.get(f"{a[0]}:{a[1]}")
+            tb = types.get(f"{b[0]}:{b[1]}")
+            hit = ((ta, tb) in patterns) or ((tb, ta) in patterns)
+            if hit:
+                cnt[(f"{a[0]}:{a[1]}", f"{b[0]}:{b[1]}")] += 1
+    return {(a, "occurs_with", b): c for (a, b), c in cnt.items()}
+
+
+def oracle_closure(edges):
+    """(child, parent) pairs -> full reachability dict node->set(ancestors)."""
+    parents = defaultdict(set)
+    for c, p in edges:
+        parents[c].add(p)
+    out = {}
+    nodes = set(parents) | {p for ps in parents.values() for p in ps}
+    for n in nodes:
+        seen, stack = set(), [n]
+        while stack:
+            x = stack.pop()
+            for p in parents.get(x, ()):
+                if p not in seen:
+                    seen.add(p)
+                    stack.append(p)
+        out[n] = seen
+    return out

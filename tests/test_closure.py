@@ -1,0 +1,83 @@
+"""Property tests: transitive closure and connected components vs brute
+force on random DAGs/graphs (SURVEY.md §5.5)."""
+
+import random
+
+from outbreak_kg_spark.closure import connected_components, transitive_closure
+from tests.oracle.reference_impl import oracle_closure
+
+
+def _random_dag(rng, n, extra):
+    # nodes 0..n-1; edges only from higher to lower index -> acyclic
+    edges = set()
+    for i in range(1, n):
+        edges.add((str(i), str(rng.randrange(i))))
+    for _ in range(extra):
+        a, b = rng.sample(range(n), 2)
+        if a > b:
+            edges.add((str(a), str(b)))
+    return sorted(edges)
+
+
+def test_closure_matches_bruteforce(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        edges = _random_dag(rng, 25, 15)
+        df = spark.createDataFrame(
+            [{"subj": a, "obj": b} for a, b in edges]
+        )
+        got = {
+            (r.node, r.ancestor)
+            for r in transitive_closure(df).collect()
+            if r.depth > 0
+        }
+        want = {
+            (n, a) for n, ancs in oracle_closure(edges).items() for a in ancs
+        }
+        assert got == want, f"trial {trial}"
+
+
+def test_closure_self_rows_cover_both_endpoints(spark):
+    df = spark.createDataFrame([{"subj": "a", "obj": "b"}])
+    rows = {(r.node, r.ancestor, r.depth) for r in transitive_closure(df).collect()}
+    assert ("a", "a", 0) in rows and ("b", "b", 0) in rows
+    assert ("a", "b", 1) in rows
+
+
+def test_closure_depth_is_min_hops(spark):
+    # diamond: a->b->d, a->c->d, plus shortcut a->d
+    df = spark.createDataFrame(
+        [{"subj": s, "obj": o} for s, o in
+         [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("a", "d")]]
+    )
+    depths = {(r.node, r.ancestor): r.depth for r in transitive_closure(df).collect()}
+    assert depths[("a", "d")] == 1
+
+
+def _brute_components(edges, nodes):
+    comp = {n: n for n in nodes}
+    changed = True
+    while changed:
+        changed = False
+        for a, b in edges:
+            m = min(comp[a], comp[b])
+            for x in (a, b):
+                if comp[x] != m:
+                    comp[x] = m
+                    changed = True
+    # propagate to fixpoint (min label over each component)
+    for _ in range(len(nodes)):
+        for a, b in edges:
+            m = min(comp[a], comp[b])
+            comp[a] = comp[b] = m
+    return comp
+
+
+def test_connected_components_matches_bruteforce(spark):
+    rng = random.Random(13)
+    nodes = [f"n{i:02d}" for i in range(30)]
+    edges = [tuple(rng.sample(nodes, 2)) for _ in range(25)]
+    df = spark.createDataFrame([{"src": a, "dst": b} for a, b in edges])
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    want = _brute_components(edges, {n for e in edges for n in e})
+    assert got == want

@@ -1,0 +1,64 @@
+"""Unit tests for the broadcast-trie gazetteer scanner (N1-N5)."""
+
+from outbreak_kg_spark import ground
+
+GAZ = [
+    {"ns": "MESH", "id": "D1", "entry_name": "Ebolavirus Disease",
+     "synonym": "ebola"},
+    {"ns": "MESH", "id": "D1", "entry_name": "Ebolavirus Disease",
+     "synonym": "ebola virus disease"},
+    {"ns": "MESH", "id": "D2", "entry_name": "Virus Diseases",
+     "synonym": "virus"},
+    {"ns": "MESH", "id": "D3", "entry_name": "Africa, Western",
+     "synonym": "Africa, Western"},
+    {"ns": "geonames", "id": "G1", "entry_name": "Guinea", "synonym": "guinea"},
+    {"ns": "MESH", "id": "D4", "entry_name": "Guinea", "synonym": "guinea"},
+]
+
+
+def _scan(text, ns_priority=("MESH", "geonames")):
+    trie = ground.compile_gazetteer(GAZ, ns_priority)
+    return ground.scan_text(text, trie)
+
+
+def test_longest_match_wins():
+    hits = _scan("an ebola virus disease outbreak")
+    assert [(h[0], h[4]) for h in hits] == [("ebola virus disease", "D1")]
+
+
+def test_greedy_fallback_to_shorter():
+    # 'ebola virus' is not a term; after failing the long path the scanner
+    # matches 'ebola' then 'virus' separately.
+    hits = _scan("ebola virus spreading")
+    assert [(h[4]) for h in hits] == ["D1", "D2"]
+
+
+def test_case_insensitive_and_offsets():
+    hits = _scan("EBOLA in West")
+    (surface, s, e, ns, id_, name) = hits[0]
+    assert surface == "EBOLA" and (s, e) == (0, 5) and id_ == "D1"
+
+
+def test_punctuated_vocab_name_matches_plain_tokens():
+    hits = _scan("cases in Africa, Western today")
+    assert [h[4] for h in hits] == ["D3"]
+    hits2 = _scan("cases in Africa Western today")
+    assert [h[4] for h in hits2] == ["D3"]
+
+
+def test_namespace_priority_resolution():
+    assert [h[3] for h in _scan("guinea")] == ["MESH"]
+    assert [h[3] for h in _scan("guinea", ns_priority=("geonames", "MESH"))] == [
+        "geonames"
+    ]
+
+
+def test_ground_names_driver_side(spark):
+    from outbreak_kg_spark import synth
+
+    gaz = synth.gazetteer_df(spark)
+    out = ground.ground_names(spark, gaz, ["ebola", "MESH:D0105", "zzz", "Viet Nam"])
+    assert out["ebola"] == "MESH:D0103"
+    assert out["MESH:D0105"] == "MESH:D0105"  # passthrough (kg/client.py:373)
+    assert out["zzz"] is None
+    assert out["Viet Nam"] == "MESH:D0308"

@@ -1,0 +1,61 @@
+"""Salting invariance: salted two-phase aggregation == naive aggregation."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from outbreak_kg_spark.skew import salted_agg, salted_count, salted_self_join_pairs
+
+
+def test_salted_count_equals_naive(spark):
+    rng = random.Random(3)
+    rows = [{"k": rng.choice(["hot"] * 50 + ["a", "b", "c"]), "v": i}
+            for i in range(2000)]
+    df = spark.createDataFrame(rows)
+    for salt in (1, 4, 32):
+        got = {r.k: r["count"] for r in salted_count(df, ["k"], salt=salt).collect()}
+        want = {r.k: r["count"] for r in df.groupBy("k").count().collect()}
+        assert got == want
+
+
+def test_salted_agg_sum_max(spark):
+    rows = [{"k": str(i % 7), "v": float(i)} for i in range(500)]
+    df = spark.createDataFrame(rows)
+    got = {
+        r.k: (r.total, r.hi)
+        for r in salted_agg(
+            df, ["k"], {"total": (F.sum, F.sum, "v"), "hi": (F.max, F.max, "v")}
+        ).collect()
+    }
+    want = {
+        r.k: (r.total, r.hi)
+        for r in df.groupBy("k").agg(
+            F.sum("v").alias("total"), F.max("v").alias("hi")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_pairs_match_itertools(spark):
+    from itertools import combinations
+
+    rows = []
+    groups = {"g1": ["b", "a", "c"], "g2": ["x", "y"], "g3": ["solo"],
+              "g4": ["dup", "dup2", "dup2"]}
+    for g, names in groups.items():
+        for i, n in enumerate(names):
+            rows.append({"doc_id": g, "curie": f"{n}_{i}", "entry_name": n})
+    df = spark.createDataFrame(rows).dropDuplicates(["doc_id", "curie"])
+    pairs = salted_self_join_pairs(
+        df, "doc_id", ["curie", "entry_name"], "entry_name"
+    ).collect()
+    got = {(r.doc_id, r.a_curie, r.b_curie) for r in pairs}
+    want = set()
+    for g, _ in groups.items():
+        items = sorted(
+            {(r["curie"], r["entry_name"]) for r in rows if r["doc_id"] == g}
+        )
+        for a, b in combinations(items, 2):
+            a2, b2 = sorted([a, b], key=lambda x: (x[1], x[0]))
+            want.add((g, a2[0], b2[0]))
+    assert got == want

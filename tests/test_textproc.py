@@ -1,0 +1,96 @@
+"""Byte-identity unit tests for the extraction semantics (T1-T4) against the
+independent oracle, plus hypothesis fuzzing of the section state machine."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from outbreak_kg_spark import textproc
+from tests.oracle import reference_impl as oracle
+
+HEADER = (
+    "Published Date: 2016-04-28 16:59:45 EDT\n"
+    "Subject: PRO/AH/EDR> Lumpy skin disease - Bulgaria (06): bovine\n"
+    "Archive Number: 20160428.4189378"
+)
+
+
+def test_golden_single_section():
+    body = (
+        "preamble title line\n"
+        "-----------------------------------------\n"
+        "  content line 1  \n"
+        "content line 2\n"
+        "--"
+    )
+    secs = textproc.split_sections(body)
+    assert secs == [
+        {"title": "preamble title line", "content": "content line 1 content line 2"}
+    ]
+    txt = textproc.canonical_text("SUBJ", secs)
+    assert txt == "SUBJ\n\npreamble title line\n\ncontent line 1 content line 2\n\n"
+
+
+def test_star_marker_and_multiple_sections():
+    body = "t1\n******\na\nb\n--\nt2\n---\nc\n--"
+    assert textproc.split_sections(body) == [
+        {"title": "t1", "content": "a b"},
+        {"title": "t2", "content": "c"},
+    ]
+
+
+def test_missing_terminator_drops_section():
+    assert textproc.split_sections("t\n---\nnever closed") == []
+
+
+def test_closer_before_opener_returns_partial():
+    # The reference hits UnboundLocalError on `title` at the leading '--'
+    # and returns the (empty) partial list (promed_ner.py:44-45) — the later
+    # well-formed section is lost.
+    assert textproc.split_sections("--\nt\n---\nx\n--") == []
+
+
+def test_marker_on_first_line_wraps_to_last_line_title():
+    body = "---\nx\n--"
+    # lines[idx-1] with idx=0 is lines[-1] == '--' in the reference quirk.
+    assert textproc.split_sections(body) == [{"title": "--", "content": "x"}]
+
+
+def test_second_marker_resets_open_section():
+    body = "t1\n---\na\nt2\n---\nb\n--"
+    assert textproc.split_sections(body) == [{"title": "t2", "content": "b"}]
+
+
+def test_header_parse():
+    f = textproc.parse_header_fields(HEADER + "\n")
+    assert f["archive_number"] == "20160428.4189378"
+    assert f["subject"].startswith("PRO/AH/EDR>")
+    assert f["date"].year == 2016 and f["date"].second == 45
+
+
+def test_header_without_archive_is_invalid():
+    txt = "Published Date: 2016-04-28 16:59:45 EDT\nSubject: x\nArchive Number: \n\nbody"
+    assert textproc.extract_alert(txt)["valid"] is False
+
+
+def test_empty_header_is_invalid():
+    assert textproc.extract_alert("\n\nbody only")["valid"] is False
+
+
+_LINE = st.text(alphabet=string.ascii_letters + " -*", min_size=0, max_size=12)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.one_of(_LINE, st.sampled_from(["--", "---", "******", ""])),
+                min_size=0, max_size=30))
+def test_state_machine_matches_oracle(lines):
+    body = "\n".join(lines)
+    got = [(s["title"], s["content"]) for s in textproc.split_sections(body)]
+    assert got == oracle.oracle_sections(body)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet=string.printable, max_size=200))
+def test_extract_never_raises(page_text):
+    textproc.extract_alert(page_text)
