@@ -1,0 +1,239 @@
+"""Deduplication operators for web-scale corpora (driver brief: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup).
+
+All hashing is deterministic and engine-independent (md5-derived 60-bit
+integers), so every operator here has an exact cross-engine oracle — no
+engine-specific hash() anywhere. Everything is built from built-in
+expressions (explode / groupBy / min / bit ops); no Python UDFs.
+
+Scale shape: token explosion is a narrow map; signatures are one hash-agg
+keyed by doc (uniform); LSH candidate generation shuffles on (band, bucket)
+which is uniform by construction of the hash. The only quadratic step is
+within-bucket pair verification — bounded by bucket size, which the band/row
+parameters control.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+def _md5_48(col):
+    """Deterministic 48-bit integer hash of a string column: first 12 hex
+    chars of md5, base-16 decoded. Reproducible in any engine with md5;
+    48 bits keeps a*h+b under 2^63 (ANSI overflow-safe) for the universal
+    hash family below."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+def tokens(df: DataFrame, text_col: str = "text",
+           id_col: str = "doc_id") -> DataFrame:
+    return df.select(
+        id_col,
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             n: int = 3) -> DataFrame:
+    """Distinct token n-gram shingles per doc (space-joined). Built with
+    lead() windows over token position — one shuffle keyed by doc id."""
+    w = Window.partitionBy(id_col).orderBy("pos")
+    t = tokens(df, text_col, id_col)
+    parts = [F.col("tok") if i == 0 else F.lead("tok", i).over(w) for i in range(n)]
+    grams = t.select(
+        id_col,
+        F.concat_ws(" ", *parts).alias("shingle"),
+        parts[-1].alias("_last"),
+    )
+    return (
+        grams.filter(F.col("_last").isNotNull())
+        .select(id_col, "shingle")
+        .dropDuplicates()
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: canonical representative = min(id) per identical text.
+    Returns (doc_id, canonical_id, group_size). One hash agg on the text
+    bytes; at scale, group on md5(text) instead of raw text to keep shuffle
+    rows small — same result, done here."""
+    g = df.select(id_col, F.md5(F.col(text_col)).alias("_h"))
+    rep = g.groupBy("_h").agg(
+        F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("group_size")
+    )
+    return g.join(rep, "_h").select(id_col, "canonical_id", "group_size")
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 32,
+                       shingle_n: int = 3) -> DataFrame:
+    """MinHash signatures: sig_i(doc) = min over shingles of
+    h_i(shingle) where h_i = md5-48 of "i:shingle" — an independent,
+    fully-mixing hash per index (a linear a*h+b family is order-preserving
+    in h and collapses every index onto the same argmin shingle, which
+    degenerates LSH). md5 keeps the family engine-portable for oracles.
+    Output: (doc_id, hash_idx, minhash)."""
+    sh = shingles(df, text_col, id_col, n=shingle_n)
+    params = sh.sparkSession.createDataFrame(
+        [{"hash_idx": i} for i in range(num_hashes)]
+    )
+    return (
+        sh.crossJoin(F.broadcast(params))
+        .select(
+            id_col, "hash_idx",
+            _md5_48(
+                F.concat_ws(":", F.col("hash_idx").cast("string"), "shingle")
+            ).alias("hv"),
+        )
+        .groupBy(id_col, "hash_idx")
+        .agg(F.min("hv").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
+                        bands: int = 8) -> DataFrame:
+    """Band the signature, bucket docs whose band-slice agrees, emit
+    candidate pairs (a < b). Equi-join on (band, bucket) — the LSH trick
+    turns all-pairs into per-bucket pairs."""
+    banded = signatures.withColumn("band", F.col("hash_idx") % bands)
+    buckets = banded.groupBy(id_col, "band").agg(
+        F.md5(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list(F.struct("hash_idx", "minhash")))
+                .cast("array<string>"),
+            )
+        ).alias("bucket")
+    )
+    l = buckets.select(F.col(id_col).alias("a"), "band", "bucket")
+    r = buckets.select(F.col(id_col).alias("b"), "band", "bucket")
+    return (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates()
+    )
+
+
+def jaccard_pairs(df: DataFrame, pairs: DataFrame | None = None,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  shingle_n: int = 3) -> DataFrame:
+    """n-gram Jaccard similarity for candidate pairs (or all pairs when
+    pairs is None — only sane at test scale). Returns (a, b, jaccard)."""
+    sh = shingles(df, text_col, id_col, n=shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    la = sh.select(F.col(id_col).alias("a"), "shingle")
+    lb = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        la.join(lb, "shingle").filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if pairs is not None:
+        inter = inter.join(pairs, ["a", "b"], "inner")
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "a")
+                   .withColumnRenamed("sz", "sz_a"), "a")
+        .join(sizes.withColumnRenamed(id_col, "b")
+              .withColumnRenamed("sz", "sz_b"), "b")
+        .select(
+            "a", "b",
+            (F.col("n_inter")
+             / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))).alias("jaccard"),
+        )
+    )
+
+
+def minhash_dedup(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", threshold: float = 0.8,
+                  num_hashes: int = 32, bands: int = 8,
+                  shingle_n: int = 3) -> DataFrame:
+    """Full near-dup pipeline: MinHash -> LSH buckets -> exact Jaccard
+    verify -> connected components -> canonical id per doc."""
+    from .closure import connected_components
+
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    cand = lsh_candidate_pairs(sigs, id_col, bands)
+    dup_edges = jaccard_pairs(df, cand, text_col, id_col, shingle_n).filter(
+        F.col("jaccard") >= threshold
+    )
+    comp = connected_components(dup_edges, "a", "b")
+    return (
+        df.select(id_col)
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col).cast("string"))
+            .alias("canonical_id"),
+        )
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 32) -> DataFrame:
+    """Per-doc SimHash: bit b of the fingerprint is 1 iff the sum over
+    distinct tokens of (+1 if bit b of h(token) else -1) is positive.
+    Computed with shiftright/bit-and inside one explode + sum agg."""
+    t = tokens(df, text_col, id_col).select(id_col, "tok").dropDuplicates()
+    h = t.select(id_col, _md5_48("tok").alias("h"))
+    contrib = h.select(
+        id_col,
+        *[
+            (
+                (F.shiftright("h", b).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ],
+    )
+    summed = contrib.groupBy(id_col).agg(
+        *[F.sum(f"b{b}").alias(f"s{b}") for b in range(bits)]
+    )
+    fp = summed.select(
+        id_col,
+        sum(
+            [
+                F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+                for b in range(bits)
+            ],
+            F.lit(0),
+        ).cast("long").alias("simhash"),
+    )
+    return fp
+
+
+def hamming_near_dups(fps: DataFrame, id_col: str = "doc_id",
+                      max_distance: int = 3, bits: int = 32,
+                      blocks: int = 4) -> DataFrame:
+    """SimHash near-dup pairs by Hamming distance, using the pigeonhole
+    block trick: two fingerprints within distance d must agree exactly on at
+    least one of d+1 blocks -> equi-join per block, then verify with
+    bit_count(xor)."""
+    width = bits // blocks
+    blocked = fps.select(
+        id_col, "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright("simhash", i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", "bk.blk", "bk.key")
+    l = blocked.select(F.col(id_col).alias("a"), F.col("simhash").alias("fa"),
+                       "blk", "key")
+    r = blocked.select(F.col(id_col).alias("b"), F.col("simhash").alias("fb"),
+                       "blk", "key")
+    return (
+        l.join(r, ["blk", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.bit_count(
+            F.col("fa").bitwiseXOR(F.col("fb"))).alias("hamming"))
+        .filter(F.col("hamming") <= max_distance)
+        .dropDuplicates(["a", "b"])
+    )

