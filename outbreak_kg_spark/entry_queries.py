@@ -1,0 +1,1103 @@
+"""Driver-contract query suite: one entry per implemented operator family
+(SURVEY.md §2), each as a (spark, sf_dir) -> DataFrame callable plus an
+exact DuckDB oracle SQL over the same parquet tables.
+
+Cross-engine determinism rules used throughout:
+- hashing is md5-based (identical in Spark and DuckDB);
+- money math is integer-cents (exact) with one final double division;
+- float outputs that accumulate in engine-specific order are rounded;
+- every LIMIT has a total-order tie-break.
+
+The KG operators run over a deterministic page-ification of the driver's
+``documents`` table with a small embedded gazetteer (single-token terms, so
+greedy-longest-match == word-boundary containment, which SQL can express).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import dedup, similarity, textstats
+from .closure import transitive_closure
+from .extract import extract_pages
+from .ground import make_annotate_udf
+from .skew import salted_count
+
+# ---- embedded gazetteer over the documents token vocabulary -----------------
+
+ENTRY_GAZ = [
+    # (curie, token, node_type)
+    ("MESH:D0001", "slow", "disease"),
+    ("MESH:D0002", "dup", "disease"),
+    ("MESH:D0003", "stream", "disease"),
+    ("MESH:D1001", "hash", "pathogen"),
+    ("MESH:D1002", "spark", "pathogen"),
+    ("MESH:D1003", "vector", "pathogen"),
+    ("MESH:D1004", "join", "pathogen"),  # hot key: ~16% of all tokens
+    ("MESH:D2001", "table", "geoloc"),
+    ("MESH:D2002", "window", "geoloc"),
+    ("MESH:D2003", "batch", "geoloc"),
+]
+ENTRY_ISA = [
+    ("MESH:D0001", "MESH:D0000"),
+    ("MESH:D0002", "MESH:D0000"),
+    ("MESH:D0003", "MESH:D0001"),
+    ("MESH:D1001", "MESH:D1000"),
+    ("MESH:D1002", "MESH:D1001"),
+    ("MESH:D1003", "MESH:D1001"),
+    ("MESH:D1004", "MESH:D1000"),
+    ("MESH:D2002", "MESH:D2001"),
+    ("MESH:D2003", "MESH:D2002"),
+]
+LIT_QUERY_TERMS = ["MESH:D0001", "MESH:D1001", "MESH:D2001"]  # slow, hash, table
+
+
+def _entry_closure_pairs() -> list[tuple[str, str]]:
+    """Reachability pairs (node, ancestor) of ENTRY_ISA incl. depth-0 self
+    rows — computed here once so the SQL literal and any test share it."""
+    parents: dict[str, set] = {}
+    nodes = set()
+    for c, p in ENTRY_ISA:
+        parents.setdefault(c, set()).add(p)
+        nodes |= {c, p}
+    out = {(n, n) for n in nodes}
+    for n in nodes:
+        seen, stack = set(), [n]
+        while stack:
+            for p in parents.get(stack.pop(), ()):
+                if p not in seen:
+                    seen.add(p)
+                    stack.append(p)
+        out |= {(n, a) for a in seen}
+    return sorted(out)
+
+
+def _sql_values_gaz() -> str:
+    return ", ".join(f"('{c}', '{t}', '{ty}')" for c, t, ty in ENTRY_GAZ)
+
+
+def _sql_values_closure() -> str:
+    return ", ".join(f"('{n}', '{a}')" for n, a in _entry_closure_pairs())
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def entry_gazetteer_df(spark: SparkSession) -> DataFrame:
+    rows = [
+        {"ns": c.split(":")[0], "id": c.split(":")[1], "entry_name": t,
+         "synonym": t, "node_type": ty}
+        for c, t, ty in ENTRY_GAZ
+    ]
+    from .schemas import GAZETTEER
+
+    return spark.createDataFrame(rows, GAZETTEER)
+
+
+def entry_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, curie, name, node_type) distinct — documents annotated with
+    the broadcast entry trie (operator N1/N3)."""
+    udf = make_annotate_udf(spark, entry_gazetteer_df(spark))
+    d = _docs(spark, sf_dir)
+    m = d.select("doc_id", F.explode(udf(F.col("text"))).alias("a"))
+    return (
+        m.select(
+            "doc_id",
+            F.concat_ws(":", "a.ns", "a.id").alias("curie"),
+            F.col("a.entry_name").alias("name"),
+        )
+        .dropDuplicates(["doc_id", "curie"])
+        .join(
+            F.broadcast(
+                spark.createDataFrame(
+                    [{"curie": c, "node_type": ty} for c, _t, ty in ENTRY_GAZ]
+                )
+            ),
+            "curie",
+        )
+        .select("doc_id", "curie", "name", "node_type")
+    )
+
+
+_SQL_MENTIONS = f"""
+    SELECT DISTINCT d.doc_id, g.curie, g.name, g.node_type
+    FROM documents d
+    JOIN (VALUES {_sql_values_gaz()}) g(curie, name, node_type)
+      ON list_contains(string_split(d.text, ' '), g.name)
+"""
+
+
+# ---- KG queries --------------------------------------------------------------
+
+def q_kg_extract_text(spark, sf_dir):
+    """T1-T4: page-ify documents, run the real extraction state machine UDF,
+    return the canonical text. Oracle computes the expected bytes directly."""
+    d = _docs(spark, sf_dir)
+    pages = d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.concat(
+            F.lit("Published Date: 2024-03-01 12:00:00 EDT\nSubject: PRO> doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("\nArchive Number: "),
+            F.format_string("%08d", (F.col("doc_id") + F.lit(20000000)).cast("int")),
+            F.lit("."),
+            F.col("doc_id").cast("string"),
+            F.lit("\n\nreport "),
+            F.col("doc_id").cast("string"),
+            F.lit("\n-----------------------------------------\n"),
+            F.col("text"),
+            F.lit("\n--"),
+        ).alias("text"),
+        F.col("lang"),
+    )
+    ex = extract_pages(pages)
+    return ex.filter("valid").select("url", "extracted_text")
+
+
+SQL_KG_EXTRACT_TEXT = """
+    SELECT 'doc://' || doc_id AS url,
+           'PRO> doc ' || doc_id || chr(10) || chr(10) ||
+           'report ' || doc_id || chr(10) || chr(10) ||
+           trim(text) || chr(10) || chr(10) AS extracted_text
+    FROM documents
+"""
+
+
+def q_kg_ner_mentions(spark, sf_dir):
+    return entry_mentions(spark, sf_dir)
+
+
+def q_kg_terms_per_doc(spark, sf_dir):
+    return (
+        entry_mentions(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.count_distinct("curie").alias("n_terms"))
+    )
+
+
+def q_kg_mention_pairs(spark, sf_dir):
+    """A1/A3/J5: within-doc canonical pairs + salted two-phase count."""
+    m = entry_mentions(spark, sf_dir).select("doc_id", "curie", "name")
+    a = m.select("doc_id", F.col("curie").alias("a_curie"), F.col("name").alias("an"))
+    b = m.select("doc_id", F.col("curie").alias("b_curie"), F.col("name").alias("bn"))
+    pairs = a.join(b, "doc_id").filter(F.col("an") < F.col("bn"))
+    return salted_count(pairs, ["a_curie", "b_curie"], salt=16, count_col="n_docs")
+
+
+SQL_KG_MENTION_PAIRS = f"""
+    WITH m AS ({_SQL_MENTIONS})
+    SELECT a.curie AS a_curie, b.curie AS b_curie, count(*) AS n_docs
+    FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.name < b.name
+    GROUP BY 1, 2
+"""
+
+
+def q_kg_interesting_pairs(spark, sf_dir):
+    """A4: typed-pair relation-extraction rule on the pair table."""
+    m = entry_mentions(spark, sf_dir)
+    a = m.select("doc_id", F.col("curie").alias("a_curie"),
+                 F.col("name").alias("an"), F.col("node_type").alias("at"))
+    b = m.select("doc_id", F.col("curie").alias("b_curie"),
+                 F.col("name").alias("bn"), F.col("node_type").alias("bt"))
+    pairs = a.join(b, "doc_id").filter(F.col("an") < F.col("bn"))
+    ok = pairs.filter(
+        ((F.col("at") == "geoloc") & (F.col("bt") == "pathogen"))
+        | ((F.col("bt") == "geoloc") & (F.col("at") == "pathogen"))
+        | ((F.col("at") == "disease") & (F.col("bt") == "pathogen"))
+        | ((F.col("bt") == "disease") & (F.col("at") == "pathogen"))
+        | ((F.col("at") == "geoloc") & (F.col("bt") == "disease"))
+        | ((F.col("bt") == "geoloc") & (F.col("at") == "disease"))
+    )
+    return salted_count(ok, ["a_curie", "b_curie"], salt=16, count_col="n_docs")
+
+
+SQL_KG_INTERESTING_PAIRS = f"""
+    WITH m AS ({_SQL_MENTIONS})
+    SELECT a.curie AS a_curie, b.curie AS b_curie, count(*) AS n_docs
+    FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.name < b.name
+    WHERE (a.node_type, b.node_type) IN (
+        ('geoloc','pathogen'), ('pathogen','geoloc'),
+        ('disease','pathogen'), ('pathogen','disease'),
+        ('geoloc','disease'), ('disease','geoloc'))
+    GROUP BY 1, 2
+"""
+
+
+def q_kg_isa_closure(spark, sf_dir):
+    """J7: transitive closure (iterative self-join w/ checkpoints) over the
+    part-key binary tree; oracle is a recursive CTE."""
+    part = _tbl(spark, sf_dir, "part")
+    edges = part.select(
+        F.col("p_partkey").alias("subj"),
+        F.floor(F.col("p_partkey") / 2).cast("long").alias("obj"),
+    ).filter((F.col("obj") >= 1) & (F.col("obj") != F.col("subj")))
+    cl = transitive_closure(edges, "subj", "obj", include_self=False)
+    return cl.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("ancestor").cast("long").alias("ancestor"),
+        F.col("depth").cast("int").alias("depth"),
+    )
+
+
+SQL_KG_ISA_CLOSURE = """
+    WITH RECURSIVE e AS (
+        SELECT p_partkey AS node, p_partkey // 2 AS parent FROM part
+        WHERE p_partkey // 2 >= 1 AND p_partkey // 2 <> p_partkey
+    ), c AS (
+        SELECT node, parent AS ancestor, 1 AS depth FROM e
+        UNION
+        SELECT c.node, e.parent, c.depth + 1 FROM c JOIN e ON c.ancestor = e.node
+    )
+    SELECT node::BIGINT AS node, ancestor::BIGINT AS ancestor,
+           min(depth)::INT AS depth
+    FROM c GROUP BY 1, 2
+"""
+
+
+def q_kg_query_graph(spark, sf_dir):
+    """J9 flagship: conjunctive alert query through the closure table —
+    docs mentioning a disease reaching MESH:D0000 AND a geoloc reaching
+    MESH:D2001, one row per matched entity combination."""
+    from .queries import query_graph
+
+    m = entry_mentions(spark, sf_dir)
+    nodes = (
+        m.select(
+            F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("curie"),
+            F.col("doc_id").cast("string").alias("name"),
+            F.array(F.lit("alert")).alias("labels"),
+            F.lit("alert").alias("node_type"),
+            F.lit("").alias("timestamp"),
+        )
+        .dropDuplicates(["curie"])
+        .unionByName(
+            spark.createDataFrame(
+                [(c, t, [ty, "entity"], ty, None) for c, t, ty in ENTRY_GAZ],
+                "curie string, name string, labels array<string>, "
+                "node_type string, timestamp string",
+            )
+        )
+    )
+    edges = m.select(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("subj"),
+        F.lit("mentions").alias("pred"),
+        F.col("curie").alias("obj"),
+    )
+    closure = spark.createDataFrame(
+        [{"node": n, "ancestor": a, "depth": 0} for n, a in _entry_closure_pairs()]
+    )
+    res = query_graph(
+        nodes, edges, closure,
+        disease_curie="MESH:D0000", geolocation_curie="MESH:D2001",
+    )
+    return res.select(
+        "alert_curie", "disease", "disease_isa", "geolocation", "geolocation_isa"
+    )
+
+
+SQL_KG_QUERY_GRAPH = f"""
+    WITH m AS ({_SQL_MENTIONS}),
+    cl(node, ancestor) AS (VALUES {_sql_values_closure()})
+    SELECT DISTINCT 'doc:' || m1.doc_id AS alert_curie,
+           m1.curie AS disease, 'MESH:D0000' AS disease_isa,
+           m2.curie AS geolocation, 'MESH:D2001' AS geolocation_isa
+    FROM m m1
+    JOIN cl c1 ON m1.curie = c1.node AND c1.ancestor = 'MESH:D0000'
+    JOIN m m2 ON m2.doc_id = m1.doc_id
+    JOIN cl c2 ON m2.curie = c2.node AND c2.ancestor = 'MESH:D2001'
+    WHERE m1.node_type = 'disease' AND m2.node_type = 'geoloc'
+"""
+
+
+def q_kg_top_alerts(spark, sf_dir):
+    """A16/O4: docs ranked by distinct mentioned entities, deterministic
+    top-50 (TakeOrderedAndProject)."""
+    m = entry_mentions(spark, sf_dir)
+    return (
+        m.groupBy("doc_id")
+        .agg(F.count_distinct("curie").alias("n_entities"))
+        .orderBy(F.desc("n_entities"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+SQL_KG_TOP_ALERTS = f"""
+    WITH m AS ({_SQL_MENTIONS})
+    SELECT doc_id, count(DISTINCT curie) AS n_entities
+    FROM m GROUP BY doc_id
+    ORDER BY n_entities DESC, doc_id ASC LIMIT 50
+"""
+
+
+def q_kg_first_timestamp_lookup(spark, sf_dir):
+    """P10: first matching timestamp else '' (alert timestamp semantics,
+    kg/build.py:165-170), over customer/orders."""
+    cust = _tbl(spark, sf_dir, "customer")
+    orders = _tbl(spark, sf_dir, "orders")
+    first = orders.groupBy("o_custkey").agg(
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("ts")
+    )
+    return cust.join(
+        first, cust["c_custkey"] == first["o_custkey"], "left"
+    ).select(
+        "c_custkey", F.coalesce("ts", F.lit("")).alias("first_order_ts")
+    )
+
+
+SQL_KG_FIRST_TIMESTAMP = """
+    SELECT c.c_custkey,
+           coalesce(strftime(o.ts, '%Y-%m-%d %H:%M:%S'), '') AS first_order_ts
+    FROM customer c
+    LEFT JOIN (SELECT o_custkey, min(o_orderdate) AS ts FROM orders GROUP BY 1) o
+      ON c.c_custkey = o.o_custkey
+"""
+
+
+def q_kg_cooccur_scores(spark, sf_dir):
+    """A5: log-normalized co-occurrence scores (kg/realism_score.py:70-72),
+    rounded for cross-engine float stability."""
+    m = entry_mentions(spark, sf_dir)
+    n_docs = m.select("doc_id").distinct().count()
+    a = m.select("doc_id", F.col("curie").alias("a_curie"), F.col("name").alias("an"))
+    b = m.select("doc_id", F.col("curie").alias("b_curie"), F.col("name").alias("bn"))
+    pairs = a.join(b, "doc_id").filter(F.col("an") < F.col("bn"))
+    return (
+        pairs.groupBy("a_curie", "b_curie")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .select(
+            "a_curie", "b_curie", "n_co",
+            F.round(F.log("n_co") - F.log(F.lit(float(n_docs))), 6).alias("score_r"),
+        )
+    )
+
+
+SQL_KG_COOCCUR_SCORES = f"""
+    WITH m AS ({_SQL_MENTIONS}),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM m)
+    SELECT a.curie AS a_curie, b.curie AS b_curie, count(*) AS n_co,
+           round(ln(count(*)) - ln((SELECT n_docs FROM n)::DOUBLE), 6) AS score_r
+    FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.name < b.name
+    GROUP BY 1, 2
+"""
+
+
+def q_kg_realism_logsumexp(spark, sf_dir):
+    """A6+P11: stable logsumexp over all pair scores + threshold
+    classification (kg/client.py:269-281)."""
+    m = entry_mentions(spark, sf_dir)
+    n_docs = m.select("doc_id").distinct().count()
+    a = m.select("doc_id", F.col("curie").alias("a_curie"), F.col("name").alias("an"))
+    b = m.select("doc_id", F.col("curie").alias("b_curie"), F.col("name").alias("bn"))
+    pair_scores = (
+        a.join(b, "doc_id").filter(F.col("an") < F.col("bn"))
+        .groupBy("a_curie", "b_curie")
+        .agg((F.log(F.count(F.lit(1))) - F.log(F.lit(float(n_docs)))).alias("s"))
+    )
+    mx = pair_scores.agg(F.max("s").alias("_m"))
+    lse = (
+        pair_scores.crossJoin(F.broadcast(mx))
+        .agg(
+            F.first("_m").alias("_m"),
+            F.sum(F.exp(F.col("s") - F.col("_m"))).alias("_sum"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+        .select(
+            F.round(F.col("_m") + F.log("_sum"), 4).alias("score_sum_r"),
+            "n_pairs",
+        )
+    )
+    return lse.select(
+        "score_sum_r", "n_pairs",
+        F.when(F.col("score_sum_r") > -4.5, "high")
+        .when(F.col("score_sum_r") > -7.0, "medium")
+        .otherwise("low")
+        .alias("classification"),
+    )
+
+
+SQL_KG_REALISM_LSE = f"""
+    WITH m AS ({_SQL_MENTIONS}),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM m),
+    ps AS (
+        SELECT a.curie ac, b.curie bc,
+               ln(count(*)) - ln((SELECT n_docs FROM n)::DOUBLE) AS s
+        FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.name < b.name
+        GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT round(max(s) + ln(sum(exp(s - mx))), 4) AS score_sum_r,
+               count(*) AS n_pairs
+        FROM ps, (SELECT max(s) AS mx FROM ps)
+    )
+    SELECT score_sum_r, n_pairs,
+           CASE WHEN score_sum_r > -4.5 THEN 'high'
+                WHEN score_sum_r > -7.0 THEN 'medium'
+                ELSE 'low' END AS classification
+    FROM agg
+"""
+
+
+def q_kg_literature_candidates(spark, sf_dir):
+    """A13: per-'pmid' query-term counting with threshold (mesh_pmids stand
+    -in = the mentions table)."""
+    from .queries import literature_candidates
+
+    m = entry_mentions(spark, sf_dir).select(
+        F.col("curie").alias("mesh_id"), F.col("doc_id").alias("pmid")
+    )
+    cand, _q, _t = literature_candidates(m, LIT_QUERY_TERMS, exclude=set())
+    return cand.select("pmid", "n_query_terms")
+
+
+SQL_KG_LIT_CANDIDATES = f"""
+    WITH m AS ({_SQL_MENTIONS})
+    SELECT doc_id AS pmid, count(DISTINCT curie) AS n_query_terms
+    FROM m WHERE curie IN ('{LIT_QUERY_TERMS[0]}', '{LIT_QUERY_TERMS[1]}',
+                           '{LIT_QUERY_TERMS[2]}')
+    GROUP BY doc_id HAVING count(DISTINCT curie) >= 2
+"""
+
+
+def q_kg_literature_contingency(spark, sf_dir):
+    """A14's 2x2 contingency cells per candidate pmid (the Fisher p-value on
+    top of these is scipy inside applyInPandas — pytest-verified; the cells
+    are the SQL-checkable part)."""
+    m = entry_mentions(spark, sf_dir).select(
+        F.col("curie").alias("mesh_id"), F.col("doc_id").alias("pmid")
+    )
+    total = m.select("mesh_id").distinct().count()
+    nq = len(LIT_QUERY_TERMS)
+    cand = (
+        m.filter(F.col("mesh_id").isin(LIT_QUERY_TERMS))
+        .groupBy("pmid")
+        .agg(F.count_distinct("mesh_id").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= 2)
+    )
+    tgt = m.groupBy("pmid").agg(F.count_distinct("mesh_id").alias("n_target"))
+    return cand.join(tgt, "pmid").select(
+        "pmid", "n_overlap", "n_target",
+        (F.lit(nq) - F.col("n_overlap")).alias("q_minus_t"),
+        (F.col("n_target") - F.col("n_overlap")).alias("t_minus_q"),
+        (F.lit(total) - (F.lit(nq) + F.col("n_target") - F.col("n_overlap")))
+        .alias("neither"),
+    )
+
+
+SQL_KG_LIT_CONTINGENCY = f"""
+    WITH m AS ({_SQL_MENTIONS}),
+    tot AS (SELECT count(DISTINCT curie) AS t FROM m),
+    cand AS (
+        SELECT doc_id AS pmid, count(DISTINCT curie) AS n_overlap
+        FROM m WHERE curie IN ('{LIT_QUERY_TERMS[0]}', '{LIT_QUERY_TERMS[1]}',
+                               '{LIT_QUERY_TERMS[2]}')
+        GROUP BY doc_id HAVING count(DISTINCT curie) >= 2
+    ),
+    tgt AS (SELECT doc_id AS pmid, count(DISTINCT curie) AS n_target FROM m GROUP BY 1)
+    SELECT c.pmid, c.n_overlap, t.n_target,
+           3 - c.n_overlap AS q_minus_t,
+           t.n_target - c.n_overlap AS t_minus_q,
+           (SELECT t FROM tot) - (3 + t.n_target - c.n_overlap) AS neither
+    FROM cand c JOIN tgt t USING (pmid)
+"""
+
+
+def q_kg_literature_pvalues(spark, sf_dir):
+    """A14 full: Fisher exact inside applyInPandas. No SQL oracle (scipy) —
+    rows-only check; the contingency inputs are oracle-checked above."""
+    from .queries import literature_pvalues
+
+    m = entry_mentions(spark, sf_dir).select(
+        F.col("curie").alias("mesh_id"), F.col("doc_id").alias("pmid")
+    )
+    types = spark.createDataFrame(
+        [{"mesh_id": c, "node_type": ty} for c, _t, ty in ENTRY_GAZ]
+    )
+    return literature_pvalues(m, types, LIT_QUERY_TERMS, exclude=set(), limit=20)
+
+
+def q_kg_autocomplete(spark, sf_dir):
+    """O5: capped case-insensitive prefix search (kg/nodes_trie.py:23-39)
+    over part names."""
+    part = _tbl(spark, sf_dir, "part")
+    return (
+        part.filter(F.lower("p_name").startswith("s"))
+        .select("p_partkey", "p_name")
+        .orderBy(F.lower("p_name"), "p_partkey")
+        .limit(100)
+    )
+
+
+SQL_KG_AUTOCOMPLETE = """
+    SELECT p_partkey, p_name FROM part
+    WHERE lower(p_name) LIKE 's%'
+    ORDER BY lower(p_name), p_partkey LIMIT 100
+"""
+
+
+# ---- relational operator coverage (TPC-H-ish) --------------------------------
+
+def q_agg_pricing_summary(spark, sf_dir):
+    """A1/A7-class partial+final hash agg; exact integer-cents money math."""
+    l = _tbl(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            (F.sum(cents) / 100.0).alias("sum_base_price"),
+            (F.sum(cents * (100 - disc)) / 10000.0).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_AGG_PRICING = """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+           sum(round(l_extendedprice * 100)::BIGINT) / 100.0 AS sum_base_price,
+           sum(round(l_extendedprice * 100)::BIGINT
+               * (100 - round(l_discount * 100)::BIGINT)) / 10000.0
+             AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem GROUP BY 1, 2
+"""
+
+
+def q_join_star_topk(spark, sf_dir):
+    """J1-class broadcast-dim star join + top-k revenue by brand."""
+    l = _tbl(spark, sf_dir, "lineitem")
+    p = _tbl(spark, sf_dir, "part")
+    s = _tbl(spark, sf_dir, "supplier")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .groupBy("p_brand")
+        .agg(
+            (F.sum(cents * (100 - disc)) / 10000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("p_brand"))
+        .limit(10)
+    )
+
+
+SQL_JOIN_STAR_TOPK = """
+    SELECT p_brand,
+           sum(round(l_extendedprice * 100)::BIGINT
+               * (100 - round(l_discount * 100)::BIGINT)) / 10000.0 AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY 1 ORDER BY revenue DESC, p_brand ASC LIMIT 10
+"""
+
+
+def q_anti_join_customers(spark, sf_dir):
+    """U2/A10-class set difference as left_anti join."""
+    c = _tbl(spark, sf_dir, "customer")
+    o = _tbl(spark, sf_dir, "orders")
+    return c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+SQL_ANTI_JOIN = """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_semi_join_parts(spark, sf_dir):
+    """P5/J6-class semi join: parts with any 2000+ shipment."""
+    p = _tbl(spark, sf_dir, "part")
+    l = _tbl(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= "2000-01-01"
+    )
+    return p.join(
+        l, p["p_partkey"] == l["l_partkey"], "left_semi"
+    ).select("p_partkey", "p_name")
+
+
+SQL_SEMI_JOIN = """
+    SELECT p_partkey, p_name FROM part
+    WHERE p_partkey IN (
+        SELECT l_partkey FROM lineitem WHERE l_shipdate >= '2000-01-01')
+"""
+
+
+def q_union_distinct_users(spark, sf_dir):
+    """U1: UNION-distinct of two filtered sets."""
+    e = _tbl(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "error").select("user_id")
+    b = e.filter(F.col("event_type") == "signup").select("user_id")
+    return a.union(b).dropDuplicates()
+
+
+SQL_UNION_DISTINCT = """
+    SELECT user_id FROM events WHERE event_type = 'error'
+    UNION
+    SELECT user_id FROM events WHERE event_type = 'signup'
+"""
+
+
+def q_window_first_event(spark, sf_dir):
+    """N2-class priority resolution: row_number over (user) ordered by
+    (ts, event_id), keep first."""
+    e = _tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        e.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+SQL_WINDOW_FIRST = """
+    SELECT user_id, event_id, event_type FROM (
+        SELECT user_id, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC) AS rn
+        FROM events) WHERE rn = 1
+"""
+
+
+def q_year_month_map(spark, sf_dir):
+    """A11/P9: pivot per-user month counts into a sorted JSON map string
+    (years_data semantics, kg/build.py:288-297)."""
+    e = _tbl(spark, sf_dir, "events")
+    per = e.groupBy(
+        "user_id", F.date_format("ts", "yyyy-MM").alias("month")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return per.groupBy("user_id").agg(
+        F.concat(
+            F.lit("{"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("month", "c"))),
+                    lambda x: F.concat(
+                        F.lit('"'), x["month"], F.lit('":'),
+                        x["c"].cast("string"),
+                    ),
+                ),
+                ",",
+            ),
+            F.lit("}"),
+        ).alias("years_data")
+    )
+
+
+SQL_YEAR_MONTH_MAP = """
+    WITH per AS (
+        SELECT user_id, strftime(ts, '%Y-%m') AS month, count(*) AS c
+        FROM events GROUP BY 1, 2)
+    SELECT user_id,
+           '{' || string_agg('"' || month || '":' || c, ',' ORDER BY month) || '}'
+             AS years_data
+    FROM per GROUP BY user_id
+"""
+
+
+def q_stats_token_counts(spark, sf_dir):
+    """A7/K4: corpus token frequency (count-ordered stats artifact)."""
+    return textstats.token_stats(_docs(spark, sf_dir)).select("token", "count")
+
+
+SQL_STATS_TOKENS = """
+    SELECT t AS token, count(*) AS count
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)
+    WHERE t <> '' GROUP BY t
+"""
+
+
+def q_json_extract_props(spark, sf_dir):
+    """P12/S4: nested-JSON field extraction with explicit schema."""
+    e = _tbl(spark, sf_dir, "events")
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+
+
+SQL_JSON_EXTRACT = """
+    SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k FROM events
+"""
+
+
+# ---- dedup / similarity / text analysis --------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_docs(spark, sf_dir)).select(
+        "doc_id", "canonical_id", "group_size"
+    )
+
+
+SQL_DEDUP_EXACT = """
+    WITH g AS (SELECT doc_id, md5(text) AS h FROM documents),
+    rep AS (SELECT h, min(doc_id) AS canonical_id, count(*) AS group_size
+            FROM g GROUP BY h)
+    SELECT g.doc_id, rep.canonical_id, rep.group_size FROM g JOIN rep USING (h)
+"""
+
+
+def q_dedup_minhash_sigs(spark, sf_dir):
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 40)
+    return dedup.minhash_signatures(d, num_hashes=8).select(
+        "doc_id", "hash_idx", "minhash"
+    )
+
+
+SQL_DEDUP_MINHASH = """
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        WHERE doc_id < 40),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toks, unnest(range(1, len(t) - 1)) u(i)),
+    hv AS (
+        SELECT doc_id, i AS hash_idx,
+               ('0x' || substr(md5(i || ':' || shingle), 1, 12))::BIGINT AS v
+        FROM sh, unnest(range(0, 8)) h(i))
+    SELECT doc_id, hash_idx, min(v) AS minhash
+    FROM hv GROUP BY 1, 2
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 40)
+    return dedup.simhash(d, bits=16).select("doc_id", "simhash")
+
+
+def _sql_simhash(bits: int = 16) -> str:
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+        WITH t AS (
+            SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents WHERE doc_id < 40),
+        h AS (SELECT doc_id,
+                     ('0x' || substr(md5(tok), 1, 12))::BIGINT AS h
+              FROM t WHERE tok <> ''),
+        s AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
+        SELECT doc_id, ({fp})::BIGINT AS simhash FROM s
+    """
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 40)
+    return (
+        dedup.jaccard_pairs(d)
+        .filter(F.col("jaccard") > 0.05)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard_r"))
+    )
+
+
+SQL_NGRAM_JACCARD = """
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        WHERE doc_id < 40),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toks, unnest(range(1, len(t) - 1)) u(i)),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS ni
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT i.a, i.b,
+           round(ni / (sa.n + sb.n - ni)::DOUBLE, 6) AS jaccard_r
+    FROM inter i JOIN sz sa ON i.a = sa.doc_id JOIN sz sb ON i.b = sb.doc_id
+    WHERE ni / (sa.n + sb.n - ni)::DOUBLE > 0.05
+"""
+
+
+def q_similarity_cosine_topk(spark, sf_dir):
+    emb = _tbl(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.cosine_topk(emb, queries, k=10)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine_r"), "rank"
+    )
+
+
+SQL_COSINE_TOPK = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_dot_product(e.v, q.qv)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+        FROM e CROSS JOIN q),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored)
+    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r, rank::INT AS rank
+    FROM ranked WHERE rank <= 10
+"""
+
+
+def q_similarity_neardup(spark, sf_dir):
+    """Brute-force cosine near-dup pairs (threshold tuned to the synthetic
+    embedding distribution; the LSH-bucketed variant is ann_topk below)."""
+    emb = _tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    from .similarity import _dot, _norm
+
+    a = emb.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            (_dot(F.col("va"), F.col("vb"))
+             / (_norm(F.col("va")) * _norm(F.col("vb")))).alias("c"),
+        )
+        .filter(F.col("c") >= 0.35)
+        .select("a", "b", F.round("c", 6).alias("cosine_r"))
+    )
+
+
+SQL_SIM_NEARDUP = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_r
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+"""
+
+
+def q_similarity_ann_topk(spark, sf_dir):
+    """LSH-bucketed ANN (rows-only check: the bucketing is the scale path;
+    exactness is covered by cosine_topk + pytest recall tests)."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ann_topk(emb, queries, dim=64, k=5, n_planes=4)
+
+
+def q_text_lang_id(spark, sf_dir):
+    return textstats.lang_id(_docs(spark, sf_dir)).select(
+        "doc_id", "lang_pred", "lang_votes"
+    )
+
+
+def _sql_lang_id() -> str:
+    vals = ", ".join(
+        f"('{t}', '{lang}')"
+        for lang, toks in sorted(textstats.LANG_STOPWORDS.items())
+        for t in toks
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents),
+        votes AS (
+            SELECT doc_id, g.lang_cand, count(*) AS votes
+            FROM toks JOIN (VALUES {vals}) g(tok, lang_cand) USING (tok)
+            GROUP BY 1, 2),
+        best AS (
+            SELECT doc_id, lang_cand, votes,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY votes DESC, lang_cand ASC) AS rn
+            FROM votes)
+        SELECT d.doc_id,
+               coalesce(b.lang_cand, 'und') AS lang_pred,
+               coalesce(b.votes, 0) AS lang_votes
+        FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+          ON d.doc_id = b.doc_id
+    """
+
+
+def q_text_token_counts(spark, sf_dir):
+    return textstats.token_counts(_docs(spark, sf_dir)).select(
+        "doc_id", "ws_tokens", "bpe_tokens"
+    )
+
+
+SQL_TEXT_TOKEN_COUNTS = f"""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), x -> x <> ''))::INT
+             AS ws_tokens,
+           len(regexp_extract_all(text, '{textstats.BPE_ISH_PATTERN}'))::INT
+             AS bpe_tokens
+    FROM documents
+"""
+
+
+def q_text_fingerprints(spark, sf_dir):
+    return textstats.fingerprints(_docs(spark, sf_dir)).select(
+        "doc_id", "fingerprint", "fingerprint60"
+    )
+
+
+SQL_TEXT_FINGERPRINTS = """
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           ('0x' || substr(
+               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')),
+               1, 15))::BIGINT AS fingerprint60
+    FROM documents
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    out = textstats.quality_scores(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_chars", "n_tokens",
+        F.round("punct_ratio", 6).alias("punct_ratio_r"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio_r"),
+        F.round("mean_word_len", 6).alias("mean_word_len_r"),
+        "quality_score",
+    )
+
+
+def _sql_text_quality() -> str:
+    sw = ", ".join(f"'{s}'" for s in textstats.LANG_STOPWORDS["en"])
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   list_filter(string_split(lower(text), ' '), x -> x <> '')
+                     AS toks,
+                   length(text)
+                     - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                     AS n_punct
+            FROM documents),
+        feat AS (
+            SELECT doc_id,
+                   n_chars::INT AS n_chars,
+                   len(toks)::INT AS n_tokens,
+                   n_punct / greatest(n_chars, 1)::DOUBLE AS punct_ratio,
+                   len(list_filter(toks, x -> list_contains([{sw}], x)))
+                     / greatest(len(toks), 1)::DOUBLE AS stopword_ratio,
+                   (n_chars - n_punct) / greatest(len(toks), 1)::DOUBLE
+                     AS mean_word_len
+            FROM base)
+        SELECT doc_id, n_chars, n_tokens,
+               round(punct_ratio, 6) AS punct_ratio_r,
+               round(stopword_ratio, 6) AS stopword_ratio_r,
+               round(mean_word_len, 6) AS mean_word_len_r,
+               round((CASE WHEN n_tokens BETWEEN 10 AND 100000
+                           THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END)
+                     + (CASE WHEN punct_ratio <= 0.2
+                             THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END)
+                     + (CASE WHEN mean_word_len BETWEEN 3.0 AND 12.0
+                             THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END),
+                     2)::DOUBLE AS quality_score
+        FROM feat
+    """
+
+
+# ---- registry ----------------------------------------------------------------
+
+def all_queries():
+    return {
+        "kg_extract_text": q_kg_extract_text,
+        "kg_ner_mentions": q_kg_ner_mentions,
+        "kg_terms_per_doc": q_kg_terms_per_doc,
+        "kg_mention_pairs": q_kg_mention_pairs,
+        "kg_interesting_pairs": q_kg_interesting_pairs,
+        "kg_isa_closure": q_kg_isa_closure,
+        "kg_query_graph": q_kg_query_graph,
+        "kg_top_alerts": q_kg_top_alerts,
+        "kg_first_timestamp_lookup": q_kg_first_timestamp_lookup,
+        "kg_cooccur_scores": q_kg_cooccur_scores,
+        "kg_realism_logsumexp": q_kg_realism_logsumexp,
+        "kg_literature_candidates": q_kg_literature_candidates,
+        "kg_literature_contingency": q_kg_literature_contingency,
+        "kg_literature_pvalues": q_kg_literature_pvalues,
+        "kg_autocomplete": q_kg_autocomplete,
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "join_star_topk": q_join_star_topk,
+        "anti_join_customers": q_anti_join_customers,
+        "semi_join_parts": q_semi_join_parts,
+        "union_distinct_users": q_union_distinct_users,
+        "window_first_event": q_window_first_event,
+        "year_month_map": q_year_month_map,
+        "stats_token_counts": q_stats_token_counts,
+        "json_extract_props": q_json_extract_props,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_sigs": q_dedup_minhash_sigs,
+        "dedup_simhash": q_dedup_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "similarity_cosine_topk": q_similarity_cosine_topk,
+        "similarity_neardup": q_similarity_neardup,
+        "similarity_ann_topk": q_similarity_ann_topk,
+        "text_lang_id": q_text_lang_id,
+        "text_token_counts": q_text_token_counts,
+        "text_fingerprints": q_text_fingerprints,
+        "text_quality": q_text_quality,
+    }
+
+
+def all_oracle_sql():
+    return {
+        "kg_extract_text": SQL_KG_EXTRACT_TEXT,
+        "kg_ner_mentions": _SQL_MENTIONS,
+        "kg_terms_per_doc": f"""
+            WITH m AS ({_SQL_MENTIONS})
+            SELECT doc_id, count(DISTINCT curie) AS n_terms FROM m GROUP BY 1
+        """,
+        "kg_mention_pairs": SQL_KG_MENTION_PAIRS,
+        "kg_interesting_pairs": SQL_KG_INTERESTING_PAIRS,
+        "kg_isa_closure": SQL_KG_ISA_CLOSURE,
+        "kg_query_graph": SQL_KG_QUERY_GRAPH,
+        "kg_top_alerts": SQL_KG_TOP_ALERTS,
+        "kg_first_timestamp_lookup": SQL_KG_FIRST_TIMESTAMP,
+        "kg_cooccur_scores": SQL_KG_COOCCUR_SCORES,
+        "kg_realism_logsumexp": SQL_KG_REALISM_LSE,
+        "kg_literature_candidates": SQL_KG_LIT_CANDIDATES,
+        "kg_literature_contingency": SQL_KG_LIT_CONTINGENCY,
+        # kg_literature_pvalues: no oracle (scipy Fisher inside applyInPandas)
+        "kg_autocomplete": SQL_KG_AUTOCOMPLETE,
+        "agg_pricing_summary": SQL_AGG_PRICING,
+        "join_star_topk": SQL_JOIN_STAR_TOPK,
+        "anti_join_customers": SQL_ANTI_JOIN,
+        "semi_join_parts": SQL_SEMI_JOIN,
+        "union_distinct_users": SQL_UNION_DISTINCT,
+        "window_first_event": SQL_WINDOW_FIRST,
+        "year_month_map": SQL_YEAR_MONTH_MAP,
+        "stats_token_counts": SQL_STATS_TOKENS,
+        "json_extract_props": SQL_JSON_EXTRACT,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_minhash_sigs": SQL_DEDUP_MINHASH,
+        "dedup_simhash": _sql_simhash(16),
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "similarity_cosine_topk": SQL_COSINE_TOPK,
+        "similarity_neardup": SQL_SIM_NEARDUP,
+        # similarity_ann_topk: no oracle (probabilistic bucketing; recall
+        # asserted in pytest vs brute force)
+        "text_lang_id": _sql_lang_id(),
+        "text_token_counts": SQL_TEXT_TOKEN_COUNTS,
+        "text_fingerprints": SQL_TEXT_FINGERPRINTS,
+        "text_quality": _sql_text_quality(),
+    }

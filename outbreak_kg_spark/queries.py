@@ -32,6 +32,38 @@ REALISM_HIGH = -4.5   # kg/client.py:275-276
 REALISM_MEDIUM = -7.0
 
 
+def fisher_exact_greater(a: int, b: int, c: int, d: int) -> float:
+    """One-sided Fisher exact test p-value, alternative='greater', for the
+    2x2 table [[a, b], [c, d]] — the reference uses scipy.stats.fisher_exact
+    (kg/mesh_csr.py:140); this is the same hypergeometric tail sum
+    P(X >= a), X ~ Hypergeom(M=a+b+c+d, K=a+b, N=a+c), computed with
+    log-gamma so the engine has no scipy dependency (scipy is used instead
+    when importable — it matches to ~1e-12)."""
+    try:
+        from scipy.stats import fisher_exact  # pragma: no cover
+
+        return float(fisher_exact([[a, b], [c, d]], alternative="greater")[1])
+    except ImportError:
+        pass
+    from math import exp, lgamma
+
+    def lchoose(n, k):
+        if k < 0 or k > n:
+            return float("-inf")
+        return lgamma(n + 1) - lgamma(k + 1) - lgamma(n - k + 1)
+
+    m = a + b + c + d
+    row1 = a + b
+    col1 = a + c
+    denom = lchoose(m, col1)
+    p = 0.0
+    for k in range(a, min(row1, col1) + 1):
+        lp = lchoose(row1, k) + lchoose(m - row1, col1 - k) - denom
+        if lp > float("-inf"):
+            p += exp(lp)
+    return min(p, 1.0)
+
+
 def _typed_mention_constraint(
     mentions: DataFrame,
     nodes: DataFrame,
@@ -329,16 +361,15 @@ def literature_pvalues(
     )
 
     def fisher_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-        from scipy.stats import fisher_exact
-
-        pvals = []
-        for _, r in pdf.iterrows():
-            table = [
-                [r.n_overlap, n_query - r.n_overlap],
-                [r.n_target - r.n_overlap,
-                 total_terms - (n_query + r.n_target - r.n_overlap)],
-            ]
-            pvals.append(float(fisher_exact(table, alternative="greater")[1]))
+        pvals = [
+            fisher_exact_greater(
+                int(r.n_overlap),
+                n_query - int(r.n_overlap),
+                int(r.n_target) - int(r.n_overlap),
+                total_terms - (n_query + int(r.n_target) - int(r.n_overlap)),
+            )
+            for r in pdf.itertuples()
+        ]
         out = pdf.copy()
         out["pval"] = pvals
         return out
@@ -347,12 +378,11 @@ def literature_pvalues(
         "pmid string, n_target long, n_overlap long, overlap array<string>, "
         "overlap_coverage long, overlap_coverage_relevant long, pval double"
     )
-    with_p = per_pmid.withColumn(
-        "pmid", F.col("pmid").cast("string")
-    ).groupBy(
-        F.spark_partition_id().alias("_g")
-    ).applyInPandas(
-        lambda pdf: fisher_batch(pdf.drop(columns=["_g"])), schema
+    with_p = (
+        per_pmid.withColumn("pmid", F.col("pmid").cast("string"))
+        .withColumn("_g", F.spark_partition_id())
+        .groupBy("_g")
+        .applyInPandas(lambda pdf: fisher_batch(pdf.drop(columns=["_g"])), schema)
     )
     return (
         with_p.orderBy(
