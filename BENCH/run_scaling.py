@@ -1,0 +1,81 @@
+"""Two-parallelism-level scaling evidence (north rule: throughput scaling
+efficiency >= 0.8 from N to 4N executors; sandbox stand-in per the driver
+instruction: the same job + same input at local[8] and local[32]).
+
+Each level runs in a fresh JVM (subprocess) so nothing is shared. Writes
+BENCH/BASELINE.md and BENCH/scaling.json.
+
+Usage: python BENCH/run_scaling.py [--repl R] [--sf-dir DIR]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+
+def run_level(cpus: int, repl: int, sf_dir: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"),
+         "--cpus", str(cpus), "--repl", str(repl), "--e2e-only"],
+        capture_output=True, text=True, env=env, cwd=REPO, check=True,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    args = sys.argv[1:]
+
+    def _arg(name, default):
+        return args[args.index(name) + 1] if name in args else default
+
+    repl = int(_arg("--repl", "40"))
+    sf_dir = _arg("--sf-dir", os.environ.get("SPARK_GRAFT_SF_DIR",
+                                             "/root/testdata/sf0.1"))
+    lo, hi = 8, 32
+    r_lo = run_level(lo, repl, sf_dir)
+    r_hi = run_level(hi, repl, sf_dir)
+    eff = (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (hi / lo)
+    result = {
+        "sf_dir": sf_dir,
+        "n_docs": r_hi["n_docs"],
+        "levels": {str(lo): r_lo, str(hi): r_hi},
+        "docs_per_sec": {str(lo): r_lo["docs_per_sec"],
+                         str(hi): r_hi["docs_per_sec"]},
+        "scaling_efficiency_8_to_32": round(eff, 3),
+    }
+    with open(os.path.join(HERE, "scaling.json"), "w") as fh:
+        json.dump(result, fh, indent=1)
+
+    md = f"""# BENCH baseline — scaling evidence
+
+Job: full pages->triples pipeline (page-ify -> byte-exact extraction UDF ->
+broadcast-trie NER -> distinct terms -> salted co-occurrence counts, both
+sinks fully materialized), identical input at two parallelism levels in
+fresh JVMs — the sandbox stand-in for N vs 4N executors (no real cluster
+available; see BASELINE.md target row).
+
+| level | cores | docs | wall (s) | docs/sec |
+|---|---|---|---|---|
+| N | {lo} | {r_lo['n_docs']} | {r_lo['value']} | {r_lo['docs_per_sec']} |
+| 4N | {hi} | {r_hi['n_docs']} | {r_hi['value']} | {r_hi['docs_per_sec']} |
+
+**Scaling efficiency (N -> 4N): {eff:.3f}** (target >= 0.8)
+
+Reproduce: `python BENCH/run_scaling.py --repl {repl}`
+(input: {sf_dir}, documents replicated x{repl} with distinct doc ids).
+"""
+    with open(os.path.join(HERE, "BASELINE.md"), "w") as fh:
+        fh.write(md)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,172 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": <e2e wall sec>, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ..., "n_docs": ...}
+
+The e2e metric is the BASELINE.json north-rule throughput: pages -> extract
+(byte-exact UDF) -> gazetteer NER -> mention edges + co-occurrence counts,
+timed to full materialization (noop sink). The documents table is replicated
+with distinct doc ids (REPL x) so the run measures steady-state throughput,
+not startup.
+
+Usage: python bench.py [--cpus N] [--repl R] [--e2e-only]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+HEADLINE = [
+    "kg_extract_text",
+    "kg_ner_mentions",
+    "kg_mention_pairs",
+    "kg_query_graph",
+    "kg_isa_closure",
+    "kg_realism_logsumexp",
+    "agg_pricing_summary",
+    "join_star_topk",
+    "window_first_event",
+    "dedup_minhash_sigs",
+    "similarity_cosine_topk",
+    "text_quality",
+]
+
+
+def _force(df):
+    df.write.mode("overwrite").format("noop").save()
+
+
+def replicated_pages(spark, sf_dir: str, repl: int):
+    """Page-ified documents table replicated repl x with distinct doc ids."""
+    from outbreak_kg_spark.entry_queries import _docs
+
+    d = _docs(spark, sf_dir)
+    n = d.count()
+    reps = spark.range(repl).select(F.col("id").alias("rep"))
+    big = d.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("rep") * n).alias("doc_id"), "text", "lang"
+    )
+    pages = big.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.concat(
+            F.lit("Published Date: 2024-03-01 12:00:00 EDT\nSubject: PRO> doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("\nArchive Number: "),
+            F.format_string("%08d", (F.pmod(F.col("doc_id"), F.lit(90000000))
+                                     + F.lit(10000000)).cast("int")),
+            F.lit("."),
+            F.col("doc_id").cast("string"),
+            F.lit("\n\nreport "),
+            F.col("doc_id").cast("string"),
+            F.lit("\n-----------------------------------------\n"),
+            F.col("text"),
+            F.lit("\n--"),
+        ).alias("text"),
+        "lang",
+    )
+    return pages, n * repl
+
+
+def e2e_pages_to_triples(spark, sf_dir: str, repl: int) -> tuple[float, int]:
+    """Full pipeline wall time: extract -> NER -> mentions + salted
+    co-occurrence counts, fully materialized."""
+    from outbreak_kg_spark import extract, ground
+    from outbreak_kg_spark.entry_queries import entry_gazetteer_df
+    from outbreak_kg_spark.skew import salted_count
+
+    pages, n_docs = replicated_pages(spark, sf_dir, repl)
+    # The local replicated input inherits the single-file parquet split; a
+    # real 100TB scan arrives in thousands of splits. Spread it so the
+    # extraction/NER UDFs use every core (bench-only reshape).
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pages = pages.repartition(nparts)
+    udf = ground.make_annotate_udf(spark, entry_gazetteer_df(spark))
+    t0 = time.monotonic()
+    ex = extract.extract_pages(pages).filter("valid")
+    sections = extract.explode_section_texts(
+        ex.select(F.col("url").alias("archive_number"), "sections")
+    )
+    mentions = ground.annotate_sections(sections, udf)
+    terms = mentions.select(
+        "doc_id", F.concat_ws(":", "ns", "id").alias("curie"), "entry_name"
+    ).dropDuplicates(["doc_id", "curie"])
+    a = terms.select("doc_id", F.col("curie").alias("a_curie"),
+                     F.col("entry_name").alias("an"))
+    b = terms.select("doc_id", F.col("curie").alias("b_curie"),
+                     F.col("entry_name").alias("bn"))
+    pairs = a.join(b, "doc_id").filter(F.col("an") < F.col("bn"))
+    counted = salted_count(pairs, ["a_curie", "b_curie"], salt=32,
+                           count_col="n_docs")
+    # terms is the stage boundary both sinks consume — persist it so the
+    # co-occurrence job doesn't recompute extraction+NER (in the real
+    # pipeline this is the checkpointed parquet stage, lineage.run_stage)
+    terms.persist()
+    _force(terms)
+    _force(counted)
+    wall = time.monotonic() - t0
+    terms.unpersist()
+    return wall, n_docs
+
+
+def main() -> None:
+    args = sys.argv[1:]
+
+    def _arg(name, default):
+        return (
+            args[args.index(name) + 1] if name in args else default
+        )
+
+    cpus = int(_arg("--cpus", os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    repl = int(_arg("--repl", os.environ.get("SPARK_GRAFT_BENCH_REPL", "40")))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    e2e_only = "--e2e-only" in args
+
+    os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+    from outbreak_kg_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=max(2 * cpus, 32))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qtimes: dict[str, float] = {}
+    if not e2e_only:
+        from outbreak_kg_spark.entry_queries import all_queries
+
+        qs = all_queries()
+        for name in HEADLINE:
+            t0 = time.monotonic()
+            _force(qs[name](spark, sf_dir))
+            qtimes[name] = round(time.monotonic() - t0, 3)
+
+    # warm-up (JVM/codegen/python workers), then the measured e2e run
+    e2e_pages_to_triples(spark, sf_dir, repl=max(1, repl // 10))
+    wall, n_docs = e2e_pages_to_triples(spark, sf_dir, repl=repl)
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "e2e_pages_to_triples_wall",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": float(sf) if sf else None,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / wall, 1),
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -336,8 +336,13 @@ def build_indicators(
             .withColumn("_country", F.coalesce("_lm_dst", F.col(cname)))
             .join(geo, F.col("_country") == F.col("_geo_name"), "inner")
         )
+        # group per ORIGINAL input row (kg/build.py:283-308 emits one edge
+        # per source row): two source spellings mapping to the same MeSH
+        # geoloc stay two edges with their own years_data, like the
+        # reference's per-row dict build — merging them would also collide
+        # year keys in one map.
         long = mapped.unpivot(
-            ["_geo_curie", "_country", ccode, cser],
+            ["_geo_curie", F.col(cname).alias("_orig_country"), ccode, cser],
             year_cols, "year_col", "val",
         )
         parsed = (
@@ -345,13 +350,16 @@ def build_indicators(
             .filter(F.col("_v").isNotNull())
             .select(
                 "_geo_curie",
+                "_orig_country",
                 F.col(ccode).alias("series_code"),
                 F.col(cser).alias("series_name"),
                 F.substring("year_col", 1, 4).alias("year"),
                 F.round("_v", 3).alias("value"),
             )
         )
-        agg = parsed.groupBy("_geo_curie", "series_code", "series_name").agg(
+        agg = parsed.groupBy(
+            "_geo_curie", "_orig_country", "series_code", "series_name"
+        ).agg(
             F.map_from_arrays(
                 F.array_sort(F.collect_list(F.struct("year", "value"))).getField("year"),
                 F.array_sort(F.collect_list(F.struct("year", "value"))).getField("value"),
@@ -365,14 +373,22 @@ def build_indicators(
                 entity=False,
             )
         ).dropDuplicates(["curie"])
-        edges = agg.select(
-            F.col("_geo_curie").alias("subj"),
-            F.lit("has_indicator").alias("pred"),
-            F.concat(F.lit("wdi:"), "series_code").alias("obj"),
-            F.lit(None).cast("long").alias("count"),
-            F.col("years_data"),
-            F.lit(f"indicator_{tag}").alias("provenance"),
-        ).dropDuplicates(["subj", "pred", "obj"])
+        edges = (
+            agg.select(
+                F.col("_geo_curie").alias("subj"),
+                F.lit("has_indicator").alias("pred"),
+                F.concat(F.lit("wdi:"), "series_code").alias("obj"),
+                F.lit(None).cast("long").alias("count"),
+                F.col("years_data"),
+                F.lit(f"indicator_{tag}").alias("provenance"),
+            )
+            # set-dedup on the full payload like the reference's tuple set
+            # (kg/build.py:301-308): parallel edges with distinct years_data
+            # survive (maps aren't directly comparable -> compare as JSON)
+            .withColumn("_yj", F.to_json("years_data"))
+            .dropDuplicates(["subj", "pred", "obj", "_yj"])
+            .drop("_yj")
+        )
         return nodes, edges
 
     health_only = health.join(

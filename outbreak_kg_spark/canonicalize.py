@@ -1,0 +1,185 @@
+"""Entity canonicalization at scale (north rule; SURVEY.md §4.3.2-3).
+
+The reference canonicalizes geonames against MeSH by re-grounding every name
+through gilda one at a time (kg/build.py:384-407) — O(all names) driver-side
+work. The scale-out design here:
+
+1. block candidate duplicate entities by MinHash-LSH over name character
+   shingles (only names sharing a band bucket are ever compared);
+2. verify candidates with exact name-shingle Jaccard;
+3. cluster accepted pairs with connected components (iterative self-join);
+4. elect a canonical curie per cluster (namespace priority, then lexicographic)
+   and rewrite node/edge tables through the assignment map.
+
+Every step is DataFrame-native; the only shuffles are keyed on (band,
+bucket) — uniform by hashing — and the CC rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .closure import connected_components
+from .dedup import _md5_48
+
+
+def name_shingles(nodes: DataFrame, name_col: str = "name",
+                  id_col: str = "curie", n: int = 3) -> DataFrame:
+    """Distinct character n-gram shingles of the normalized name."""
+    norm = F.regexp_replace(F.lower(F.col(name_col)), r"[^a-z0-9]+", " ")
+    padded = F.concat(F.lit(" "), F.trim(norm), F.lit(" "))
+    idx = F.sequence(F.lit(0), F.length(padded) - n)
+    return (
+        nodes.select(id_col, F.explode(idx).alias("i"), padded.alias("_p"))
+        .select(id_col, F.substring_index(F.lit(""), "", 0).alias("_drop"),
+                F.expr(f"substring(_p, i + 1, {n})").alias("shingle"))
+        .select(id_col, "shingle")
+        .dropDuplicates()
+    )
+
+
+def lsh_blocks(sh: DataFrame, id_col: str = "curie", num_hashes: int = 12,
+               bands: int = 6) -> DataFrame:
+    """MinHash the shingle sets, band the signature, emit (band, bucket,
+    id). Same md5-based family as dedup.minhash_signatures."""
+    spark = sh.sparkSession
+    params = spark.createDataFrame([{"hash_idx": i} for i in range(num_hashes)])
+    sigs = (
+        sh.crossJoin(F.broadcast(params))
+        .select(
+            id_col, "hash_idx",
+            _md5_48(F.concat_ws(":", F.col("hash_idx").cast("string"),
+                                "shingle")).alias("hv"),
+        )
+        .groupBy(id_col, "hash_idx")
+        .agg(F.min("hv").alias("minhash"))
+    )
+    banded = sigs.withColumn("band", F.col("hash_idx") % bands)
+    return banded.groupBy(id_col, "band").agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.sort_array(F.collect_list(F.struct("hash_idx", "minhash")))
+                .cast("array<string>"),
+            )
+        ).alias("bucket")
+    )
+
+
+def candidate_pairs(blocks: DataFrame, id_col: str = "curie") -> DataFrame:
+    l = blocks.select(F.col(id_col).alias("a"), "band", "bucket")
+    r = blocks.select(F.col(id_col).alias("b"), "band", "bucket")
+    return (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates()
+    )
+
+
+def verified_pairs(sh: DataFrame, cand: DataFrame, id_col: str = "curie",
+                   threshold: float = 0.7) -> DataFrame:
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    la = sh.select(F.col(id_col).alias("a"), "shingle")
+    lb = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        la.join(lb, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+        .join(cand, ["a", "b"], "inner")
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "a")
+                   .withColumnRenamed("sz", "sa"), "a")
+        .join(sizes.withColumnRenamed(id_col, "b")
+              .withColumnRenamed("sz", "sb"), "b")
+        .withColumn("jaccard",
+                    F.col("ni") / (F.col("sa") + F.col("sb") - F.col("ni")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b")
+    )
+
+
+def canonical_assignments(nodes: DataFrame, ns_priority: tuple = ("MESH",),
+                          threshold: float = 0.7,
+                          num_hashes: int = 12, bands: int = 6) -> DataFrame:
+    """nodes(curie, name, node_type) -> (curie, canonical_curie).
+
+    Pairs must share node_type (a disease never merges with a geoloc);
+    canonical member = highest-priority namespace, then lexicographically
+    smallest curie — deterministic."""
+    keyed = nodes.select(
+        F.concat_ws("\x00", "node_type", "curie").alias("k"), "name"
+    )
+    sh = name_shingles(keyed, "name", "k")
+    cand = candidate_pairs(lsh_blocks(sh, "k", num_hashes, bands), "k")
+    # same-type guard: the type is the prefix of the key
+    cand = cand.filter(
+        F.substring_index("a", "\x00", 1) == F.substring_index("b", "\x00", 1)
+    )
+    pairs = verified_pairs(sh, cand, "k", threshold)
+    comp = connected_components(pairs, "a", "b")
+    members = comp.select(
+        F.substring_index("node", "\x00", -1).alias("curie"),
+        "component",
+    )
+    prio = F.when(
+        F.substring_index("curie", ":", 1).isin(list(ns_priority)), 0
+    ).otherwise(1)
+    ranked = members.withColumn("_p", prio)
+    canon = ranked.groupBy("component").agg(
+        F.min(F.struct("_p", "curie")).alias("_best")
+    ).select("component", F.col("_best.curie").alias("canonical_curie"))
+    assigned = members.join(canon, "component").select("curie", "canonical_curie")
+    return (
+        nodes.select("curie")
+        .dropDuplicates()
+        .join(assigned, "curie", "left")
+        .select(
+            "curie",
+            F.coalesce("canonical_curie", "curie").alias("canonical_curie"),
+        )
+    )
+
+
+def rewrite_graph(nodes: DataFrame, edges: DataFrame,
+                  assignments: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Apply a (curie -> canonical_curie) map to both tables: nodes keep one
+    row per canonical id (min name for determinism, label/type of the
+    canonical member); edges rewrite both endpoints and re-dedup."""
+    amap = F.broadcast(assignments)
+    n = (
+        nodes.join(amap, "curie")
+        .withColumn(
+            "_is_canon", (F.col("curie") == F.col("canonical_curie")).cast("int")
+        )
+        .groupBy("canonical_curie")
+        .agg(
+            F.max(F.struct("_is_canon", "name", "labels", "node_type",
+                           "timestamp")).alias("_r")
+        )
+        .select(
+            F.col("canonical_curie").alias("curie"),
+            F.col("_r.name").alias("name"),
+            F.col("_r.labels").alias("labels"),
+            F.col("_r.node_type").alias("node_type"),
+            F.col("_r.timestamp").alias("timestamp"),
+        )
+    )
+    e = (
+        edges.join(amap.withColumnRenamed("curie", "subj")
+                   .withColumnRenamed("canonical_curie", "_cs"), "subj", "left")
+        .join(amap.withColumnRenamed("curie", "obj")
+              .withColumnRenamed("canonical_curie", "_co"), "obj", "left")
+        .select(
+            F.coalesce("_cs", F.col("subj")).alias("subj"),
+            "pred",
+            F.coalesce("_co", F.col("obj")).alias("obj"),
+            *[c for c in edges.columns if c not in ("subj", "pred", "obj")],
+        )
+        .filter(F.col("subj") != F.col("obj"))
+        .dropDuplicates(["subj", "pred", "obj"])
+    )
+    return n, e

@@ -1,0 +1,63 @@
+"""Storage catalog abstraction (SURVEY.md §4.4).
+
+Production target is Iceberg (partitioned node/edge tables, snapshot-commit
+atomicity, partition pruning on `pred`); this sandbox has no Iceberg runtime
+jar, so the local backend is partitioned parquet + _SUCCESS markers with the
+same table schemas and the same call sites. Swapping backends changes no
+pipeline code — only the session config (catalog impl + warehouse) and this
+module's `use_iceberg` flag.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, root: str,
+                 use_iceberg: bool | None = None):
+        self.spark = spark
+        self.root = root
+        if use_iceberg is None:
+            use_iceberg = _iceberg_available(spark)
+        self.use_iceberg = use_iceberg
+
+    # table name -> physical identifier / path
+    def _ident(self, name: str) -> str:
+        return (f"kg.{name}" if self.use_iceberg
+                else os.path.join(self.root, name))
+
+    def write(self, name: str, df: DataFrame,
+              partition_by: list[str] | None = None) -> None:
+        if self.use_iceberg:
+            w = df.writeTo(self._ident(name)).using("iceberg")
+            if partition_by:
+                w = w.partitionedBy(*partition_by)
+            w.createOrReplace()
+        else:
+            w = df.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(self._ident(name))
+
+    def read(self, name: str) -> DataFrame:
+        if self.use_iceberg:
+            return self.spark.read.table(self._ident(name))
+        return self.spark.read.parquet(self._ident(name))
+
+    def exists(self, name: str) -> bool:
+        if self.use_iceberg:
+            return self.spark.catalog.tableExists(self._ident(name))
+        return os.path.exists(os.path.join(self._ident(name), "_SUCCESS"))
+
+
+def _iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False

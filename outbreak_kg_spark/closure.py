@@ -21,16 +21,22 @@ def transitive_closure(
     parent_col: str = "obj",
     max_iters: int = 50,
     include_self: bool = True,
+    method: str = "doubling",
 ) -> DataFrame:
-    """edges(child, parent) -> closure(node, ancestor, depth).
+    """edges(child, parent) -> closure(node, ancestor, depth=min hops).
 
-    Frontier BFS: each round joins the frontier's ancestors one more hop up,
-    anti-joins against what is already known (so convergence is by
-    reachability, not path count — safe on DAGs with diamond shapes), and
-    checkpoints to keep plans flat. depth = minimum hop count.
-    include_self adds (node, node, 0) rows so `isa*0..` semantics
-    (kg/client.py:140 — the anchor matches itself) are one join, and does it
-    for BOTH endpoints so anchors that never appear as children still match.
+    method='doubling' (default): min-plus path doubling —
+    acc_{k+1} = min(acc_k, acc_k (x) acc_k) — reaches diameter D in
+    ceil(log2 D) rounds instead of D, which matters because each Spark round
+    costs a full job (a 15-deep hierarchy is 4 rounds, not 15).
+    method='bfs': frontier expansion with an anti-join against known pairs —
+    fewer intermediate rows per round; better when the closure is huge but
+    shallow growth per round is cheap.
+
+    Both checkpoint per round (flat plans) and converge by reachability, so
+    diamond-shaped DAGs terminate. include_self adds (node, node, 0) rows so
+    `isa*0..` (kg/client.py:140 — the anchor matches itself) is one equi-join,
+    for BOTH endpoint sets.
     """
     base = (
         edges.select(
@@ -41,31 +47,60 @@ def transitive_closure(
         .dropDuplicates()
     )
     base = base.localCheckpoint(eager=True)
-    hop = base.select(
-        F.col("node").alias("mid"), F.col("ancestor").alias("hop_ancestor")
-    )
     acc = base.withColumn("depth", F.lit(1)).localCheckpoint(eager=True)
-    frontier = acc
-    for _ in range(max_iters):
-        # one more hop: frontier(node, mid) x base(mid, ancestor); explicit
-        # renames (not alias-joins) keep attribute resolution unambiguous
-        # across checkpoint boundaries.
-        nxt = (
-            frontier.withColumnRenamed("ancestor", "mid")
-            .join(hop, "mid")
-            .select(
-                "node",
-                F.col("hop_ancestor").alias("ancestor"),
-                (F.col("depth") + 1).alias("depth"),
+    if method == "doubling":
+        n_prev = acc.count()
+        for _ in range(max_iters):
+            stepped = (
+                acc.withColumnRenamed("ancestor", "mid")
+                .withColumnRenamed("depth", "d1")
+                .join(
+                    acc.select(
+                        F.col("node").alias("mid"),
+                        F.col("ancestor").alias("anc2"),
+                        F.col("depth").alias("d2"),
+                    ),
+                    "mid",
+                )
+                .select(
+                    "node",
+                    F.col("anc2").alias("ancestor"),
+                    (F.col("d1") + F.col("d2")).alias("depth"),
+                )
             )
-            .join(acc.select("node", "ancestor"), ["node", "ancestor"], "left_anti")
-            .dropDuplicates(["node", "ancestor"])
-            .localCheckpoint(eager=True)
+            acc = (
+                acc.union(stepped)
+                .groupBy("node", "ancestor")
+                .agg(F.min("depth").alias("depth"))
+                .localCheckpoint(eager=True)
+            )
+            n_now = acc.count()
+            if n_now == n_prev:
+                break
+            n_prev = n_now
+    else:
+        hop = base.select(
+            F.col("node").alias("mid"), F.col("ancestor").alias("hop_ancestor")
         )
-        if nxt.isEmpty():
-            break
-        acc = acc.union(nxt).localCheckpoint(eager=True)
-        frontier = nxt
+        frontier = acc
+        for _ in range(max_iters):
+            nxt = (
+                frontier.withColumnRenamed("ancestor", "mid")
+                .join(hop, "mid")
+                .select(
+                    "node",
+                    F.col("hop_ancestor").alias("ancestor"),
+                    (F.col("depth") + 1).alias("depth"),
+                )
+                .join(acc.select("node", "ancestor"),
+                      ["node", "ancestor"], "left_anti")
+                .dropDuplicates(["node", "ancestor"])
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            acc = acc.union(nxt).localCheckpoint(eager=True)
+            frontier = nxt
     if include_self:
         selfs = (
             base.select("node")

@@ -1,0 +1,61 @@
+"""Entity-canonicalization tests: MinHash-LSH blocking + CC + graph rewrite."""
+
+from outbreak_kg_spark.canonicalize import (
+    canonical_assignments,
+    rewrite_graph,
+)
+
+NODES = [
+    # near-identical geoloc names across namespaces -> one cluster, MESH wins
+    {"curie": "MESH:D0306", "name": "Bulgaria", "labels": ["geoloc", "entity"],
+     "node_type": "geoloc", "timestamp": None},
+    {"curie": "geonames:732800", "name": "Bulgaria", "labels": ["geoloc"],
+     "node_type": "geoloc", "timestamp": None},
+    {"curie": "geonames:732801", "name": "Bulgariya", "labels": ["geoloc"],
+     "node_type": "geoloc", "timestamp": None},
+    # same name, different type -> must NOT merge
+    {"curie": "MESH:D9999", "name": "Bulgaria", "labels": ["disease", "entity"],
+     "node_type": "disease", "timestamp": None},
+    # unrelated
+    {"curie": "MESH:D0103", "name": "Ebolavirus Disease",
+     "labels": ["disease", "entity"], "node_type": "disease", "timestamp": None},
+]
+EDGES = [
+    {"subj": "geonames:732800", "pred": "isa", "obj": "MESH:D0305",
+     "count": None, "years_data": None, "provenance": "t"},
+    {"subj": "promed:1", "pred": "mentions", "obj": "geonames:732801",
+     "count": None, "years_data": None, "provenance": "t"},
+    {"subj": "promed:1", "pred": "mentions", "obj": "MESH:D0306",
+     "count": None, "years_data": None, "provenance": "t"},
+]
+
+
+_SCHEMA = ("curie string, name string, labels array<string>, "
+           "node_type string, timestamp string")
+_ESCHEMA = ("subj string, pred string, obj string, count long, "
+            "years_data map<string,double>, provenance string")
+
+
+def test_canonical_assignments(spark):
+    nodes = spark.createDataFrame([tuple(d.values()) for d in NODES], _SCHEMA)
+    out = {r.curie: r.canonical_curie
+           for r in canonical_assignments(nodes, threshold=0.5).collect()}
+    assert out["geonames:732800"] == "MESH:D0306"
+    assert out["geonames:732801"] == "MESH:D0306"
+    assert out["MESH:D0306"] == "MESH:D0306"
+    assert out["MESH:D9999"] == "MESH:D9999"  # type guard held
+    assert out["MESH:D0103"] == "MESH:D0103"
+
+
+def test_rewrite_graph(spark):
+    nodes = spark.createDataFrame([tuple(d.values()) for d in NODES], _SCHEMA)
+    edges = spark.createDataFrame([tuple(d.values()) for d in EDGES], _ESCHEMA)
+    assignments = canonical_assignments(nodes, threshold=0.5)
+    n, e = rewrite_graph(nodes, edges, assignments)
+    curies = {r.curie for r in n.collect()}
+    assert "geonames:732800" not in curies and "MESH:D0306" in curies
+    erows = {(r.subj, r.pred, r.obj) for r in e.collect()}
+    assert ("MESH:D0306", "isa", "MESH:D0305") in erows
+    # the two mentions collapse to one canonical edge
+    assert ("promed:1", "mentions", "MESH:D0306") in erows
+    assert len([r for r in erows if r[1] == "mentions"]) == 1

@@ -37,6 +37,17 @@ def test_closure_matches_bruteforce(spark):
         assert got == want, f"trial {trial}"
 
 
+def test_doubling_equals_bfs(spark):
+    rng = random.Random(11)
+    edges = _random_dag(rng, 30, 20)
+    df = spark.createDataFrame([{"subj": a, "obj": b} for a, b in edges])
+    d = {(r.node, r.ancestor): r.depth
+         for r in transitive_closure(df, method="doubling").collect()}
+    b = {(r.node, r.ancestor): r.depth
+         for r in transitive_closure(df, method="bfs").collect()}
+    assert d == b
+
+
 def test_closure_self_rows_cover_both_endpoints(spark):
     df = spark.createDataFrame([{"subj": "a", "obj": "b"}])
     rows = {(r.node, r.ancestor, r.depth) for r in transitive_closure(df).collect()}

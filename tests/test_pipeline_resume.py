@@ -1,0 +1,103 @@
+"""Checkpoint/lineage/resume tests (SURVEY.md §5.6) + full build_kg E2E."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from outbreak_kg_spark import synth
+from outbreak_kg_spark.lineage import read_lineage, run_stage, stage_done
+from outbreak_kg_spark.pipeline import build_kg, symptom_closure
+from outbreak_kg_spark.queries import query_graph
+
+
+def test_run_stage_skips_committed(spark, tmp_path):
+    root = str(tmp_path)
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(10).select(F.col("id"))
+
+    df1 = run_stage(spark, root, "s1", build)
+    assert df1.count() == 10 and stage_done(root, "s1")
+    df2 = run_stage(spark, root, "s1", build)  # resume: no rebuild
+    assert df2.count() == 10
+    assert len(calls) == 1
+    lin = read_lineage(spark, root)
+    rows = lin.filter("stage = 's1'").collect()
+    assert sum(r.rows for r in rows) == 10
+    assert all(r.bytes > 0 and r.wall_ms >= 0 for r in rows)
+
+
+def test_run_stage_force_rebuilds(spark, tmp_path):
+    root = str(tmp_path)
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(5)
+
+    run_stage(spark, root, "s2", build)
+    run_stage(spark, root, "s2", build, force=True)
+    assert len(calls) == 2
+
+
+def test_build_kg_end_to_end_and_resume(spark, tmp_path):
+    root = str(tmp_path / "kg")
+    kw = dict(
+        pages=synth.pages_df(spark, 80),
+        gazetteer=synth.gazetteer_df(spark),
+        vocab_isa=synth.vocab_isa_df(spark),
+        outbreaks=synth.outbreaks_df(spark, 80),
+        pathogen_rels=synth.pathogen_disease_rels_df(spark),
+        xref=synth.xref_df(spark),
+        phenotype_rels=synth.phenotype_rels_df(spark),
+        indicators_dev=synth.indicator_wide_df(spark, "dev"),
+        indicators_health=synth.indicator_wide_df(spark, "health"),
+        geoname_terms=synth.geoname_terms_df(spark),
+        geoname_partof=synth.geoname_partof_df(spark),
+        geoname_grounding=synth.geoname_grounding_df(spark),
+        location_map=synth.location_map_df(spark),
+    )
+    out = build_kg(spark, root, **kw)
+    nodes, edges = out["nodes"], out["edges"]
+    preds = {r.pred for r in edges.select("pred").distinct().collect()}
+    assert {"mentions", "has_outbreak", "isa", "has_pathogen",
+            "has_phenotype", "has_indicator", "occurs_with"} <= preds
+    # edge integrity: both endpoints exist (finalize semantics)
+    curies = {r.curie for r in nodes.collect()}
+    for r in edges.collect():
+        assert r.subj in curies and r.obj in curies
+    # indicators carry native year maps
+    ind = edges.filter("pred = 'has_indicator'").first()
+    assert ind.years_data and all(len(k) == 4 for k in ind.years_data)
+    # partitioned-by-pred layout on disk (partition pruning for queries)
+    assert os.path.isdir(os.path.join(root, "edges", "pred=mentions"))
+
+    # flagship query: alerts mentioning anything under Virus Diseases in
+    # Western Africa
+    res = query_graph(
+        nodes, edges, out["closure"],
+        disease_curie="MESH:D0101", geolocation_curie="MESH:D0302",
+    )
+    rows = res.collect()
+    assert rows
+    assert all(r.disease_isa == "MESH:D0101" for r in rows)
+
+    # symptom constraint path (has_phenotype|isa*)
+    sc = symptom_closure(edges)
+    res2 = query_graph(nodes, edges, out["closure"], symptom_closure=sc,
+                       symptom_curie="MESH:D0111")
+    assert res2.count() > 0
+
+    # resume: rerunning is a no-op (same outputs, one lineage run per stage)
+    before = {(r.subj, r.pred, r.obj) for r in edges.collect()}
+    out2 = build_kg(spark, root, **kw)
+    after = {(r.subj, r.pred, r.obj) for r in out2["edges"].collect()}
+    assert before == after
+    lin = read_lineage(spark, root)
+    n_runs = (
+        lin.select("stage", "run_id").distinct()
+        .groupBy("stage").count().collect()
+    )
+    assert all(r["count"] == 1 for r in n_runs)
