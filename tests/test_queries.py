@@ -1,0 +1,179 @@
+"""Query-layer tests over a small explicit KG (kg/client.py semantics)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from outbreak_kg_spark import queries
+from outbreak_kg_spark.closure import transitive_closure
+
+NODES = [
+    ("MESH:D1", "Virus Diseases", ["disease", "entity"], "disease", None),
+    ("MESH:D2", "Ebola", ["disease", "entity"], "disease", None),
+    ("MESH:D3", "Africa", ["geoloc", "entity"], "geoloc", None),
+    ("MESH:D4", "Guinea", ["geoloc", "entity"], "geoloc", None),
+    ("MESH:D5", "Fever", ["disease", "entity"], "disease", None),
+    ("wdi:GDP", "GDP (current US$)", ["indicator"], "indicator", None),
+    ("wdi:HIV", "HIV incidence", ["indicator"], "indicator", None),
+    ("promed:a1", "a1", ["alert"], "alert", "2016-01-01 08:00:00"),
+    ("promed:a2", "a2", ["alert"], "alert", ""),
+    ("promed:a3", "a3", ["alert"], "alert", ""),
+]
+EDGES = [
+    ("promed:a1", "mentions", "MESH:D2"),
+    ("promed:a1", "mentions", "MESH:D4"),
+    ("promed:a2", "mentions", "MESH:D2"),
+    ("promed:a2", "mentions", "MESH:D3"),
+    ("promed:a3", "mentions", "MESH:D1"),
+    ("MESH:D2", "isa", "MESH:D1"),
+    ("MESH:D4", "isa", "MESH:D3"),
+    ("MESH:D2", "has_phenotype", "MESH:D5"),
+    ("MESH:D4", "has_indicator", "wdi:GDP"),
+    ("MESH:D3", "has_indicator", "wdi:HIV"),
+]
+
+
+@pytest.fixture(scope="module")
+def kg(spark):
+    nodes = spark.createDataFrame(
+        NODES,
+        "curie string, name string, labels array<string>, node_type string, "
+        "timestamp string",
+    )
+    edges = spark.createDataFrame(
+        [e + (None, None, "t") for e in EDGES],
+        "subj string, pred string, obj string, count long, "
+        "years_data map<string,double>, provenance string",
+    )
+    closure = transitive_closure(
+        edges.filter("pred = 'isa'").select("subj", "obj")
+    )
+    return nodes, edges, closure
+
+
+def test_query_graph_isa_star(spark, kg):
+    nodes, edges, closure = kg
+    # anchor at the disease root: both direct and descendant mentions match
+    res = queries.query_graph(nodes, edges, closure, disease_curie="MESH:D1")
+    got = {(r.alert_curie, r.disease) for r in res.collect()}
+    assert got == {("promed:a1", "MESH:D2"), ("promed:a2", "MESH:D2"),
+                   ("promed:a3", "MESH:D1")}
+
+
+def test_query_graph_conjunction_and_timestamp(spark, kg):
+    nodes, edges, closure = kg
+    res = queries.query_graph(
+        nodes, edges, closure,
+        disease_curie="MESH:D1", geolocation_curie="MESH:D3",
+    )
+    got = {(r.alert_curie, r.disease, r.geolocation) for r in res.collect()}
+    assert got == {("promed:a1", "MESH:D2", "MESH:D4"),
+                   ("promed:a2", "MESH:D2", "MESH:D3")}
+    res_ts = queries.query_graph(
+        nodes, edges, closure,
+        disease_curie="MESH:D1", timestamp="2016-01-01 08:00:00",
+    )
+    assert {r.alert_curie for r in res_ts.collect()} == {"promed:a1"}
+
+
+def test_query_graph_symptom_mixed_path(spark, kg):
+    nodes, edges, closure = kg
+    from outbreak_kg_spark.pipeline import symptom_closure
+
+    sc = symptom_closure(edges)
+    res = queries.query_graph(nodes, edges, closure, symptom_closure=sc,
+                              symptom_curie="MESH:D5")
+    # D2 -has_phenotype-> D5, so alerts mentioning D2 match the symptom
+    assert {r.alert_curie for r in res.collect()} == {"promed:a1", "promed:a2"}
+
+
+def test_query_graph_limit(spark, kg):
+    nodes, edges, closure = kg
+    assert queries.query_graph(nodes, edges, closure,
+                               disease_curie="MESH:D1", limit=1).count() == 1
+
+
+def test_query_indicators_bidirectional(spark, kg):
+    nodes, edges, closure = kg
+    # anchor Guinea: own indicator (GDP) + ancestor Africa's (HIV)
+    res = queries.query_indicators(nodes, edges, closure, "MESH:D4")
+    got = {(r.indicator_curie, r.geo_curie) for r in res.collect()}
+    assert got == {("wdi:GDP", "MESH:D4"), ("wdi:HIV", "MESH:D3")}
+    # anchor Africa: descendant Guinea's GDP also returned (downward arm)
+    res2 = queries.query_indicators(nodes, edges, closure, "MESH:D3")
+    got2 = {(r.indicator_curie, r.geo_curie) for r in res2.collect()}
+    assert got2 == {("wdi:GDP", "MESH:D4"), ("wdi:HIV", "MESH:D3")}
+    # substring filter (kg/client.py:85)
+    res3 = queries.query_indicators(nodes, edges, closure, "MESH:D4", "HIV")
+    assert {r.indicator_curie for r in res3.collect()} == {"wdi:HIV"}
+
+
+def test_direct_relations_and_co_mentions(spark, kg):
+    nodes, edges, closure = kg
+    cur = ["MESH:D2", "MESH:D1", "MESH:D4"]
+    direct = {(r.subj, r.pred, r.obj)
+              for r in queries.direct_relations(edges, cur).collect()}
+    assert direct == {("MESH:D2", "isa", "MESH:D1")}
+    top = queries.co_mention_alerts(edges, cur).collect()
+    assert [r.alert_curie for r in top] == ["promed:a1"]
+    assert top[0].n_entities == 2 and top[0].entities == ["MESH:D2", "MESH:D4"]
+
+
+def test_pair_scores_and_classification(spark, kg):
+    nodes, edges, closure = kg
+    ps = queries.pair_score_table(edges)
+    rows = {(r.m1, r.m2): (r.n_co, r.score) for r in ps.collect()}
+    # 3 alerts total; (D2, D4) co-occur once -> log(1) - log(3)
+    assert rows[("D2", "D4")][0] == 1
+    assert rows[("D2", "D4")][1] == pytest.approx(math.log(1) - math.log(3))
+    scores, ssum, cls = queries.cooccurrence_scores(
+        {k: v[1] for k, v in rows.items()},
+        {"D2": "disease", "D4": "geoloc", "D9": "other"},
+        ["D2", "D4", "D9", "D042241"],
+    )
+    # D9 not typed in two pairs? D9 IS in mesh_types so pairs (D2,D9),(D4,D9)
+    # get -inf; excluded id D042241 dropped entirely
+    assert set(scores) == {("D2", "D4"), ("D2", "D9"), ("D4", "D9")}
+    assert ssum == pytest.approx(math.log(1 / 3))
+    assert cls == "high"  # log(1/3) = -1.10 > -4.5 (kg/client.py:275)
+    # all -inf pairs -> score_sum -inf -> 'low'
+    _s, ssum2, cls2 = queries.cooccurrence_scores(
+        {}, {"D2": "disease", "D9": "other"}, ["D2", "D9"]
+    )
+    assert ssum2 == float("-inf") and cls2 == "low"
+
+
+def test_autocomplete(spark, kg):
+    nodes, _, _ = kg
+    res = queries.autocomplete(nodes, "disease", "f")
+    assert [r.name for r in res.collect()] == ["Fever"]
+    assert queries.autocomplete(nodes, "disease", "MESH:D").count() == 0
+    geo = queries.autocomplete(nodes, "geoloc_alerts", "")
+    assert {r.name for r in geo.collect()} == {"Africa", "Guinea"}
+
+
+def test_literature_pvalues_ordering(spark):
+    rows = []
+    # pmid 1: all three query terms + nothing else (tight overlap)
+    for mid in ["A", "B", "C"]:
+        rows.append({"mesh_id": mid, "major": 1, "pmid": "1"})
+    # pmid 2: two query terms + many others (diluted)
+    for mid in ["A", "B", "X1", "X2", "X3", "X4"]:
+        rows.append({"mesh_id": mid, "major": 0, "pmid": "2"})
+    # pmid 3: one query term only -> below threshold (len(q)-1 == 2)
+    rows.append({"mesh_id": "A", "major": 0, "pmid": "3"})
+    mesh_pmids = spark.createDataFrame(rows)
+    types = spark.createDataFrame(
+        [{"mesh_id": m, "node_type": t}
+         for m, t in [("A", "disease"), ("B", "geoloc"), ("C", "pathogen"),
+                      ("X1", "other"), ("X2", "other"), ("X3", "other"),
+                      ("X4", "other")]]
+    )
+    res = queries.literature_pvalues(
+        mesh_pmids, types, ["A", "B", "C"], exclude=set()
+    ).collect()
+    assert [r.pmid for r in res] == ["1", "2"]
+    assert res[0].overlap_coverage_relevant == 3
+    assert res[0].overlap == ["A", "B", "C"]
+    assert 0.0 <= res[0].pval <= 1.0 and res[0].pval <= res[1].pval + 1.0
