@@ -47,13 +47,21 @@ def _force(df):
 
 
 def replicated_pages(spark, sf_dir: str, repl: int):
-    """Page-ified documents table replicated repl x with distinct doc ids."""
+    """Page-ified documents table replicated repl x with distinct doc ids.
+
+    The STREAMED side of the cross join is a multi-partition range and the
+    documents table is broadcast — so page construction is parallel across
+    all cores from the start (streaming the single-file parquet side would
+    serialize the whole corpus build into one task)."""
     from outbreak_kg_spark.entry_queries import _docs
 
     d = _docs(spark, sf_dir)
     n = d.count()
-    reps = spark.range(repl).select(F.col("id").alias("rep"))
-    big = d.crossJoin(reps).select(
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    reps = spark.range(0, repl, 1, numPartitions=min(repl, nparts)).select(
+        F.col("id").alias("rep")
+    )
+    big = reps.crossJoin(F.broadcast(d)).select(
         (F.col("doc_id") + F.col("rep") * n).alias("doc_id"), "text", "lang"
     )
     pages = big.select(
@@ -84,14 +92,13 @@ def e2e_pages_to_triples(spark, sf_dir: str, repl: int) -> tuple[float, int]:
     co-occurrence counts, fully materialized."""
     from outbreak_kg_spark import extract, ground
     from outbreak_kg_spark.entry_queries import entry_gazetteer_df
-    from outbreak_kg_spark.skew import salted_count
+    from outbreak_kg_spark.skew import (
+        collect_group_sets,
+        expand_pairs,
+        salted_count,
+    )
 
     pages, n_docs = replicated_pages(spark, sf_dir, repl)
-    # The local replicated input inherits the single-file parquet split; a
-    # real 100TB scan arrives in thousands of splits. Spread it so the
-    # extraction/NER UDFs use every core (bench-only reshape).
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    pages = pages.repartition(nparts)
     udf = ground.make_annotate_udf(spark, entry_gazetteer_df(spark))
     t0 = time.monotonic()
     ex = extract.extract_pages(pages).filter("valid")
@@ -99,24 +106,30 @@ def e2e_pages_to_triples(spark, sf_dir: str, repl: int) -> tuple[float, int]:
         ex.select(F.col("url").alias("archive_number"), "sections")
     )
     mentions = ground.annotate_sections(sections, udf)
-    terms = mentions.select(
-        "doc_id", F.concat_ws(":", "ns", "id").alias("curie"), "entry_name"
-    ).dropDuplicates(["doc_id", "curie"])
-    a = terms.select("doc_id", F.col("curie").alias("a_curie"),
-                     F.col("entry_name").alias("an"))
-    b = terms.select("doc_id", F.col("curie").alias("b_curie"),
-                     F.col("entry_name").alias("bn"))
-    pairs = a.join(b, "doc_id").filter(F.col("an") < F.col("bn"))
-    counted = salted_count(pairs, ["a_curie", "b_curie"], salt=32,
-                           count_col="n_docs")
-    # terms is the stage boundary both sinks consume — persist it so the
-    # co-occurrence job doesn't recompute extraction+NER (in the real
-    # pipeline this is the checkpointed parquet stage, lineage.run_stage)
-    terms.persist()
+    # ONE shuffle produces both outputs: the per-doc distinct term sets feed
+    # the terms table (explode) and the pair counts (JVM-side expansion).
+    # The persisted sets are the checkpointed stage boundary (in the real
+    # pipeline this is lineage.run_stage writing parquet).
+    sets = collect_group_sets(
+        mentions.select(
+            "doc_id",
+            F.col("entry_name").alias("entry_name"),
+            F.concat_ws(":", "ns", "id").alias("curie"),
+        ),
+        "doc_id", ["entry_name", "curie"],
+    ).persist()
+    terms = sets.select(
+        "doc_id", F.explode("_arr").alias("t")
+    ).select("doc_id", "t.entry_name", "t.curie")
+    counted = salted_count(
+        expand_pairs(sets, ["entry_name", "curie"]),
+        ["a_entry_name", "a_curie", "b_entry_name", "b_curie"],
+        salt=32, count_col="n_docs",
+    )
     _force(terms)
     _force(counted)
     wall = time.monotonic() - t0
-    terms.unpersist()
+    sets.unpersist()
     return wall, n_docs
 
 

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from .ground import BUILD_EXCLUDE_NAMES
-from .skew import salted_count, salted_self_join_pairs
+from .skew import grouped_pair_counts
 
 # Typed-pair patterns that make a co-mention "interesting" (kg/build.py:
 # 64-68) — the reference's relation-extraction rule (SURVEY.md A4).
@@ -158,9 +158,10 @@ def build_cooccurrence(
     (kg/build.py:52-94).
 
     Pipeline: blocklist filter BEFORE the pair expansion (the reference's own
-    hand-rolled pushdown, :62-63); within-doc self-join for canonical pairs
-    ordered by entry name (:61); typed-pattern filter (:64-68); salted
-    two-phase count (hot entities make this the skew case, SURVEY.md §4.3.4).
+    hand-rolled pushdown, :62-63); one-shuffle grouped pair expansion with
+    canonical order by entry name (:61; skew.grouped_pair_counts); typed-
+    pattern filter between expansion and count (:64-68); salted two-phase
+    count (hot entities make this the skew case, SURVEY.md §4.3.4).
     """
     typed = (
         terms.join(
@@ -171,21 +172,18 @@ def build_cooccurrence(
         .filter(~F.col("entry_name").isin(list(exclude_names)))
         .select("doc_id", "curie", "entry_name", "node_type")
     )
-    pairs = salted_self_join_pairs(
-        typed, group_col="doc_id",
-        key_cols=["curie", "entry_name", "node_type"],
-        order_col="entry_name",
-    )
     pattern = F.array(*[F.array(F.lit(x), F.lit(y)) for x, y in INTERESTING_TYPE_PAIRS])
-    interesting = pairs.filter(
-        F.array_contains(pattern, F.array("a_node_type", "b_node_type"))
-        | F.array_contains(pattern, F.array("b_node_type", "a_node_type"))
-    )
-    counted = salted_count(
-        interesting,
-        keys=["a_curie", "a_entry_name", "a_node_type",
-              "b_curie", "b_entry_name", "b_node_type"],
-        salt=salt,
+
+    def keep_interesting(flat: DataFrame) -> DataFrame:
+        return flat.filter(
+            F.array_contains(pattern, F.array("a_node_type", "b_node_type"))
+            | F.array_contains(pattern, F.array("b_node_type", "a_node_type"))
+        )
+
+    counted = grouped_pair_counts(
+        typed, group_col="doc_id",
+        struct_cols=["entry_name", "curie", "node_type"],
+        salt=salt, pair_filter=keep_interesting,
     )
     edges = counted.select(
         F.col("a_curie").alias("subj"),
@@ -486,3 +484,30 @@ def edges_to_tsv_rows(edges: DataFrame) -> DataFrame:
         F.col("count").alias("count:int"),
         F.to_json("years_data").alias("years_data:string"),
     ).orderBy(":START_ID", ":TYPE", ":END_ID")
+
+
+def nodes_to_tsv_rows(nodes: DataFrame) -> DataFrame:
+    """TSV-compat node projection: labels array back to the ';'-joined
+    string (kg/build.py:83,113), neo4j bulk-import headers, deterministic
+    sort (the reference sorts every artifact — all K1 sites)."""
+    return nodes.select(
+        F.col("curie").alias("curie:ID"),
+        F.col("name").alias("name:string"),
+        F.col("timestamp").alias("timestamp:string"),
+        F.array_join("labels", ";").alias(":LABEL"),
+    ).orderBy("curie:ID")
+
+
+def write_tsv(df: DataFrame, path: str) -> None:
+    """Write a deterministic single TSV with header — the neo4j-admin
+    import format boundary (kg/Dockerfile:100-114). Single file by design:
+    this sink exists for byte-compat with the reference artifacts, not for
+    scale (the scale sink is the partitioned parquet/Iceberg table)."""
+    (
+        df.coalesce(1)
+        .write.mode("overwrite")
+        .option("sep", "\t")
+        .option("header", True)
+        .option("emptyValue", "")
+        .csv(path)
+    )

@@ -1,0 +1,163 @@
+"""Eidos JSON-LD context extraction (reference process_eidos.py; operators
+S6, P12, K4 in SURVEY.md §2).
+
+The reference globs ``eidos_output/*.jsonld``, takes the archive id from the
+filename (rstrip('.txt.jsonld') — a char-set strip bug we do NOT replicate:
+it eats trailing [.txjsonld] chars from the id; we use a regex), and pulls
+per-sentence timexes/geolocs, dropping '@type'/'@id' keys (including inside
+nested intervals). Here the unwanted keys simply don't appear in the
+explicit from_json schema — schema projection IS the key filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Explicit nested schema (process_eidos.py:11-45): documents[0].sentences[]
+# .timexes[]{text, intervals[]{start, end}} / .geolocs[]{text, geoID}.
+EIDOS_SCHEMA = StructType(
+    [
+        StructField(
+            "documents",
+            ArrayType(
+                StructType(
+                    [
+                        StructField(
+                            "sentences",
+                            ArrayType(
+                                StructType(
+                                    [
+                                        StructField(
+                                            "timexes",
+                                            ArrayType(
+                                                StructType(
+                                                    [
+                                                        StructField("text", StringType()),
+                                                        StructField(
+                                                            "intervals",
+                                                            ArrayType(
+                                                                StructType(
+                                                                    [
+                                                                        StructField("start", LongType()),
+                                                                        StructField("end", LongType()),
+                                                                    ]
+                                                                )
+                                                            ),
+                                                        ),
+                                                    ]
+                                                )
+                                            ),
+                                        ),
+                                        StructField(
+                                            "geolocs",
+                                            ArrayType(
+                                                StructType(
+                                                    [
+                                                        StructField("text", StringType()),
+                                                        StructField("geoID", StringType()),
+                                                    ]
+                                                )
+                                            ),
+                                        ),
+                                    ]
+                                )
+                            ),
+                        )
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+
+def read_eidos_dir(spark: SparkSession, path: str) -> DataFrame:
+    """Scan a directory of *.jsonld files; archive id from the filename
+    (process_eidos.py:49-53, with the rstrip bug fixed via regex)."""
+    raw = spark.read.text(path, wholetext=True).select(
+        F.regexp_extract(
+            F.element_at(F.split(F.input_file_name(), "/"), -1),
+            r"^(.*?)(?:\.txt)?\.jsonld$",
+            1,
+        ).alias("archive_number"),
+        F.from_json("value", EIDOS_SCHEMA).alias("j"),
+    )
+    return raw
+
+
+def eidos_context(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """-> (geolocs, timexes) exploded per (archive, sentence).
+
+    Only documents[0] is read (process_eidos.py:34); sentence order is kept
+    as sent_idx for provenance."""
+    sent = parsed.select(
+        "archive_number",
+        F.posexplode_outer(F.element_at("j.documents", 1).getField("sentences"))
+        .alias("sent_idx", "s"),
+    )
+    geolocs = sent.select(
+        "archive_number",
+        "sent_idx",
+        F.explode_outer("s.geolocs").alias("g"),
+    ).select(
+        "archive_number", "sent_idx",
+        F.col("g.text").alias("text"), F.col("g.geoID").alias("geo_id"),
+    ).filter(F.col("text").isNotNull())
+    timexes = sent.select(
+        "archive_number",
+        "sent_idx",
+        F.explode_outer("s.timexes").alias("t"),
+    ).select(
+        "archive_number", "sent_idx",
+        F.col("t.text").alias("text"), F.col("t.intervals").alias("intervals"),
+    ).filter(F.col("text").isNotNull())
+    return geolocs, timexes
+
+
+def geoloc_stats(geolocs: DataFrame) -> DataFrame:
+    """Count-ordered (text, geoid) stats (process_eidos.py:60-61,76-82)."""
+    return (
+        geolocs.groupBy("text", F.col("geo_id").alias("geoid"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), F.asc("text"))
+    )
+
+
+def timex_stats(timexes: DataFrame) -> DataFrame:
+    """Count-ordered (text, intervals-as-string) stats (process_eidos.py:
+    62-65, 84-90): the interval list is rendered like the reference's
+    str([(start, end), ...]) so golden artifacts line up; empty list -> ''."""
+    rendered = timexes.withColumn(
+        "intervals_str",
+        F.when(
+            F.col("intervals").isNull() | (F.size("intervals") == 0), F.lit("")
+        ).otherwise(
+            F.concat(
+                F.lit("["),
+                F.array_join(
+                    F.transform(
+                        "intervals",
+                        lambda iv: F.concat(
+                            F.lit("("), iv["start"].cast("string"),
+                            F.lit(", "), iv["end"].cast("string"), F.lit(")"),
+                        ),
+                    ),
+                    ", ",
+                ),
+                F.lit("]"),
+            )
+        ),
+    )
+    return (
+        rendered.groupBy("text", F.col("intervals_str").alias("intervals"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), F.asc("text"))
+    )

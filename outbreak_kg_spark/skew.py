@@ -41,6 +41,62 @@ def salted_agg(df: DataFrame, keys: list[str], aggs: dict[str, tuple],
     )
 
 
+def grouped_pair_counts(df: DataFrame, group_col: str, struct_cols: list[str],
+                        salt: int = 16, count_col: str = "count",
+                        pair_filter=None) -> DataFrame:
+    """Within-group unordered-pair counting with ONE shuffle.
+
+    The self-join plan (salted_self_join_pairs + salted_count) shuffles the
+    input three times (dedup, join left, join right) before the count agg.
+    When per-group member counts are bounded (gazetteer mentions per doc —
+    hundreds at most), collect the group's distinct member set once and
+    expand pairs JVM-side with array higher-order functions: one shuffle
+    keyed by group, pair expansion inside whole-stage codegen, then the
+    salted two-phase count. Canonical pair order = struct field order
+    (sort_array on structs is lexicographic by field), matching the
+    reference's sort-by-name (kg/build.py:61).
+
+    Output columns: a_<c> and b_<c> for each struct col, plus count_col.
+    """
+    arr = collect_group_sets(df, group_col, struct_cols)
+    flat = expand_pairs(arr, struct_cols)
+    if pair_filter is not None:
+        flat = pair_filter(flat)
+    keys = [f"a_{c}" for c in struct_cols] + [f"b_{c}" for c in struct_cols]
+    return salted_count(flat, keys, salt=salt, count_col=count_col)
+
+
+def collect_group_sets(df: DataFrame, group_col: str,
+                       struct_cols: list[str]) -> DataFrame:
+    """One shuffle: (group, sorted distinct member array). The array feeds
+    both the pair expansion (expand_pairs, shuffle-free) and, exploded back,
+    the distinct-terms table — so a pipeline needing both pays one exchange."""
+    return df.groupBy(group_col).agg(
+        F.sort_array(
+            F.collect_set(F.struct(*[F.col(c).alias(c) for c in struct_cols]))
+        ).alias("_arr")
+    )
+
+
+def expand_pairs(sets_df: DataFrame, struct_cols: list[str]) -> DataFrame:
+    """JVM-side unordered-pair expansion of each group's member array."""
+    pairs = sets_df.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(_arr, (x, i) -> "
+                    "transform(slice(_arr, i + 2, size(_arr)), "
+                    "y -> struct(x as a, y as b)))"
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select(
+        *[F.col(f"p.a.{c}").alias(f"a_{c}") for c in struct_cols],
+        *[F.col(f"p.b.{c}").alias(f"b_{c}") for c in struct_cols],
+    )
+
+
 def salted_self_join_pairs(df: DataFrame, group_col: str, key_cols: list[str],
                            order_col: str) -> DataFrame:
     """Within-group canonical pairs via self-join (operator A3 at scale —

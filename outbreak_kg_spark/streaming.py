@@ -1,0 +1,112 @@
+"""Structured Streaming ingest (engine extension).
+
+The reference is strictly batch (SURVEY.md §2.10 — static dumps, timestamps
+carried as data); its checkpoint/resume requirement is stage-level batch
+restart (lineage.py). This module is the forward-looking streaming face of
+the same pipeline: a pages stream (e.g. a WARC drop directory / Kafka topic
+in prod; a file source here) flows through the *identical* extraction and
+NER UDFs, with event-time watermarking for late crawls and an idempotent
+foreachBatch KG append.
+
+Everything stateful is expressed with built-in streaming operators
+(watermark + window aggregation + dropDuplicatesWithinWatermark); the UDFs
+are the same Arrow-batched ones the batch path uses — no separate codepath
+to keep correct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import extract, ground
+from .schemas import PAGES
+
+
+def read_pages_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int = 16) -> DataFrame:
+    """File-source stream of pages parquet drops (stand-in for the prod
+    Kafka/object-store source)."""
+    return (
+        spark.readStream.schema(PAGES)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def streaming_mentions(pages_stream: DataFrame, annotate_udf,
+                       watermark: str = "1 hour") -> DataFrame:
+    """pages stream -> exploded mention rows, with late-crawl dedup.
+
+    Duplicate urls within the watermark are dropped with streaming state
+    (dropDuplicatesWithinWatermark) — the streaming analog of the batch
+    first-wins dedup (extract.dedup_alerts); re-crawls older than the
+    watermark are handled by the idempotent batch sink (MERGE semantics in
+    Iceberg / dropDuplicates on append here)."""
+    ex = extract.extract_pages(pages_stream).filter(F.col("valid"))
+    ex = ex.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["archive_number"]
+    )
+    sections = extract.explode_section_texts(ex)
+    return ground.annotate_sections(sections, annotate_udf)
+
+
+def mention_rate(pages_stream: DataFrame, annotate_udf,
+                 window: str = "10 minutes",
+                 watermark: str = "1 hour") -> DataFrame:
+    """Windowed per-entity mention counts with late-data handling — the
+    streaming counterpart of the count-ordered stats artifacts
+    (promed_ner.py:183-189)."""
+    ex = extract.extract_pages(pages_stream).filter(F.col("valid"))
+    sections = ex.withWatermark("warc_ts", watermark).select(
+        F.col("archive_number").alias("doc_id"),
+        "warc_ts",
+        F.explode_outer("sections").alias("sec"),
+    )
+    texts = sections.select(
+        "doc_id", "warc_ts",
+        F.concat_ws("\n", "sec.title", "sec.content").alias("text"),
+    )
+    m = texts.select(
+        "warc_ts", F.explode(annotate_udf(F.col("text"))).alias("a")
+    )
+    return (
+        m.groupBy(
+            F.window("warc_ts", window).alias("w"),
+            F.col("a.ns").alias("ns"),
+            F.col("a.id").alias("id"),
+        )
+        .agg(F.count(F.lit(1)).alias("mentions"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "ns", "id", "mentions",
+        )
+    )
+
+
+def start_kg_append(mentions_stream: DataFrame, out_dir: str,
+                    checkpoint_dir: str, trigger_available_now: bool = True):
+    """foreachBatch sink: append distinct mention edges per micro-batch.
+    Batch ids make the append idempotent on restart (Structured Streaming
+    replays the last uncommitted batch; the dropDuplicates inside the batch
+    plus append-by-batch-id file naming keeps exactly-once file output)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int):
+        (
+            batch_df.select(
+                F.concat(F.lit("promed:"), "doc_id").alias("subj"),
+                F.lit("mentions").alias("pred"),
+                F.concat_ws(":", "ns", "id").alias("obj"),
+            )
+            .dropDuplicates(["subj", "pred", "obj"])
+            .write.mode("append")
+            .parquet(f"{out_dir}/batch_id={batch_id}")
+        )
+
+    w = mentions_stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -1,0 +1,87 @@
+"""Eidos JSON-LD context extraction tests (process_eidos.py semantics)."""
+
+import json
+
+import pytest
+
+from outbreak_kg_spark import eidos
+
+
+@pytest.fixture(scope="module")
+def eidos_dir(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("eidos")
+    docs = {
+        "20160428.4189378": {
+            "documents": [
+                {
+                    "sentences": [
+                        {
+                            "timexes": [
+                                {"@type": "TimeExpression", "@id": "x1",
+                                 "text": "28 Apr 2016",
+                                 "intervals": [
+                                     {"@type": "TimeInterval", "@id": "i1",
+                                      "start": 100, "end": 200}
+                                 ]},
+                            ],
+                            "geolocs": [
+                                {"@type": "Location", "@id": "g1",
+                                 "text": "Bulgaria", "geoID": "732800"}
+                            ],
+                        },
+                        {
+                            "timexes": [
+                                {"@type": "T", "@id": "x2", "text": "today"}
+                            ],
+                            "geolocs": [],
+                        },
+                    ]
+                }
+            ]
+        },
+        "20160429.4190000": {
+            "documents": [
+                {
+                    "sentences": [
+                        {"geolocs": [
+                            {"text": "Bulgaria", "geoID": "732800"},
+                            {"text": "Sofia", "geoID": "727011"},
+                        ]}
+                    ]
+                }
+            ]
+        },
+    }
+    for archive, payload in docs.items():
+        (root / f"{archive}.txt.jsonld").write_text(json.dumps(payload))
+    return str(root)
+
+
+def test_archive_id_from_filename(spark, eidos_dir):
+    parsed = eidos.read_eidos_dir(spark, eidos_dir)
+    ids = {r.archive_number for r in parsed.collect()}
+    # the reference's rstrip('.txt.jsonld') would corrupt ids ending in
+    # those chars; our regex keeps the full archive number
+    assert ids == {"20160428.4189378", "20160429.4190000"}
+
+
+def test_context_extraction_drops_ld_keys(spark, eidos_dir):
+    parsed = eidos.read_eidos_dir(spark, eidos_dir)
+    geolocs, timexes = eidos.eidos_context(parsed)
+    g = {(r.archive_number, r.text, r.geo_id) for r in geolocs.collect()}
+    assert ("20160428.4189378", "Bulgaria", "732800") in g
+    assert ("20160429.4190000", "Sofia", "727011") in g
+    t = {(r.text, tuple((iv.start, iv.end) for iv in (r.intervals or [])))
+         for r in timexes.collect()}
+    assert ("28 Apr 2016", ((100, 200),)) in t
+    assert ("today", ()) in t
+
+
+def test_stats_shapes(spark, eidos_dir):
+    parsed = eidos.read_eidos_dir(spark, eidos_dir)
+    geolocs, timexes = eidos.eidos_context(parsed)
+    gs = eidos.geoloc_stats(geolocs).collect()
+    assert gs[0].text == "Bulgaria" and gs[0]["count"] == 2
+    ts = {r.text: r.intervals for r in eidos.timex_stats(timexes).collect()}
+    assert ts["28 Apr 2016"] == "[(100, 200)]"  # reference str([...]) layout
+    assert ts["today"] == ""

@@ -1,0 +1,84 @@
+"""Structured Streaming tests: file-source pages stream -> mentions, with
+availableNow triggers and restart idempotence of the foreachBatch sink."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from outbreak_kg_spark import ground, streaming, synth
+
+
+@pytest.fixture(scope="module")
+def staged(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream")
+    pages = synth.pages_df(spark, 60)
+    # two separate drops to get multiple micro-batches
+    pages.filter(F.col("url").substr(-1, 1).isin("0", "2", "4", "6", "8")) \
+        .coalesce(1).write.mode("overwrite").parquet(str(root / "in" / "d1"))
+    pages.filter(~F.col("url").substr(-1, 1).isin("0", "2", "4", "6", "8")) \
+        .coalesce(1).write.mode("append").parquet(str(root / "in" / "d1"))
+    return root, pages
+
+
+def test_streaming_mentions_match_batch(spark, staged):
+    root, pages = staged
+    udf = ground.make_annotate_udf(spark, synth.gazetteer_df(spark))
+    stream = streaming.read_pages_stream(spark, str(root / "in" / "d1"),
+                                         max_files_per_trigger=1)
+    mstream = streaming.streaming_mentions(stream, udf)
+    q = streaming.start_kg_append(
+        mstream, str(root / "out"), str(root / "ckpt")
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.subj, r.obj)
+        for r in spark.read.parquet(str(root / "out")).collect()
+    }
+    # batch reference: same pipeline, batch API
+    from outbreak_kg_spark import extract
+
+    alerts = extract.dedup_alerts(
+        extract.extract_pages(spark.read.parquet(str(root / "in" / "d1")))
+    )
+    m = ground.annotate_sections(extract.explode_section_texts(alerts), udf)
+    want = {
+        (f"promed:{r.doc_id}", f"{r.ns}:{r.id}")
+        for r in m.collect()
+    }
+    assert got == want
+
+
+def test_streaming_restart_is_idempotent(spark, staged):
+    root, _ = staged
+    udf = ground.make_annotate_udf(spark, synth.gazetteer_df(spark))
+    before = spark.read.parquet(str(root / "out")).count()
+    # restart with the same checkpoint: no new input -> no duplicate output
+    stream = streaming.read_pages_stream(spark, str(root / "in" / "d1"))
+    q = streaming.start_kg_append(
+        streaming.streaming_mentions(stream, udf),
+        str(root / "out"), str(root / "ckpt"),
+    )
+    q.awaitTermination(120)
+    after = spark.read.parquet(str(root / "out")).count()
+    assert after == before
+
+
+def test_mention_rate_window(spark, staged):
+    root, _ = staged
+    udf = ground.make_annotate_udf(spark, synth.gazetteer_df(spark))
+    stream = streaming.read_pages_stream(spark, str(root / "in" / "d1"))
+    rate = streaming.mention_rate(stream, udf, window="1 hour")
+    q = (
+        rate.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(root / "rate"))
+        .option("checkpointLocation", str(root / "rate_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits windows closed by the watermark; with a bounded
+    # file source the final watermark closes all but the last window(s) —
+    # just assert schema + non-negative counts and window alignment
+    rows = spark.read.parquet(str(root / "rate")).collect()
+    for r in rows:
+        assert r.mentions > 0 and r.window_end > r.window_start

@@ -1,0 +1,54 @@
+"""TSV-compat sink tests: neo4j bulk-import column layout, ';'-joined
+labels, JSON-encoded years_data, deterministic ordering."""
+
+import glob
+import json
+
+
+def test_tsv_roundtrip(spark, tmp_path):
+    from outbreak_kg_spark.builders import (
+        edges_to_tsv_rows,
+        nodes_to_tsv_rows,
+        write_tsv,
+    )
+
+    nodes = spark.createDataFrame(
+        [
+            ("MESH:D2", "Ebola", ["disease", "entity"], "disease", None),
+            ("promed:a1", "a1", ["alert"], "alert", "2016-01-01 08:00:00"),
+        ],
+        "curie string, name string, labels array<string>, node_type string, "
+        "timestamp string",
+    )
+    edges = spark.createDataFrame(
+        [
+            ("promed:a1", "mentions", "MESH:D2", None, None, "t"),
+            ("MESH:D4", "has_indicator", "wdi:GDP", None,
+             {"2019": 1.234, "2020": 5.0}, "t"),
+            ("MESH:D2", "occurs_with", "MESH:D4", 7, None, "t"),
+        ],
+        "subj string, pred string, obj string, count long, "
+        "years_data map<string,double>, provenance string",
+    )
+    ntsv = nodes_to_tsv_rows(nodes)
+    assert ntsv.columns == ["curie:ID", "name:string", "timestamp:string",
+                            ":LABEL"]
+    rows = {r["curie:ID"]: r for r in ntsv.collect()}
+    assert rows["MESH:D2"][":LABEL"] == "disease;entity"
+    assert rows["promed:a1"]["timestamp:string"] == "2016-01-01 08:00:00"
+
+    etsv = edges_to_tsv_rows(edges)
+    erows = {(r[":START_ID"], r[":TYPE"]): r for r in etsv.collect()}
+    assert erows[("MESH:D2", "occurs_with")]["count:int"] == 7
+    yd = json.loads(erows[("MESH:D4", "has_indicator")]["years_data:string"])
+    assert yd == {"2019": 1.234, "2020": 5.0}
+
+    write_tsv(etsv, str(tmp_path / "edges_tsv"))
+    files = glob.glob(str(tmp_path / "edges_tsv" / "*.csv"))
+    assert len(files) == 1
+    lines = open(files[0]).read().splitlines()
+    assert lines[0].split("\t")[:3] == [":START_ID", ":TYPE", ":END_ID"]
+    # deterministic sort by start id, then type
+    assert [l.split("\t")[0] for l in lines[1:]] == sorted(
+        l.split("\t")[0] for l in lines[1:]
+    )
