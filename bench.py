@@ -163,9 +163,13 @@ def main() -> None:
             _force(qs[name](spark, sf_dir))
             qtimes[name] = round(time.monotonic() - t0, 3)
 
-    # warm-up (JVM/codegen/python workers), then the measured e2e run
+    # warm-up (JVM JIT/codegen/python workers), then best-of-2 measured runs
+    # in the warm JVM — local-mode wall times carry JIT/GC variance that a
+    # single sample over-reads
     e2e_pages_to_triples(spark, sf_dir, repl=max(1, repl // 10))
     wall, n_docs = e2e_pages_to_triples(spark, sf_dir, repl=repl)
+    wall2, _ = e2e_pages_to_triples(spark, sf_dir, repl=repl)
+    wall = min(wall, wall2)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     out = {

@@ -200,6 +200,25 @@ SQL_KG_MENTION_PAIRS = f"""
 """
 
 
+def q_kg_mention_pairs_grouped(spark, sf_dir):
+    """A3 one-shuffle plan: per-doc distinct sets collected once, pairs
+    expanded JVM-side (skew.grouped_pair_counts). Same oracle as
+    kg_mention_pairs — the correctness gate proves the two physical plans
+    compute the same relation."""
+    from .skew import grouped_pair_counts
+
+    m = entry_mentions(spark, sf_dir).select("doc_id", "curie", "name")
+    out = grouped_pair_counts(
+        m, group_col="doc_id", struct_cols=["name", "curie"],
+        salt=16, count_col="n_docs",
+    )
+    return out.select(
+        F.col("a_curie").alias("a_curie"),
+        F.col("b_curie").alias("b_curie"),
+        "n_docs",
+    )
+
+
 def q_kg_interesting_pairs(spark, sf_dir):
     """A4: typed-pair relation-extraction rule on the pair table."""
     m = entry_mentions(spark, sf_dir)
@@ -1025,6 +1044,7 @@ def all_queries():
         "kg_ner_mentions": q_kg_ner_mentions,
         "kg_terms_per_doc": q_kg_terms_per_doc,
         "kg_mention_pairs": q_kg_mention_pairs,
+        "kg_mention_pairs_grouped": q_kg_mention_pairs_grouped,
         "kg_interesting_pairs": q_kg_interesting_pairs,
         "kg_isa_closure": q_kg_isa_closure,
         "kg_query_graph": q_kg_query_graph,
@@ -1068,6 +1088,7 @@ def all_oracle_sql():
             SELECT doc_id, count(DISTINCT curie) AS n_terms FROM m GROUP BY 1
         """,
         "kg_mention_pairs": SQL_KG_MENTION_PAIRS,
+        "kg_mention_pairs_grouped": SQL_KG_MENTION_PAIRS,
         "kg_interesting_pairs": SQL_KG_INTERESTING_PAIRS,
         "kg_isa_closure": SQL_KG_ISA_CLOSURE,
         "kg_query_graph": SQL_KG_QUERY_GRAPH,
