@@ -819,9 +819,11 @@ def _sql_simhash(bits: int = 16) -> str:
 
 
 def q_ngram_jaccard(spark, sf_dir):
+    # bigram shingles: the word-soup corpus has trigram overlap ~0 between
+    # distinct docs, which would make this check vacuously empty
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 40)
     return (
-        dedup.jaccard_pairs(d)
+        dedup.jaccard_pairs(d, shingle_n=2)
         .filter(F.col("jaccard") > 0.05)
         .select("a", "b", F.round("jaccard", 6).alias("jaccard_r"))
     )
@@ -832,9 +834,8 @@ SQL_NGRAM_JACCARD = """
         SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
         WHERE doc_id < 40),
     sh AS (
-        SELECT DISTINCT doc_id,
-               t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-        FROM toks, unnest(range(1, len(t) - 1)) u(i)),
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS shingle
+        FROM toks, unnest(range(1, len(t))) u(i)),
     sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
     inter AS (
         SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS ni
