@@ -142,7 +142,7 @@ def main() -> None:
         )
 
     cpus = int(_arg("--cpus", os.environ.get("SPARK_GRAFT_CPUS", "32")))
-    repl = int(_arg("--repl", os.environ.get("SPARK_GRAFT_BENCH_REPL", "40")))
+    repl = int(_arg("--repl", os.environ.get("SPARK_GRAFT_BENCH_REPL", "300")))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     e2e_only = "--e2e-only" in args
 
