@@ -162,6 +162,133 @@ def ann_topk(
     )
 
 
+def kmeans_lite(df: DataFrame, dim: int, k: int = 16, iters: int = 5,
+                vec_col: str = "embedding", id_col: str = "vec_id"
+                ) -> list[list[float]]:
+    """Deterministic Lloyd's k-means for IVF coarse quantization.
+
+    Init: the k vectors with the smallest md5(id) (seeded, order-free).
+    Each round: broadcast the centroid list, assign every vector to its
+    nearest centroid with JVM array expressions (one narrow pass), recompute
+    means with one groupBy — the classic two-job Lloyd round. Centroids live
+    on the driver between rounds (k x dim floats — tiny)."""
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    seed_rows = (
+        v.withColumn("_h", F.md5(F.col("_id").cast("string")))
+        .orderBy("_h")
+        .limit(k)
+        .collect()
+    )
+    centroids = [list(r._v) for r in seed_rows]
+    for _ in range(iters):
+        assigned = _assign(v, centroids)
+        sums = (
+            assigned.select("_cid", F.posexplode("_v").alias("_d", "_x"))
+            .groupBy("_cid", "_d")
+            .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        acc: dict[int, list] = {}
+        for r in sums:
+            c = acc.setdefault(r._cid, [[0.0] * dim, 0])
+            c[0][r._d] = r._s
+            c[1] = r._n
+        new = []
+        for i in range(len(centroids)):
+            if i in acc and acc[i][1] > 0:
+                new.append([x / acc[i][1] for x in acc[i][0]])
+            else:
+                new.append(centroids[i])  # empty cluster keeps its centroid
+        centroids = new
+    return centroids
+
+
+def _assign(v: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Add _cid = argmin squared distance to the broadcast centroid list,
+    evaluated as one array expression (no Python)."""
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("_v"),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in centroids
+        ]
+    )
+    return v.withColumn(
+        "_cid", F.array_position(dists, F.array_min(dists)).cast("int") - 1
+    )
+
+
+def ivf_index(df: DataFrame, dim: int, k: int = 16, iters: int = 5,
+              vec_col: str = "embedding", id_col: str = "vec_id"
+              ) -> tuple[DataFrame, list[list[float]]]:
+    """Build an IVF index: (assignments(vec_id, centroid_id, vec), centroids).
+    At rest this is a parquet table partitioned by centroid_id — probing a
+    centroid prunes partitions."""
+    centroids = kmeans_lite(df, dim, k, iters, vec_col, id_col)
+    v = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    assigned = _assign(v, centroids).select(
+        "vec_id", F.col("_cid").alias("centroid_id"), F.col("_v").alias("vec")
+    )
+    return assigned, centroids
+
+
+def ivf_topk(index: DataFrame, centroids: list[list[float]],
+             queries: DataFrame, k: int = 10, nprobe: int = 4,
+             vec_col: str = "embedding", query_id: str = "query_id"
+             ) -> DataFrame:
+    """IVF search: per query, probe the nprobe nearest centroids' inverted
+    lists only, then exact cosine rank within candidates. The candidate join
+    is an equi-join on centroid_id — at scale it prunes to nprobe/k of the
+    corpus per query."""
+    import math as _m
+
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    ).collect()
+    probe_rows = []
+    for r in q:
+        dists = [
+            (sum((a - b) ** 2 for a, b in zip(r._qv, c)), i)
+            for i, c in enumerate(centroids)
+        ]
+        for _, cid in sorted(dists)[:nprobe]:
+            probe_rows.append((r.query_id, cid, list(r._qv),
+                               _m.sqrt(sum(x * x for x in r._qv))))
+    spark = index.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, centroid_id int, _qv array<double>, _qn double"
+    )
+    cand = index.join(F.broadcast(probes), "centroid_id")
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (_dot(F.col("vec"), F.col("_qv")) / (_norm(F.col("vec")) * F.col("_qn")))
+        .alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def cosine_near_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
                           n_planes: int = 6, vec_col: str = "embedding",
                           id_col: str = "vec_id", seed: int = 42) -> DataFrame:

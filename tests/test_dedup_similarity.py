@@ -153,3 +153,38 @@ def test_multimodal_features_and_frame_plan(spark):
 
     with _pt.raises(Exception):
         multimodal.image_features(media, decode="strict").collect()
+
+
+def test_ivf_index_and_search(spark):
+    import random
+
+    rng = random.Random(21)
+    # three well-separated gaussian clusters in 8d
+    centers = [[5.0] * 8, [-5.0] * 8, [5.0] * 4 + [-5.0] * 4]
+    vecs = {}
+    for i in range(150):
+        c = centers[i % 3]
+        vecs[i] = [x + rng.gauss(0, 0.5) for x in c]
+    corpus = spark.createDataFrame(
+        [{"vec_id": i, "embedding": v} for i, v in vecs.items()]
+    )
+    index, centroids = similarity.ivf_index(corpus, dim=8, k=4, iters=4)
+    # assignment correctness: each vector's list is its nearest centroid
+    for r in index.collect():
+        dists = [sum((a - b) ** 2 for a, b in zip(r.vec, c)) for c in centroids]
+        assert dists[r.centroid_id] == min(dists)
+    queries = spark.createDataFrame(
+        [{"query_id": i, "embedding": vecs[i]} for i in (0, 1, 2)]
+    )
+    # probing every centroid is exhaustive -> must equal brute force
+    got = similarity.ivf_topk(index, centroids, queries, k=5, nprobe=4).collect()
+    brute = similarity.cosine_topk(corpus, queries, k=5).collect()
+    gset = {(r.query_id, r.rank): r.neighbor_id for r in got}
+    bset = {(r.query_id, r.rank): r.neighbor_id for r in brute}
+    assert gset == bset
+    # probing the single nearest list still finds the query itself and
+    # searches only a subset of the corpus
+    near = similarity.ivf_topk(index, centroids, queries, k=5, nprobe=1).collect()
+    for q in (0, 1, 2):
+        mine = [r.neighbor_id for r in near if r.query_id == q]
+        assert mine and mine[0] == q
