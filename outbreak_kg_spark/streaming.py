@@ -85,6 +85,96 @@ def mention_rate(pages_stream: DataFrame, annotate_udf,
     )
 
 
+def entity_episodes(mentions_with_ts: DataFrame, gap: str = "7 days",
+                    watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful operator: merge an entity's mention stream into
+    outbreak *episodes* — maximal runs of mentions with no gap larger than
+    ``gap`` — via applyInPandasWithState (the engine's example of a stateful
+    op Structured Streaming lacks natively; session windows exist but we
+    also carry per-episode mention counts and doc lists).
+
+    Input: (curie, warc_ts, doc_id). Output, emitted when an episode closes
+    (watermark passes its end + gap): (curie, episode_start, episode_end,
+    n_mentions, n_docs).
+    """
+    import datetime
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = _duration_ms(gap)
+
+    def _row(curie, run):
+        start, end, n, docs = run
+        return {
+            "curie": curie,
+            "episode_start": datetime.datetime.utcfromtimestamp(start / 1e3),
+            "episode_end": datetime.datetime.utcfromtimestamp(end / 1e3),
+            "n_mentions": n,
+            "n_docs": len(set(docs.split("\x00"))),
+        }
+
+    def update(key, pdfs, state: GroupState):
+        (curie,) = key
+        if state.hasTimedOut:
+            run = tuple(state.get)
+            state.remove()
+            yield pd.DataFrame([_row(curie, run)])
+            return
+        rows = pd.concat(list(pdfs)).sort_values("warc_ts")
+        ts = (rows["warc_ts"].astype("int64") // 10**6).tolist()
+        ids = rows["doc_id"].astype(str).tolist()
+        # sessionize WITHIN the batch: split sorted mentions into runs at
+        # gaps > gap_ms (a single micro-batch can span several episodes)
+        runs = []
+        for t, d in zip(ts, ids):
+            if runs and t - runs[-1][1] <= gap_ms:
+                s, e, n, docs = runs[-1]
+                runs[-1] = (s, max(e, t), n + 1, docs + "\x00" + d)
+            else:
+                runs.append((t, t, 1, d))
+        if state.exists:
+            prev = tuple(state.get)
+            if runs and runs[0][0] - prev[1] <= gap_ms:
+                s, e, n, docs = runs[0]
+                runs[0] = (min(prev[0], s), max(prev[1], e),
+                           prev[2] + n, prev[3] + "\x00" + docs)
+            else:
+                runs.insert(0, prev)
+        # every run except the latest is definitively closed by a later run
+        closed, live = runs[:-1], runs[-1]
+        state.update(live)
+        # timeout must be strictly later than the current watermark
+        state.setTimeoutTimestamp(
+            max(live[1] + gap_ms + 1, state.getCurrentWatermarkMs() + 1)
+        )
+        if closed:
+            yield pd.DataFrame([_row(curie, r) for r in closed])
+
+    return (
+        mentions_with_ts.withWatermark("warc_ts", watermark)
+        .groupBy("curie")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "curie string, episode_start timestamp, "
+                "episode_end timestamp, n_mentions long, n_docs long"
+            ),
+            stateStructType="start long, end long, n long, docs string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _duration_ms(s: str) -> int:
+    n, unit = s.split()
+    mult = {"second": 1000, "seconds": 1000, "minute": 60000,
+            "minutes": 60000, "hour": 3600000, "hours": 3600000,
+            "day": 86400000, "days": 86400000}[unit]
+    return int(n) * mult
+
+
 def start_kg_append(mentions_stream: DataFrame, out_dir: str,
                     checkpoint_dir: str, trigger_available_now: bool = True):
     """foreachBatch sink: append distinct mention edges per micro-batch.

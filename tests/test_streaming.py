@@ -82,3 +82,55 @@ def test_mention_rate_window(spark, staged):
     rows = spark.read.parquet(str(root / "rate")).collect()
     for r in rows:
         assert r.mentions > 0 and r.window_end > r.window_start
+
+
+def test_entity_episodes_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: two bursts of mentions of the
+    same entity separated by > gap become two episodes; the first closes
+    once the watermark passes."""
+    import datetime
+
+    base = datetime.datetime(2020, 1, 1)
+    rows = []
+    # burst 1: days 0-2 (5 mentions)
+    for i in range(5):
+        rows.append({"curie": "MESH:D0103",
+                     "warc_ts": base + datetime.timedelta(hours=10 * i),
+                     "doc_id": f"a{i}"})
+    # burst 2: days 30-31
+    for i in range(3):
+        rows.append({"curie": "MESH:D0103",
+                     "warc_ts": base + datetime.timedelta(days=30, hours=6 * i),
+                     "doc_id": f"b{i}"})
+    # a far-future row of another entity drives the watermark forward so
+    # burst 1's timeout fires
+    rows.append({"curie": "MESH:D9999",
+                 "warc_ts": base + datetime.timedelta(days=365),
+                 "doc_id": "z"})
+    src = str(tmp_path / "in")
+    # two drops so the watermark advances between micro-batches
+    spark.createDataFrame(rows[:5]).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows[5:]).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("curie string, warc_ts timestamp, doc_id string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    episodes = __import__("outbreak_kg_spark.streaming",
+                          fromlist=["streaming"]).entity_episodes(
+        stream, gap="7 days", watermark="1 hour"
+    )
+    q = (
+        episodes.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "out")).collect()
+    eps = {(r.curie, r.n_mentions, r.n_docs) for r in got}
+    # burst 1 must have closed as one episode with 5 mentions / 5 docs
+    assert ("MESH:D0103", 5, 5) in eps
