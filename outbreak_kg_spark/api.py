@@ -1,0 +1,164 @@
+"""Query-API surface — the engine's equivalent of the reference's Flask app
+(kg/api.py) and its composite endpoint logic (kg/client.py). Framework-free:
+``KgApi`` methods take/return plain Python values so any HTTP layer (Flask
+in the reference) can wrap them 1:1; tests drive them directly.
+
+Endpoint parity:
+  /v1/alerts            -> KgApi.search            (kg/api.py:26-38)
+  /v1/indicators        -> KgApi.get_indicators    (kg/api.py:54-60)
+  /v1/text_relations    -> KgApi.text_relations    (kg/api.py:63-67)
+  /v1/find_literature   -> KgApi.find_literature   (kg/api.py:70-74)
+  /autocomplete/*       -> KgApi.autocomplete      (autocomplete_blueprint.py)
+  /v1/alerts/<id>       -> KgApi.get_alert_text    (kg/api.py:42-49)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import ground, queries
+from .pipeline import symptom_closure
+
+
+class KgApi:
+    """Holds the at-rest KG DataFrames + driver-side lookup state (the
+    reference builds the same things at import time: custom grounder
+    kg/client.py:365, pair scores kg/realism_score.py:98-99, tries
+    kg/get_lookups.py:100-105)."""
+
+    def __init__(self, spark: SparkSession, nodes: DataFrame, edges: DataFrame,
+                 closure: DataFrame, gazetteer: DataFrame,
+                 extracted: DataFrame | None = None):
+        self.spark = spark
+        self.nodes = nodes
+        self.edges = edges
+        self.closure = closure
+        self.gazetteer = gazetteer
+        self.extracted = extracted
+        self._symptom_closure = symptom_closure(edges)
+        # materialized pair-score table (kg/realism_score.py builds this
+        # dict at import; ours is a small collected map over the edges)
+        self._pair_scores = {
+            (r.m1, r.m2): r.score
+            for r in queries.pair_score_table(edges).collect()
+        }
+        self._mesh_types = {
+            r.curie[5:]: r.node_type
+            for r in nodes.filter(F.col("curie").startswith("MESH:"))
+            .select("curie", "node_type").collect()
+        }
+        rows = [r.asDict() for r in gazetteer.select(
+            "ns", "id", "entry_name", "synonym").collect()]
+        self._trie = ground.compile_gazetteer(rows)
+        self._gaz_rows = rows
+
+    # -- name -> curie (kg/client.py:367-378) --------------------------------
+    def get_curie(self, name: str) -> str | None:
+        if ":" in name:
+            return name
+        hits = ground.scan_text(name, self._trie)
+        full = [h for h in hits if h[1] == 0 and h[2] == len(name)]
+        if not full:
+            # exact normalized-name lookup fallback
+            return ground.ground_names(
+                self.spark, self.gazetteer, [name]
+            )[name]
+        _s, _a, _b, ns, id_, _n = full[0]
+        return f"{ns}:{id_}"
+
+    # -- /v1/alerts -----------------------------------------------------------
+    def search(self, disease=None, geolocation=None, pathogen=None,
+               timestamp=None, symptom=None, limit=None) -> list[dict]:
+        params = {}
+        for key, val in [("disease_curie", disease),
+                         ("geolocation_curie", geolocation),
+                         ("pathogen_curie", pathogen),
+                         ("symptom_curie", symptom)]:
+            if val is not None:
+                curie = self.get_curie(val)
+                if curie is None:
+                    return []  # ungroundable name (kg/client.py:136-137)
+                params[key] = curie
+        res = queries.query_graph(
+            self.nodes, self.edges, self.closure,
+            symptom_closure=self._symptom_closure,
+            timestamp=timestamp, limit=int(limit) if limit else None,
+            **params,
+        )
+        return [r.asDict() for r in res.collect()]
+
+    # -- /v1/indicators -------------------------------------------------------
+    def get_indicators(self, geolocation: str,
+                       indicator_filter: str = "") -> list[dict]:
+        curie = self.get_curie(geolocation)
+        if curie is None:
+            return []
+        res = queries.query_indicators(
+            self.nodes, self.edges, self.closure, curie,
+            indicator_filter or "",
+        )
+        return [
+            {**r.asDict(),
+             "years_data": dict(r.years_data) if r.years_data else {}}
+            for r in res.collect()
+        ]
+
+    # -- /v1/text_relations (kg/client.py:195-283) ----------------------------
+    def text_relations(self, text: str, top_n: int = 500) -> dict:
+        hits = ground.scan_text(text, self._trie)
+        types = {}
+        annotations = []
+        for (surf, _s, _e, ns, id_, name) in hits:
+            curie = f"{ns}:{id_}"
+            types[curie] = self._mesh_types.get(id_, "other")
+            annotations.append(
+                {"text": surf, "name": name, "curie": curie,
+                 "type": types[curie]}
+            )
+        curies = sorted({a["curie"] for a in annotations})
+        direct = [r.asDict() for r in
+                  queries.direct_relations(self.edges, curies).collect()]
+        alerts = [r.asDict() for r in
+                  queries.co_mention_alerts(self.edges, curies, top_n).collect()]
+        mesh_ids = [c[5:] for c in curies if c.startswith("MESH:")]
+        scores, score_sum, cls = queries.cooccurrence_scores(
+            self._pair_scores, self._mesh_types, mesh_ids
+        )
+        return {
+            "annotations": annotations,
+            "direct": direct,
+            "alerts": alerts,
+            "realism_score": {
+                "scores": [[a, b, s] for (a, b), s in scores.items()],
+                "score_sum": score_sum,
+                "classification": cls,
+            },
+        }
+
+    # -- /v1/find_literature ---------------------------------------------------
+    def find_literature(self, mesh_pmids: DataFrame, mesh_ids: list[str],
+                        limit: int = 20) -> list[dict]:
+        ids = [m[5:] if m.startswith("MESH:") else m for m in mesh_ids]
+        types = self.spark.createDataFrame(
+            [{"mesh_id": k, "node_type": v} for k, v in self._mesh_types.items()]
+            or [{"mesh_id": "", "node_type": ""}]
+        )
+        res = queries.literature_pvalues(mesh_pmids, types, ids, limit=limit)
+        return [r.asDict() for r in res.collect()]
+
+    # -- /autocomplete/* --------------------------------------------------------
+    def autocomplete(self, label: str, prefix: str, top_n: int = 100) -> list:
+        res = queries.autocomplete(self.nodes, label, prefix, top_n)
+        return [[r.name, r.name, r.curie, ""] for r in res.collect()]
+
+    # -- /v1/alerts/<id> ---------------------------------------------------------
+    def get_alert_text(self, alert_id: str) -> str | None:
+        if self.extracted is None:
+            return None
+        row = (
+            self.extracted.filter(F.col("archive_number") == alert_id)
+            .select("extracted_text")
+            .first()
+        )
+        return row.extracted_text if row else None

@@ -1,0 +1,94 @@
+"""Operator fusion: pages -> grounded terms in ONE Arrow round trip.
+
+The modular pipeline (extract.extract_pages -> explode_section_texts ->
+ground.annotate_sections) ships every section's text through the Arrow
+channel twice — once out of the extraction UDF, once into the NER UDF. When
+the intermediate artifacts (canonical text, per-section spans) are not being
+checkpointed, fusing the two Python stages halves the Arrow traffic and
+removes one exploded intermediate relation. Results are identical to the
+modular path (equivalence-tested in tests/test_fused.py); byte-identity of
+the canonical text remains covered by the modular stage and its tests.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .ground import DEFAULT_NS_PRIORITY, compile_gazetteer, scan_text
+from .textproc import extract_alert
+
+_FUSED_STRUCT = StructType(
+    [
+        StructField("archive_number", StringType(), True),
+        StructField("valid", BooleanType(), False),
+        StructField(
+            "terms",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("ns", StringType()),
+                        StructField("id", StringType()),
+                        StructField("entry_name", StringType()),
+                    ]
+                )
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def make_fused_udf(spark: SparkSession, gazetteer: DataFrame,
+                   ns_priority=DEFAULT_NS_PRIORITY,
+                   exclude_tokens: frozenset | set = frozenset()):
+    rows = [r.asDict() for r in
+            gazetteer.select("ns", "id", "entry_name", "synonym").collect()]
+    trie = compile_gazetteer(rows, ns_priority)
+    bc = spark.sparkContext.broadcast((trie, frozenset(exclude_tokens)))
+
+    @pandas_udf(_FUSED_STRUCT)
+    def fused(texts: pd.Series) -> pd.DataFrame:
+        t, excl = bc.value
+        out = []
+        for page in texts:
+            ex = extract_alert(page if page is not None else "")
+            if not ex["valid"]:
+                out.append((None, False, []))
+                continue
+            terms = set()
+            for sec in ex["sections"]:
+                for field_text in (sec["title"], sec["content"]):
+                    for (surf, _a, _b, ns, id_, name) in scan_text(field_text, t):
+                        if surf not in excl:
+                            terms.add((ns, id_, name))
+            out.append((ex["archive_number"], True, sorted(terms)))
+        return pd.DataFrame(out, columns=["archive_number", "valid", "terms"])
+
+    return fused
+
+
+def fused_terms(pages: DataFrame, fused_udf) -> DataFrame:
+    """pages -> (doc_id, ns, id, entry_name) distinct per doc — the same
+    relation ground.terms_by_alert produces from the modular path (minus the
+    surface-token exclusion filter, applied here on entry_name upstream if
+    needed)."""
+    x = pages.select(F.col("url"), fused_udf(F.col("text")).alias("x"))
+    return (
+        x.filter(F.col("x.valid"))
+        .select(
+            F.col("x.archive_number").alias("doc_id"),
+            F.explode("x.terms").alias("t"),
+        )
+        .select("doc_id", "t.ns", "t.id", "t.entry_name")
+        .dropDuplicates(["doc_id", "ns", "id"])
+    )

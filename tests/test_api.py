@@ -1,0 +1,89 @@
+"""End-to-end API-surface tests: build the KG from the synthetic corpus,
+then drive every endpoint-shaped method (kg/api.py parity)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from outbreak_kg_spark import extract, ground, synth
+from outbreak_kg_spark.api import KgApi
+from outbreak_kg_spark.pipeline import build_kg
+
+
+@pytest.fixture(scope="module")
+def app(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("kgapi"))
+    out = build_kg(
+        spark, root,
+        pages=synth.pages_df(spark, 120),
+        gazetteer=synth.gazetteer_df(spark),
+        vocab_isa=synth.vocab_isa_df(spark),
+        outbreaks=synth.outbreaks_df(spark, 120),
+        phenotype_rels=synth.phenotype_rels_df(spark),
+        indicators_dev=synth.indicator_wide_df(spark, "dev"),
+        indicators_health=synth.indicator_wide_df(spark, "health"),
+        location_map=synth.location_map_df(spark),
+    )
+    return KgApi(
+        spark, out["nodes"], out["edges"], out["closure"],
+        synth.gazetteer_df(spark), extracted=out["extracted"],
+    )
+
+
+def test_get_curie(app):
+    assert app.get_curie("ebola") == "MESH:D0103"
+    assert app.get_curie("MESH:D0105") == "MESH:D0105"
+    assert app.get_curie("no such thing") is None
+
+
+def test_search_endpoint(app):
+    res = app.search(disease="Virus Diseases", geolocation="Africa")
+    assert res
+    for r in res:
+        assert r["disease_isa"] == "MESH:D0101"
+        assert r["geolocation_isa"] == "MESH:D0301"
+    # by name == by curie
+    res2 = app.search(disease="MESH:D0101", geolocation="MESH:D0301")
+    assert {r["alert_curie"] for r in res} == {r["alert_curie"] for r in res2}
+    assert app.search(disease="zzz unknown") == []
+    assert len(app.search(disease="Virus Diseases", limit=2)) == 2
+
+
+def test_indicators_endpoint(app):
+    res = app.get_indicators("Guinea")
+    assert res and all(isinstance(r["years_data"], dict) for r in res)
+    filtered = app.get_indicators("Guinea", "HIV")
+    assert all("HIV" in r["indicator_name"] for r in filtered)
+
+
+def test_text_relations_endpoint(app):
+    res = app.text_relations("ebola cases reported in Guinea and Bulgaria")
+    curies = {a["curie"] for a in res["annotations"]}
+    assert "MESH:D0103" in curies and "MESH:D0303" in curies
+    assert res["realism_score"]["classification"] in {"high", "medium", "low"}
+    assert all(a["alert_curie"].startswith("promed:") for a in res["alerts"])
+
+
+def test_autocomplete_endpoint(app):
+    hits = app.autocomplete("disease", "e")  # Ebolavirus Disease
+    assert any(h[2] == "MESH:D0103" for h in hits)
+    assert app.autocomplete("disease", "has:colon") == []
+
+
+def test_alert_text_endpoint(app, spark):
+    some = app.extracted.filter("valid").first()
+    txt = app.get_alert_text(some.archive_number)
+    assert txt == some.extracted_text
+    assert app.get_alert_text("nope") is None
+
+
+def test_find_literature_endpoint(app, spark):
+    m = (
+        app.edges.filter("pred = 'mentions'")
+        .select(
+            F.expr("substring(obj, 6)").alias("mesh_id"),
+            F.col("subj").alias("pmid"),
+        )
+    )
+    res = app.find_literature(m, ["MESH:D0103", "MESH:D0303", "MESH:D0202"],
+                              limit=5)
+    assert res and all(0.0 <= r["pval"] <= 1.0 for r in res)

@@ -1,0 +1,26 @@
+"""Fused extract+NER operator == modular path, on the synthetic corpus."""
+
+from pyspark.sql import functions as F
+
+from outbreak_kg_spark import extract, fused, ground, synth
+from outbreak_kg_spark.ground import NER_EXCLUDE_TOKENS
+
+
+def test_fused_equals_modular(spark):
+    pages = synth.pages_df(spark, 120)
+    gaz = synth.gazetteer_df(spark)
+
+    # modular: extract -> dedup -> sections -> annotate -> terms
+    alerts = extract.dedup_alerts(extract.extract_pages(pages))
+    udf = ground.make_annotate_udf(spark, gaz)
+    modular = ground.terms_by_alert(
+        ground.annotate_sections(extract.explode_section_texts(alerts), udf)
+    )
+    want = {(r.doc_id, r.ns, r.id) for r in modular.collect()}
+
+    # fused: single UDF pass (dedup archive numbers the same way first)
+    first = alerts.select("url")
+    fudf = fused.make_fused_udf(spark, gaz, exclude_tokens=NER_EXCLUDE_TOKENS)
+    got_df = fused.fused_terms(pages.join(first, "url", "left_semi"), fudf)
+    got = {(r.doc_id, r.ns, r.id) for r in got_df.collect()}
+    assert got == want
