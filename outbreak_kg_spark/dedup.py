@@ -173,7 +173,10 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 32) -> DataFrame:
     """Per-doc SimHash: bit b of the fingerprint is 1 iff the sum over
     distinct tokens of (+1 if bit b of h(token) else -1) is positive.
-    Computed with shiftright/bit-and inside one explode + sum agg."""
+    Computed with shiftright/bit-and inside one explode + sum agg.
+    bits <= 48 (the md5-derived hash width; also keeps 1<<b ANSI-safe)."""
+    if not 1 <= bits <= 48:
+        raise ValueError("simhash bits must be in [1, 48]")
     t = tokens(df, text_col, id_col).select(id_col, "tok").dropDuplicates()
     h = t.select(id_col, _md5_48("tok").alias("h"))
     contrib = h.select(

@@ -177,3 +177,21 @@ def test_literature_pvalues_ordering(spark):
     assert res[0].overlap_coverage_relevant == 3
     assert res[0].overlap == ["A", "B", "C"]
     assert 0.0 <= res[0].pval <= 1.0 and res[0].pval <= res[1].pval + 1.0
+
+
+def test_logsumexp_agg_distributed(spark):
+    import math
+
+    rows = [{"g": "a", "v": -1.0}, {"g": "a", "v": -2.5}, {"g": "a", "v": -30.0},
+            {"g": "b", "v": -7.0}]
+    df = spark.createDataFrame(rows)
+    got = {r.g: r.logsumexp
+           for r in queries.logsumexp_agg(df, "v", ["g"]).collect()}
+    want_a = math.log(sum(math.exp(v) for v in (-1.0, -2.5, -30.0)))
+    assert got["a"] == pytest.approx(want_a)
+    assert got["b"] == pytest.approx(-7.0)
+    # global (no keys) variant
+    g = queries.logsumexp_agg(df, "v").collect()[0].logsumexp
+    assert g == pytest.approx(
+        math.log(sum(math.exp(v) for v in (-1.0, -2.5, -30.0, -7.0)))
+    )
