@@ -848,6 +848,68 @@ SQL_NGRAM_JACCARD = """
 """
 
 
+def q_dedup_lsh_candidates(spark, sf_dir):
+    """LSH candidate generation: docs sharing any full minhash band.
+    Spark buckets by md5 of the band's (hash_idx, minhash) list; the oracle
+    joins directly on the band's value list — equal relations because bucket
+    equality <=> identical band lists (md5 collisions aside)."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 60)
+    sigs = dedup.minhash_signatures(d, num_hashes=8, shingle_n=2)
+    return dedup.lsh_candidate_pairs(sigs, bands=8)
+
+
+SQL_DEDUP_LSH_CANDIDATES = """
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        WHERE doc_id < 60),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS shingle
+        FROM toks, unnest(range(1, len(t))) u(i)),
+    hv AS (
+        SELECT doc_id, i AS hash_idx,
+               ('0x' || substr(md5(i || ':' || shingle), 1, 12))::BIGINT AS v
+        FROM sh, unnest(range(0, 8)) h(i)),
+    sig AS (SELECT doc_id, hash_idx, min(v) AS minhash FROM hv GROUP BY 1, 2),
+    bands AS (
+        SELECT doc_id, hash_idx % 8 AS band,
+               string_agg(minhash, ',' ORDER BY hash_idx) AS key
+        FROM sig GROUP BY 1, 2)
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    FROM bands x JOIN bands y USING (band, key)
+    WHERE x.doc_id < y.doc_id
+"""
+
+
+def q_graph_components(spark, sf_dir):
+    """Connected components (iterative hash-min self-join) over a derived
+    chain graph; oracle = reachability via recursive CTE + min-id."""
+    from .closure import connected_components
+
+    d = _docs(spark, sf_dir)
+    max_id = d.agg(F.max("doc_id")).first()[0]
+    edges = d.select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 3).alias("dst")
+    ).filter((F.col("doc_id") % 7 != 4) & (F.col("doc_id") + 3 <= max_id))
+    return connected_components(edges, "src", "dst")
+
+
+SQL_GRAPH_COMPONENTS = """
+    WITH RECURSIVE e AS (
+        SELECT doc_id AS a, doc_id + 3 AS b FROM documents
+        WHERE doc_id % 7 <> 4
+          AND doc_id + 3 <= (SELECT max(doc_id) FROM documents)),
+    sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+    reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+    nodes AS (SELECT a AS n FROM sym UNION SELECT b FROM sym)
+    SELECT n AS node, least(n, min(r.b)) AS component
+    FROM nodes LEFT JOIN reach r ON r.a = n
+    GROUP BY n
+"""
+
+
 def q_similarity_cosine_topk(spark, sf_dir):
     emb = _tbl(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(
@@ -1069,6 +1131,8 @@ def all_queries():
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_lsh_candidates": q_dedup_lsh_candidates,
+        "graph_components": q_graph_components,
         "ngram_jaccard": q_ngram_jaccard,
         "similarity_cosine_topk": q_similarity_cosine_topk,
         "similarity_neardup": q_similarity_neardup,
@@ -1113,6 +1177,8 @@ def all_oracle_sql():
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash_sigs": SQL_DEDUP_MINHASH,
         "dedup_simhash": _sql_simhash(16),
+        "dedup_lsh_candidates": SQL_DEDUP_LSH_CANDIDATES,
+        "graph_components": SQL_GRAPH_COMPONENTS,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "similarity_cosine_topk": SQL_COSINE_TOPK,
         "similarity_neardup": SQL_SIM_NEARDUP,
