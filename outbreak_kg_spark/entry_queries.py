@@ -359,6 +359,9 @@ SQL_KG_TOP_ALERTS = f"""
 def q_kg_first_timestamp_lookup(spark, sf_dir):
     """P10: first matching timestamp else '' (alert timestamp semantics,
     kg/build.py:165-170), over customer/orders."""
+    # timestamp RENDERING must match DuckDB's naive reading regardless of
+    # the caller's session timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     cust = _tbl(spark, sf_dir, "customer")
     orders = _tbl(spark, sf_dir, "orders")
     first = orders.groupBy("o_custkey").agg(
@@ -695,6 +698,7 @@ SQL_WINDOW_FIRST = """
 def q_year_month_map(spark, sf_dir):
     """A11/P9: pivot per-user month counts into a sorted JSON map string
     (years_data semantics, kg/build.py:288-297)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     e = _tbl(spark, sf_dir, "events")
     per = e.groupBy(
         "user_id", F.date_format("ts", "yyyy-MM").alias("month")
