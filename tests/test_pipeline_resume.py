@@ -101,3 +101,28 @@ def test_build_kg_end_to_end_and_resume(spark, tmp_path):
         .groupBy("stage").count().collect()
     )
     assert all(r["count"] == 1 for r in n_runs)
+
+
+def test_partial_failure_rebuilds_only_broken_stage(spark, tmp_path):
+    """Simulated mid-pipeline crash: a stage directory without _SUCCESS
+    (interrupted write) is rebuilt; committed stages are left untouched."""
+    import os
+
+    root = str(tmp_path)
+    built = []
+
+    def mk(name, n):
+        def build():
+            built.append(name)
+            return spark.range(n)
+        return build
+
+    run_stage(spark, root, "a", mk("a", 5))
+    run_stage(spark, root, "b", mk("b", 7))
+    # crash simulation: b lost its commit marker
+    os.remove(os.path.join(root, "b", "_SUCCESS"))
+    built.clear()
+    df_a = run_stage(spark, root, "a", mk("a", 5))
+    df_b = run_stage(spark, root, "b", mk("b", 7))
+    assert built == ["b"]  # only the broken stage re-ran
+    assert df_a.count() == 5 and df_b.count() == 7
