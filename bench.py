@@ -169,7 +169,13 @@ def main() -> None:
     e2e_pages_to_triples(spark, sf_dir, repl=max(1, repl // 10))
     wall, n_docs = e2e_pages_to_triples(spark, sf_dir, repl=repl)
     wall2, _ = e2e_pages_to_triples(spark, sf_dir, repl=repl)
-    wall = min(wall, wall2)
+    if abs(wall - wall2) / min(wall, wall2) > 0.5:
+        # bimodal host window (observed: occasional runs 3-7x slower with
+        # ~80% system time) — take a tie-breaker sample
+        wall3, _ = e2e_pages_to_triples(spark, sf_dir, repl=repl)
+        wall = min(wall, wall2, wall3)
+    else:
+        wall = min(wall, wall2)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     out = {
