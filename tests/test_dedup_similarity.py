@@ -188,3 +188,27 @@ def test_ivf_index_and_search(spark):
     for q in (0, 1, 2):
         mine = [r.neighbor_id for r in near if r.query_id == q]
         assert mine and mine[0] == q
+
+
+def test_minhash_estimates_jaccard(spark):
+    """MinHash property: fraction of agreeing signature slots approximates
+    the true shingle-Jaccard. Deterministic (md5 hash family), generous
+    tolerance for 64 hashes."""
+    words = [f"w{i:03d}" for i in range(60)]
+    # doc B shares the first 40 of A's 60 tokens -> known overlap structure
+    a = " ".join(words)
+    b = " ".join(words[:40] + [f"x{i}" for i in range(20)])
+    df = spark.createDataFrame([{"doc_id": 1, "text": a}, {"doc_id": 2, "text": b}])
+    sh = dedup.shingles(df, n=3)
+    sa = {r.shingle for r in sh.filter("doc_id=1").collect()}
+    sb = {r.shingle for r in sh.filter("doc_id=2").collect()}
+    true_j = len(sa & sb) / len(sa | sb)
+    sigs = dedup.minhash_signatures(df, num_hashes=64).collect()
+    by = {}
+    for r in sigs:
+        by.setdefault(r.hash_idx, {})[r.doc_id] = r.minhash
+    agree = sum(1 for h in by.values() if h[1] == h[2]) / len(by)
+    assert abs(agree - true_j) < 0.2
+    # exact jaccard operator agrees with the set computation
+    jp = {(r.a, r.b): r.jaccard for r in dedup.jaccard_pairs(df).collect()}
+    assert jp[(1, 2)] == pytest.approx(true_j)
