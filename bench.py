@@ -122,9 +122,9 @@ def e2e_pages_to_triples(spark, sf_dir: str, repl: int) -> tuple[float, int]:
         "doc_id", F.explode("_arr").alias("t")
     ).select("doc_id", "t.entry_name", "t.curie")
     counted = salted_count(
-        expand_pairs(sets, ["entry_name", "curie"]),
+        expand_pairs(sets, ["entry_name", "curie"], carry_cols=["doc_id"]),
         ["a_entry_name", "a_curie", "b_entry_name", "b_curie"],
-        salt=32, count_col="n_docs",
+        salt=32, count_col="n_docs", salt_from=F.col("doc_id"),
     )
     _force(terms)
     _force(counted)

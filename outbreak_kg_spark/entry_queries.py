@@ -189,7 +189,8 @@ def q_kg_mention_pairs(spark, sf_dir):
     a = m.select("doc_id", F.col("curie").alias("a_curie"), F.col("name").alias("an"))
     b = m.select("doc_id", F.col("curie").alias("b_curie"), F.col("name").alias("bn"))
     pairs = a.join(b, "doc_id").filter(F.col("an") < F.col("bn"))
-    return salted_count(pairs, ["a_curie", "b_curie"], salt=16, count_col="n_docs")
+    return salted_count(pairs, ["a_curie", "b_curie"], salt=16,
+                        count_col="n_docs", salt_from=F.col("doc_id"))
 
 
 SQL_KG_MENTION_PAIRS = f"""
@@ -235,7 +236,8 @@ def q_kg_interesting_pairs(spark, sf_dir):
         | ((F.col("at") == "geoloc") & (F.col("bt") == "disease"))
         | ((F.col("bt") == "geoloc") & (F.col("at") == "disease"))
     )
-    return salted_count(ok, ["a_curie", "b_curie"], salt=16, count_col="n_docs")
+    return salted_count(ok, ["a_curie", "b_curie"], salt=16,
+                        count_col="n_docs", salt_from=F.col("doc_id"))
 
 
 SQL_KG_INTERESTING_PAIRS = f"""

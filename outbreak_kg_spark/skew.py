@@ -6,8 +6,11 @@ badly skewed — 'Disease' is mentioned 80,133x across 62,620 alerts
 (output/promed_ner_stats.tsv:2) — and at web scale hot entities ('COVID-19',
 'Ebola') dominate. These helpers salt the key space, pre-aggregate per salt
 (map-side partials apply within each salt bucket too), then finish on the
-unsalted key. Invariant: salted_count == naive count for any salt factor
-(property-tested in tests/test_skew.py).
+unsalted key. The salt is derived from a ROW-VARYING source (salt_col), never
+from the group keys — a key-derived salt would give every row of a hot key
+the same bucket and split nothing. Invariants (tests/test_skew.py):
+salted_count == naive count for any salt factor, AND the phase-1 group
+cardinality on a hot-key frame exceeds the distinct-key count.
 """
 
 from __future__ import annotations
@@ -16,23 +19,46 @@ from pyspark.sql import DataFrame, Column
 from pyspark.sql import functions as F
 
 
+def salt_col(salt: int, salt_from: Column | None = None) -> Column:
+    """A salt bucket in [0, salt) that VARIES WITHIN a group key.
+
+    The salt must be derived from something row-varying — never from the
+    grouping keys themselves (a key-derived salt assigns every row of a hot
+    key the same bucket, so nothing is split and the two-phase plan is a
+    no-op). Callers with a natural row-distinct column (doc_id in the pair
+    pipelines) pass it as salt_from for a deterministic spread; the default
+    is monotonically_increasing_id(), which varies per row regardless of the
+    key (its exact values depend on partition layout, but the phase-2 re-agg
+    collapses all buckets, so results are layout-independent).
+    """
+    src = F.monotonically_increasing_id() if salt_from is None else salt_from
+    return F.pmod(F.hash(src), F.lit(salt))
+
+
 def salted_count(df: DataFrame, keys: list[str], salt: int = 16,
-                 count_col: str = "count") -> DataFrame:
-    """groupBy(keys).count() with a two-phase salted plan."""
-    salted = df.withColumn("_salt", F.pmod(F.hash(*keys), F.lit(salt)))
+                 count_col: str = "count",
+                 salt_from: Column | None = None) -> DataFrame:
+    """groupBy(keys).count() with a two-phase salted plan.
+
+    Note: for a plain COUNT, map-side partial aggregation already absorbs
+    hot keys (each task emits one partial row per key); the salted plan is
+    the explicit north-rule mechanism and matters most when the partial
+    state itself is heavy (count_distinct / collect_set — use salted_agg).
+    """
+    salted = df.withColumn("_salt", salt_col(salt, salt_from))
     partial = salted.groupBy(*keys, "_salt").agg(F.count(F.lit(1)).alias("_c"))
     return partial.groupBy(*keys).agg(F.sum("_c").cast("long").alias(count_col))
 
 
 def salted_agg(df: DataFrame, keys: list[str], aggs: dict[str, tuple],
-               salt: int = 16) -> DataFrame:
+               salt: int = 16, salt_from: Column | None = None) -> DataFrame:
     """Two-phase agg for decomposable aggregates.
 
     aggs: {out_col: (partial_fn, final_fn, in_col)} where partial_fn runs per
     (keys, salt) bucket and final_fn re-combines per keys — e.g.
     {'total': (F.sum, F.sum, 'x'), 'hi': (F.max, F.max, 'x')}.
     """
-    salted = df.withColumn("_salt", F.pmod(F.hash(*keys), F.lit(salt)))
+    salted = df.withColumn("_salt", salt_col(salt, salt_from))
     partial = salted.groupBy(*keys, "_salt").agg(
         *[p(c).alias(f"_p_{o}") for o, (p, _, c) in aggs.items()]
     )
@@ -59,11 +85,14 @@ def grouped_pair_counts(df: DataFrame, group_col: str, struct_cols: list[str],
     Output columns: a_<c> and b_<c> for each struct col, plus count_col.
     """
     arr = collect_group_sets(df, group_col, struct_cols)
-    flat = expand_pairs(arr, struct_cols)
+    flat = expand_pairs(arr, struct_cols, carry_cols=[group_col])
     if pair_filter is not None:
         flat = pair_filter(flat)
     keys = [f"a_{c}" for c in struct_cols] + [f"b_{c}" for c in struct_cols]
-    return salted_count(flat, keys, salt=salt, count_col=count_col)
+    # salt on the group id — row-varying within any hot pair key (a hot pair
+    # appears once per group), deterministic across runs
+    return salted_count(flat, keys, salt=salt, count_col=count_col,
+                        salt_from=F.col(group_col))
 
 
 def collect_group_sets(df: DataFrame, group_col: str,
@@ -78,9 +107,14 @@ def collect_group_sets(df: DataFrame, group_col: str,
     )
 
 
-def expand_pairs(sets_df: DataFrame, struct_cols: list[str]) -> DataFrame:
-    """JVM-side unordered-pair expansion of each group's member array."""
+def expand_pairs(sets_df: DataFrame, struct_cols: list[str],
+                 carry_cols: list[str] | None = None) -> DataFrame:
+    """JVM-side unordered-pair expansion of each group's member array.
+    carry_cols (e.g. the group id) are projected through unchanged — the
+    downstream salted count uses the group id as its row-varying salt source."""
+    carry = carry_cols or []
     pairs = sets_df.select(
+        *carry,
         F.explode(
             F.flatten(
                 F.expr(
@@ -89,9 +123,10 @@ def expand_pairs(sets_df: DataFrame, struct_cols: list[str]) -> DataFrame:
                     "y -> struct(x as a, y as b)))"
                 )
             )
-        ).alias("p")
+        ).alias("p"),
     )
     return pairs.select(
+        *carry,
         *[F.col(f"p.a.{c}").alias(f"a_{c}") for c in struct_cols],
         *[F.col(f"p.b.{c}").alias(f"b_{c}") for c in struct_cols],
     )
