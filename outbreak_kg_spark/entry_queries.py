@@ -387,18 +387,22 @@ SQL_KG_FIRST_TIMESTAMP = """
 
 def q_kg_cooccur_scores(spark, sf_dir):
     """A5: log-normalized co-occurrence scores (kg/realism_score.py:70-72),
-    rounded for cross-engine float stability."""
+    rounded for cross-engine float stability. The doc total rides along as a
+    broadcast 1-row frame — one job, no driver-side count() re-running the
+    NER pass (round-1 flaw #4)."""
     m = entry_mentions(spark, sf_dir)
-    n_docs = m.select("doc_id").distinct().count()
+    n_docs = F.broadcast(m.agg(F.count_distinct("doc_id").alias("_nd")))
     a = m.select("doc_id", F.col("curie").alias("a_curie"), F.col("name").alias("an"))
     b = m.select("doc_id", F.col("curie").alias("b_curie"), F.col("name").alias("bn"))
     pairs = a.join(b, "doc_id").filter(F.col("an") < F.col("bn"))
     return (
         pairs.groupBy("a_curie", "b_curie")
         .agg(F.count(F.lit(1)).alias("n_co"))
+        .crossJoin(n_docs)
         .select(
             "a_curie", "b_curie", "n_co",
-            F.round(F.log("n_co") - F.log(F.lit(float(n_docs))), 6).alias("score_r"),
+            F.round(F.log("n_co") - F.log(F.col("_nd").cast("double")), 6)
+            .alias("score_r"),
         )
     )
 
@@ -417,13 +421,15 @@ def q_kg_realism_logsumexp(spark, sf_dir):
     """A6+P11: stable logsumexp over all pair scores + threshold
     classification (kg/client.py:269-281)."""
     m = entry_mentions(spark, sf_dir)
-    n_docs = m.select("doc_id").distinct().count()
+    n_docs = F.broadcast(m.agg(F.count_distinct("doc_id").alias("_nd")))
     a = m.select("doc_id", F.col("curie").alias("a_curie"), F.col("name").alias("an"))
     b = m.select("doc_id", F.col("curie").alias("b_curie"), F.col("name").alias("bn"))
     pair_scores = (
         a.join(b, "doc_id").filter(F.col("an") < F.col("bn"))
         .groupBy("a_curie", "b_curie")
-        .agg((F.log(F.count(F.lit(1))) - F.log(F.lit(float(n_docs)))).alias("s"))
+        .agg(F.count(F.lit(1)).alias("_nc"))
+        .crossJoin(n_docs)
+        .select((F.log("_nc") - F.log(F.col("_nd").cast("double"))).alias("s"))
     )
     mx = pair_scores.agg(F.max("s").alias("_m"))
     lse = (
@@ -477,7 +483,7 @@ def q_kg_literature_candidates(spark, sf_dir):
     m = entry_mentions(spark, sf_dir).select(
         F.col("curie").alias("mesh_id"), F.col("doc_id").alias("pmid")
     )
-    cand, _q, _t = literature_candidates(m, LIT_QUERY_TERMS, exclude=set())
+    cand, _q = literature_candidates(m, LIT_QUERY_TERMS, exclude=set())
     return cand.select("pmid", "n_query_terms")
 
 
@@ -494,10 +500,12 @@ def q_kg_literature_contingency(spark, sf_dir):
     """A14's 2x2 contingency cells per candidate pmid (the Fisher p-value on
     top of these is scipy inside applyInPandas — pytest-verified; the cells
     are the SQL-checkable part)."""
+    from .queries import total_mesh_terms
+
     m = entry_mentions(spark, sf_dir).select(
         F.col("curie").alias("mesh_id"), F.col("doc_id").alias("pmid")
     )
-    total = m.select("mesh_id").distinct().count()
+    total = F.broadcast(total_mesh_terms(m))
     nq = len(LIT_QUERY_TERMS)
     cand = (
         m.filter(F.col("mesh_id").isin(LIT_QUERY_TERMS))
@@ -506,11 +514,11 @@ def q_kg_literature_contingency(spark, sf_dir):
         .filter(F.col("n_overlap") >= 2)
     )
     tgt = m.groupBy("pmid").agg(F.count_distinct("mesh_id").alias("n_target"))
-    return cand.join(tgt, "pmid").select(
+    return cand.join(tgt, "pmid").crossJoin(total).select(
         "pmid", "n_overlap", "n_target",
         (F.lit(nq) - F.col("n_overlap")).alias("q_minus_t"),
         (F.col("n_target") - F.col("n_overlap")).alias("t_minus_q"),
-        (F.lit(total) - (F.lit(nq) + F.col("n_target") - F.col("n_overlap")))
+        (F.col("total_terms") - (F.lit(nq) + F.col("n_target") - F.col("n_overlap")))
         .alias("neither"),
     )
 
@@ -534,8 +542,10 @@ SQL_KG_LIT_CONTINGENCY = f"""
 
 
 def q_kg_literature_pvalues(spark, sf_dir):
-    """A14 full: Fisher exact inside applyInPandas. No SQL oracle (scipy) —
-    rows-only check; the contingency inputs are oracle-checked above."""
+    """A14 full: vectorized Fisher exact inside applyInPandas, now fully
+    oracle-gated: the overlap set is projected to a comma-joined string (the
+    driver's rows-only canonicalizer can't sort array cells — round-1 ERR)
+    and the p-value is rounded so the DuckDB lgamma tail sum matches."""
     from .queries import literature_pvalues
 
     m = entry_mentions(spark, sf_dir).select(
@@ -544,7 +554,81 @@ def q_kg_literature_pvalues(spark, sf_dir):
     types = spark.createDataFrame(
         [{"mesh_id": c, "node_type": ty} for c, _t, ty in ENTRY_GAZ]
     )
-    return literature_pvalues(m, types, LIT_QUERY_TERMS, exclude=set(), limit=20)
+    out = literature_pvalues(m, types, LIT_QUERY_TERMS, exclude=set(), limit=20)
+    return out.select(
+        "pmid", "n_target", "n_overlap",
+        F.array_join("overlap", ",").alias("overlap_csv"),
+        "overlap_coverage", "overlap_coverage_relevant",
+        F.round("pval", 6).alias("pval_r"),
+    )
+
+
+def _sql_lit_pvalues() -> str:
+    """Fisher tail sum in SQL: P(X >= a) for X ~ Hypergeom(M=total, K=row1,
+    N=col1) via lgamma, summed over k = a..min(row1, col1) with a correlated
+    range subquery — exactly fisher_exact_greater's formula."""
+    types_vals = ", ".join(f"('{c}', '{ty}')" for c, _t, ty in ENTRY_GAZ)
+    q_in = ", ".join(f"'{t}'" for t in LIT_QUERY_TERMS)
+    nq = len(LIT_QUERY_TERMS)
+    return f"""
+    WITH m0 AS ({_SQL_MENTIONS}),
+    m AS (SELECT DISTINCT curie AS mesh_id, doc_id AS pmid FROM m0),
+    tot AS (SELECT count(DISTINCT mesh_id) AS total_terms FROM m),
+    cand AS (
+        SELECT pmid, count(DISTINCT mesh_id) AS n_overlap
+        FROM m WHERE mesh_id IN ({q_in})
+        GROUP BY pmid HAVING count(DISTINCT mesh_id) >= {nq - 1}),
+    typed AS (
+        SELECT m.pmid, m.mesh_id, t.node_type
+        FROM m JOIN cand USING (pmid)
+        LEFT JOIN (VALUES {types_vals}) t(mesh_id, node_type) USING (mesh_id)),
+    per AS (
+        SELECT pmid,
+               count(*) AS n_target,
+               count(DISTINCT CASE WHEN mesh_id IN ({q_in})
+                                   THEN mesh_id END) AS n_overlap,
+               string_agg(DISTINCT CASE WHEN mesh_id IN ({q_in})
+                                        THEN mesh_id END, ','
+                          ORDER BY CASE WHEN mesh_id IN ({q_in})
+                                        THEN mesh_id END) AS overlap_csv,
+               count(DISTINCT CASE WHEN mesh_id IN ({q_in})
+                                   THEN node_type END) AS overlap_coverage,
+               count(DISTINCT CASE WHEN mesh_id IN ({q_in})
+                         AND node_type IN ('geoloc', 'disease', 'pathogen')
+                                   THEN node_type END)
+                 AS overlap_coverage_relevant
+        FROM typed GROUP BY pmid),
+    cells AS (
+        SELECT per.*,
+               n_overlap AS a4,
+               {nq} AS row1,
+               n_target AS col1,
+               (SELECT total_terms FROM tot) AS m4
+        FROM per),
+    pv AS (
+        -- k <= row1 = n_query, so an uncorrelated 0..n_query range joined on
+        -- BETWEEN replaces the (unsupported) correlated generate_series
+        SELECT c.pmid, c.n_target, c.n_overlap, c.overlap_csv,
+               c.overlap_coverage, c.overlap_coverage_relevant,
+               least(1.0, sum(exp(
+                   (lgamma(c.row1 + 1) - lgamma(s.k + 1)
+                    - lgamma(c.row1 - s.k + 1))
+                   + (lgamma(c.m4 - c.row1 + 1) - lgamma(c.col1 - s.k + 1)
+                      - lgamma(c.m4 - c.row1 - c.col1 + s.k + 1))
+                   - (lgamma(c.m4 + 1) - lgamma(c.col1 + 1)
+                      - lgamma(c.m4 - c.col1 + 1))))) AS pval
+        FROM cells c
+        JOIN generate_series(0, {nq}) s(k)
+          ON s.k BETWEEN c.a4 AND least(c.row1, c.col1)
+        GROUP BY ALL)
+    SELECT pmid::VARCHAR AS pmid, n_target, n_overlap, overlap_csv,
+           overlap_coverage, overlap_coverage_relevant,
+           round(pval, 6) AS pval_r
+    FROM pv
+    ORDER BY overlap_coverage_relevant DESC, overlap_coverage DESC,
+             pval ASC, pmid::VARCHAR ASC
+    LIMIT 20
+"""
 
 
 def q_kg_autocomplete(spark, sf_dir):
@@ -1169,7 +1253,7 @@ def all_oracle_sql():
         "kg_realism_logsumexp": SQL_KG_REALISM_LSE,
         "kg_literature_candidates": SQL_KG_LIT_CANDIDATES,
         "kg_literature_contingency": SQL_KG_LIT_CONTINGENCY,
-        # kg_literature_pvalues: no oracle (scipy Fisher inside applyInPandas)
+        "kg_literature_pvalues": _sql_lit_pvalues(),
         "kg_autocomplete": SQL_KG_AUTOCOMPLETE,
         "agg_pricing_summary": SQL_AGG_PRICING,
         "join_star_topk": SQL_JOIN_STAR_TOPK,
