@@ -80,15 +80,20 @@ def candidate_pairs(blocks: DataFrame, id_col: str = "curie") -> DataFrame:
 
 def verified_pairs(sh: DataFrame, cand: DataFrame, id_col: str = "curie",
                    threshold: float = 0.7) -> DataFrame:
+    """Exact name-shingle Jaccard over the LSH candidates ONLY: the candidate
+    restriction sits BELOW the intersection aggregate (left side fans out to
+    its candidate partners, then equi-joins on (b, shingle)), so the
+    intermediate is bounded by sum over candidates of |shingles(a)| — a hot
+    shingle shared by every name cannot make it quadratic (round-1 flaw #3;
+    same fix as dedup.jaccard_pairs)."""
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     la = sh.select(F.col(id_col).alias("a"), "shingle")
     lb = sh.select(F.col(id_col).alias("b"), "shingle")
     inter = (
-        la.join(lb, "shingle")
-        .filter(F.col("a") < F.col("b"))
+        la.join(cand.select("a", "b").dropDuplicates(), "a")
+        .join(lb, ["b", "shingle"])
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("ni"))
-        .join(cand, ["a", "b"], "inner")
     )
     return (
         inter.join(sizes.withColumnRenamed(id_col, "a")
@@ -125,9 +130,13 @@ def canonical_assignments(nodes: DataFrame, ns_priority: tuple = ("MESH",),
         F.substring_index("node", "\x00", -1).alias("curie"),
         "component",
     )
-    prio = F.when(
-        F.substring_index("curie", ":", 1).isin(list(ns_priority)), 0
-    ).otherwise(1)
+    # honor the ORDER of a multi-entry ns_priority tuple (('MESH','geonames')
+    # must prefer MESH over geonames), not just membership — same indexed
+    # walk as ground.compile_gazetteer
+    ns = F.substring_index("curie", ":", 1)
+    prio = F.lit(len(ns_priority))
+    for i in range(len(ns_priority) - 1, -1, -1):
+        prio = F.when(ns == ns_priority[i], F.lit(i)).otherwise(prio)
     ranked = members.withColumn("_p", prio)
     canon = ranked.groupBy("component").agg(
         F.min(F.struct("_p", "curie")).alias("_best")

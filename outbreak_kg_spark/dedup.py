@@ -120,17 +120,33 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame | None = None,
                   text_col: str = "text", id_col: str = "doc_id",
                   shingle_n: int = 3) -> DataFrame:
     """n-gram Jaccard similarity for candidate pairs (or all pairs when
-    pairs is None — only sane at test scale). Returns (a, b, jaccard)."""
+    pairs is None — only sane at test scale). Returns (a, b, jaccard).
+
+    With candidates, the restriction happens BELOW the intersection: the
+    shingle set of each candidate's left doc is fanned out to its candidate
+    partners, then equi-joined on (b, shingle). The intermediate is bounded
+    by sum over candidate pairs of |shingles(a)| — independent of corpus
+    shingle frequency. The naive shape (full shingle self-join, then join
+    candidates) re-introduces the all-pairs blow-up LSH exists to avoid:
+    one hot shingle ('of the on') makes it quadratic over the whole corpus,
+    and Catalyst cannot push a join below an aggregation (round-1 flaw #3).
+    """
     sh = shingles(df, text_col, id_col, n=shingle_n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     la = sh.select(F.col(id_col).alias("a"), "shingle")
     lb = sh.select(F.col(id_col).alias("b"), "shingle")
-    inter = (
-        la.join(lb, "shingle").filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_inter"))
-    )
     if pairs is not None:
-        inter = inter.join(pairs, ["a", "b"], "inner")
+        cand = pairs.select("a", "b").dropDuplicates()
+        inter = (
+            la.join(cand, "a")           # (a, b, shingle): per-pair fan-out
+            .join(lb, ["b", "shingle"])  # keep shingles present in both docs
+            .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        inter = (
+            la.join(lb, "shingle").filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     return (
         inter.join(sizes.withColumnRenamed(id_col, "a")
                    .withColumnRenamed("sz", "sz_a"), "a")

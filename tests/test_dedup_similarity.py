@@ -60,6 +60,66 @@ def test_minhash_lsh_finds_dups(docs):
     assert out[4] != out[1] and out[5] != out[1] and out[3] != out[1]
 
 
+def test_jaccard_candidates_below_intersection(spark):
+    """Round-1 flaw #3: with candidates given, the shingle intersection must
+    be restricted to candidate pairs BEFORE aggregation. 300 docs all sharing
+    one hot bigram would make the unrestricted self-join ~45k intermediate
+    pairs; the bounded plan only touches the single candidate pair. Checks
+    (a) values match the unrestricted path on the candidate pair, and (b)
+    the physical plan joins the candidate frame below the count aggregate."""
+    docs = spark.createDataFrame(
+        [{"doc_id": i, "text": f"hot shingle word{i} tail{i}"}
+         for i in range(300)]
+    )
+    cand = spark.createDataFrame([{"a": 1, "b": 2}])
+    got = dedup.jaccard_pairs(docs, cand, shingle_n=2).collect()
+    assert len(got) == 1
+    r = got[0]
+    # doc i bigrams: {hot shingle, shingle word_i, word_i tail_i} -> inter=1, union=5
+    assert (r.a, r.b) == (1, 2) and r.jaccard == pytest.approx(1 / 5)
+    # plan-shape regression marker: the old (quadratic) shape self-joined ALL
+    # shingles with an (a < b) filter and only then joined candidates; the
+    # bounded plan never builds that filter — candidates arrive pre-ordered
+    plan = (dedup.jaccard_pairs(docs, cand, shingle_n=2)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    import re
+
+    assert not re.search(r"\(a#\d+L? < b#\d+L?\)", plan)
+
+
+def test_canonicalize_hot_shingle_bounded(spark):
+    """Same placement fix in canonicalize.verified_pairs: names sharing a hot
+    character trigram only compare within LSH candidates."""
+    from outbreak_kg_spark.canonicalize import name_shingles, verified_pairs
+
+    nodes = spark.createDataFrame(
+        [{"curie": f"MESH:D{i:04d}", "name": f"commonprefix {i}"}
+         for i in range(200)]
+    )
+    sh = name_shingles(nodes, "name", "curie")
+    cand = spark.createDataFrame(
+        [{"a": "MESH:D0001", "b": "MESH:D0011"}]
+    )
+    out = verified_pairs(sh, cand, "curie", threshold=0.0).collect()
+    assert len(out) == 1 and (out[0].a, out[0].b) == ("MESH:D0001", "MESH:D0011")
+
+
+def test_canonical_priority_respects_tuple_order(spark):
+    """Advisor fix: ('geonames', 'MESH') must elect the geonames member even
+    when the MESH curie sorts lexicographically first."""
+    from outbreak_kg_spark.canonicalize import canonical_assignments
+
+    nodes = spark.createDataFrame(
+        [{"curie": "MESH:AAA", "name": "Bulgaria", "node_type": "geoloc"},
+         {"curie": "geonames:999", "name": "Bulgaria", "node_type": "geoloc"}]
+    )
+    got = {r.curie: r.canonical_curie
+           for r in canonical_assignments(
+               nodes, ns_priority=("geonames", "MESH")).collect()}
+    assert got["MESH:AAA"] == "geonames:999"
+    assert got["geonames:999"] == "geonames:999"
+
+
 def test_simhash_near_dups(docs):
     fps = dedup.simhash(docs)
     pairs = {(r.a, r.b): r.hamming
