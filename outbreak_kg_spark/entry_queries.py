@@ -338,6 +338,88 @@ SQL_KG_QUERY_GRAPH = f"""
 """
 
 
+def q_kg_predicate_rename(spark, sf_dir):
+    """North-rule vocabulary view (SURVEY.md §1.1; views.predicate_rename_view):
+    builds a graph from the entry mentions — isa hierarchy, occurs_with pair
+    counts, has_pathogen(disease -> pathogen) co-mentions, alert timestamps —
+    and emits the renamed edges (located_in / case_count_of / causes /
+    occurred_on)."""
+    from .views import predicate_rename_view
+
+    m = entry_mentions(spark, sf_dir)
+    alerts = (
+        m.select(
+            F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("curie"),
+            F.lit("alert").alias("node_type"),
+            F.format_string(
+                "2024-%02d-01", (F.col("doc_id") % 12 + 1).cast("int")
+            ).alias("timestamp"),
+        )
+        .dropDuplicates(["curie"])
+    )
+    entities = spark.createDataFrame(
+        [(c, ty, None) for c, _t, ty in ENTRY_GAZ],
+        "curie string, node_type string, timestamp string",
+    )
+    nodes = alerts.unionByName(entities)
+
+    isa = spark.createDataFrame(
+        [(s, "isa", o, None) for s, o in ENTRY_ISA],
+        "subj string, pred string, obj string, count long",
+    )
+    a = m.select("doc_id", F.col("curie").alias("a_curie"),
+                 F.col("name").alias("an"), F.col("node_type").alias("at"))
+    b = m.select("doc_id", F.col("curie").alias("b_curie"),
+                 F.col("name").alias("bn"), F.col("node_type").alias("bt"))
+    co = a.join(b, "doc_id")
+    occurs = (
+        salted_count(co.filter(F.col("an") < F.col("bn")),
+                     ["a_curie", "b_curie"], salt=16, count_col="count",
+                     salt_from=F.col("doc_id"))
+        .select(F.col("a_curie").alias("subj"),
+                F.lit("occurs_with").alias("pred"),
+                F.col("b_curie").alias("obj"), "count")
+    )
+    has_pathogen = (
+        co.filter((F.col("at") == "disease") & (F.col("bt") == "pathogen"))
+        .select(F.col("a_curie").alias("subj"),
+                F.lit("has_pathogen").alias("pred"),
+                F.col("b_curie").alias("obj"))
+        .dropDuplicates()
+        .withColumn("count", F.lit(None).cast("long"))
+    )
+    edges = isa.unionByName(occurs).unionByName(has_pathogen)
+    return predicate_rename_view(nodes, edges).select(
+        "subj", "pred", "obj", "count"
+    )
+
+
+SQL_KG_PREDICATE_RENAME = f"""
+    WITH m AS ({_SQL_MENTIONS}),
+    isa(subj, obj) AS (VALUES {", ".join(f"('{s}', '{o}')" for s, o in ENTRY_ISA)}),
+    gaz(curie, name, node_type) AS (VALUES {_sql_values_gaz()}),
+    geo AS (SELECT curie FROM gaz WHERE node_type = 'geoloc')
+    SELECT subj, 'located_in' AS pred, obj, NULL::BIGINT AS count
+    FROM isa WHERE subj IN (SELECT curie FROM geo)
+               AND obj IN (SELECT curie FROM geo)
+    UNION ALL
+    SELECT DISTINCT b.curie AS subj, 'causes' AS pred, a.curie AS obj,
+           NULL::BIGINT AS count
+    FROM m a JOIN m b ON a.doc_id = b.doc_id
+    WHERE a.node_type = 'disease' AND b.node_type = 'pathogen'
+    UNION ALL
+    SELECT a.curie AS subj, 'case_count_of' AS pred, b.curie AS obj,
+           count(*) AS count
+    FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.name < b.name
+    GROUP BY 1, 3
+    UNION ALL
+    SELECT DISTINCT 'doc:' || doc_id AS subj, 'occurred_on' AS pred,
+           printf('2024-%02d-01', (doc_id % 12 + 1)::INT) AS obj,
+           NULL::BIGINT AS count
+    FROM m
+"""
+
+
 def q_kg_top_alerts(spark, sf_dir):
     """A16/O4: docs ranked by distinct mentioned entities, deterministic
     top-50 (TakeOrderedAndProject)."""
@@ -1201,6 +1283,7 @@ def all_queries():
         "kg_interesting_pairs": q_kg_interesting_pairs,
         "kg_isa_closure": q_kg_isa_closure,
         "kg_query_graph": q_kg_query_graph,
+        "kg_predicate_rename": q_kg_predicate_rename,
         "kg_top_alerts": q_kg_top_alerts,
         "kg_first_timestamp_lookup": q_kg_first_timestamp_lookup,
         "kg_cooccur_scores": q_kg_cooccur_scores,
@@ -1247,6 +1330,7 @@ def all_oracle_sql():
         "kg_interesting_pairs": SQL_KG_INTERESTING_PAIRS,
         "kg_isa_closure": SQL_KG_ISA_CLOSURE,
         "kg_query_graph": SQL_KG_QUERY_GRAPH,
+        "kg_predicate_rename": SQL_KG_PREDICATE_RENAME,
         "kg_top_alerts": SQL_KG_TOP_ALERTS,
         "kg_first_timestamp_lookup": SQL_KG_FIRST_TIMESTAMP,
         "kg_cooccur_scores": SQL_KG_COOCCUR_SCORES,

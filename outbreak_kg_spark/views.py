@@ -1,0 +1,100 @@
+"""North-rule predicate vocabulary as a rename VIEW over the KG edge table
+(SURVEY.md §1.1). The rule names `causes, located_in, case_count_of,
+occurred_on`; reference semantics give direct analogs:
+
+- `causes`        = reverse of `has_pathogen`. The reference emits
+  has_pathogen(disease -> pathogen) (kg/build.py:210 over
+  pathogen_disease_rels.tsv, whose :START_ID is the disease, e.g.
+  doid:0050175 tick-borne encephalitis -> ncbitaxon:11084 TBEV); README.md:26-27
+  reads it as "a pathogen causes a disease", so causes(pathogen -> disease).
+- `located_in`    = `isa` between two geolocation nodes ("hierarchical
+  inclusion ... where the subsumed region is the source", README.md:23-25;
+  geonames part_of -> isa at kg/build.py:373-375).
+- `case_count_of` = `occurs_with` with its per-pair alert-count payload
+  (kg/build.py:85-88) carried through as the case count.
+- `occurred_on`   = the alert node's timestamp (kg/build.py:168-171),
+  materialized as an edge from the alert to its timestamp literal.
+
+The view is a projection/filter/rename — no new state, no shuffle beyond two
+broadcast semi-joins against the (vocabulary-sized) geoloc node set — so both
+vocabularies are always available over one physical edge table: the original
+for reference parity (fixture P/R is computed there) and the renamed one for
+north-rule consumers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _extras(edges: DataFrame):
+    """Pass through any payload columns beyond the (subj, pred, obj) core."""
+    return [c for c in edges.columns if c not in ("subj", "pred", "obj")]
+
+
+def predicate_rename_view(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """edges in the reference vocabulary -> edges in the north-rule
+    vocabulary (same schema). Only the four mapped predicates are emitted;
+    use graph_with_north_vocabulary for the union of both."""
+    extras = _extras(edges)
+
+    geo = F.broadcast(
+        nodes.filter(F.col("node_type") == "geoloc").select("curie")
+    )
+    located_in = (
+        edges.filter(F.col("pred") == "isa")
+        .join(geo.withColumnRenamed("curie", "subj"), "subj", "left_semi")
+        .join(geo.withColumnRenamed("curie", "obj"), "obj", "left_semi")
+        .withColumn("pred", F.lit("located_in"))
+        .select("subj", "pred", "obj", *extras)
+    )
+
+    causes = (
+        edges.filter(F.col("pred") == "has_pathogen")
+        .select(
+            F.col("obj").alias("subj"),
+            F.lit("causes").alias("pred"),
+            F.col("subj").alias("obj"),
+            *extras,
+        )
+    )
+
+    case_count_of = (
+        edges.filter(F.col("pred") == "occurs_with")
+        .withColumn("pred", F.lit("case_count_of"))
+        .select("subj", "pred", "obj", *extras)
+    )
+
+    ts_edges = (
+        nodes.filter(
+            (F.col("node_type") == "alert")
+            & F.col("timestamp").isNotNull()
+            & (F.col("timestamp") != "")
+        )
+        .select(
+            F.col("curie").alias("subj"),
+            F.lit("occurred_on").alias("pred"),
+            F.col("timestamp").alias("obj"),
+        )
+    )
+    for c in extras:
+        ts_edges = ts_edges.withColumn(
+            c,
+            F.lit("alert_timestamp") if c == "provenance"
+            else F.lit(None).cast(dict(edges.dtypes)[c]),
+        )
+    ts_edges = ts_edges.select("subj", "pred", "obj", *extras)
+
+    return (
+        located_in.unionByName(causes)
+        .unionByName(case_count_of)
+        .unionByName(ts_edges)
+    )
+
+
+def graph_with_north_vocabulary(nodes: DataFrame,
+                                edges: DataFrame) -> DataFrame:
+    """Both vocabularies over one edge table: the reference predicates plus
+    their north-rule renames (SURVEY.md §1.1 contract)."""
+    return edges.unionByName(predicate_rename_view(nodes, edges))

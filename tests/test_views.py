@@ -1,0 +1,116 @@
+"""North-rule predicate-rename view: exact mapping per predicate, both
+vocabularies coexisting, and P/R = 1.0 of the rename against the reference
+vocabulary it derives from (SURVEY.md §1.1)."""
+
+from pyspark.sql import functions as F
+
+from outbreak_kg_spark.views import (
+    graph_with_north_vocabulary,
+    predicate_rename_view,
+)
+
+NODES = [
+    # geolocations (one MeSH, one geonames) + a disease sharing the hierarchy
+    {"curie": "geonames:100", "name": "Conakry", "node_type": "geoloc",
+     "timestamp": None},
+    {"curie": "MESH:D006235", "name": "Guinea", "node_type": "geoloc",
+     "timestamp": None},
+    {"curie": "MESH:D019142", "name": "Ebola", "node_type": "disease",
+     "timestamp": None},
+    {"curie": "MESH:D029043", "name": "Ebolavirus", "node_type": "pathogen",
+     "timestamp": None},
+    # alerts: one with a timestamp, one with the reference's '' placeholder
+    {"curie": "promed:1", "name": "1", "node_type": "alert",
+     "timestamp": "2014-03-23 00:00:00"},
+    {"curie": "promed:2", "name": "2", "node_type": "alert", "timestamp": ""},
+]
+EDGES = [
+    # geoloc isa geoloc -> located_in
+    {"subj": "geonames:100", "pred": "isa", "obj": "MESH:D006235",
+     "count": None, "provenance": "geonames"},
+    # disease isa (non-geo endpoints) -> NOT located_in
+    {"subj": "MESH:D019142", "pred": "isa", "obj": "MESH:D007239",
+     "count": None, "provenance": "vocab"},
+    # has_pathogen(disease -> pathogen) -> causes(pathogen -> disease)
+    {"subj": "MESH:D019142", "pred": "has_pathogen", "obj": "MESH:D029043",
+     "count": None, "provenance": "pathogen_disease"},
+    # occurs_with + count payload -> case_count_of
+    {"subj": "MESH:D019142", "pred": "occurs_with", "obj": "MESH:D006235",
+     "count": 42, "provenance": "cooccurrence"},
+    # mentions: not part of the rename vocabulary
+    {"subj": "promed:1", "pred": "mentions", "obj": "MESH:D019142",
+     "count": None, "provenance": "ner"},
+]
+
+# the expected north-vocabulary relation, derived by hand from the mapping
+EXPECTED = {
+    ("geonames:100", "located_in", "MESH:D006235", None),
+    ("MESH:D029043", "causes", "MESH:D019142", None),
+    ("MESH:D019142", "case_count_of", "MESH:D006235", 42),
+    ("promed:1", "occurred_on", "2014-03-23 00:00:00", None),
+}
+
+
+def _frames(spark):
+    nodes = spark.createDataFrame(NODES)
+    edges = spark.createDataFrame(
+        EDGES, "subj string, pred string, obj string, count long, "
+               "provenance string"
+    )
+    return nodes, edges
+
+
+def test_rename_view_exact(spark):
+    nodes, edges = _frames(spark)
+    got = {
+        (r.subj, r.pred, r.obj, r["count"])
+        for r in predicate_rename_view(nodes, edges).collect()
+    }
+    assert got == EXPECTED
+
+
+def test_rename_view_precision_recall(spark):
+    """P/R of the view vs the hand-derived north-vocabulary fixture = 1.0,
+    the same gate the reference fixtures use for the original vocabulary."""
+    nodes, edges = _frames(spark)
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in predicate_rename_view(nodes, edges).collect()
+    }
+    want = {(s, p, o) for s, p, o, _c in EXPECTED}
+    tp = len(got & want)
+    precision = tp / len(got)
+    recall = tp / len(want)
+    assert precision == 1.0 and recall == 1.0
+
+
+def test_both_vocabularies_coexist(spark):
+    nodes, edges = _frames(spark)
+    both = graph_with_north_vocabulary(nodes, edges)
+    preds = {r.pred for r in both.select("pred").distinct().collect()}
+    # original vocabulary intact
+    assert {"isa", "has_pathogen", "occurs_with", "mentions"} <= preds
+    # renamed vocabulary present
+    assert {"located_in", "causes", "case_count_of", "occurred_on"} <= preds
+    # the rename is a view, not a rewrite: original edge rows unchanged
+    orig = both.filter(
+        F.col("pred").isin("isa", "has_pathogen", "occurs_with", "mentions")
+    ).count()
+    assert orig == len(EDGES)
+
+
+def test_occurred_on_skips_empty_timestamp(spark):
+    nodes, edges = _frames(spark)
+    ts = predicate_rename_view(nodes, edges).filter(
+        F.col("pred") == "occurred_on"
+    ).collect()
+    assert {r.subj for r in ts} == {"promed:1"}  # promed:2 has '' -> no edge
+
+
+def test_provenance_payload(spark):
+    nodes, edges = _frames(spark)
+    got = {r.pred: r.provenance
+           for r in predicate_rename_view(nodes, edges).collect()}
+    assert got["located_in"] == "geonames"        # carried through
+    assert got["case_count_of"] == "cooccurrence"
+    assert got["occurred_on"] == "alert_timestamp"  # synthesized
