@@ -47,11 +47,36 @@ NER_EXCLUDE_TOKENS = {"J", "one", "news", "large", "go", "cut", "white", "Kelly"
 
 _TOKEN_RE = re.compile(r"\w+", re.UNICODE)
 
+# Greek unicode -> spelled-out names, the full reference chain
+# (kg/client.py:345-350: replace_greek_uni / replace_greek_latin /
+# replace_greek_spelled_out before normalize). Both directions are inserted
+# as trie path VARIANTS (below) so the document scan stays a raw-token walk.
+GREEK_SPELLED = {
+    "α": "alpha", "β": "beta", "γ": "gamma", "δ": "delta", "ε": "epsilon",
+    "ζ": "zeta", "η": "eta", "θ": "theta", "ι": "iota", "κ": "kappa",
+    "λ": "lambda", "μ": "mu", "ν": "nu", "ξ": "xi", "ο": "omicron",
+    "π": "pi", "ρ": "rho", "σ": "sigma", "ς": "sigma", "τ": "tau",
+    "υ": "upsilon", "φ": "phi", "χ": "chi", "ψ": "psi", "ω": "omega",
+}
+_SPELLED_TO_GREEK = {v: k for k, v in GREEK_SPELLED.items() if k != "ς"}
+
+# Roman <-> arabic for TRAILING numerals ('Type III' == 'Type 3'), mirroring
+# gilda's replace_roman_arabic end-of-name semantics (kg/client.py:349).
+ROMAN_ARABIC = {
+    "i": "1", "ii": "2", "iii": "3", "iv": "4", "v": "5", "vi": "6",
+    "vii": "7", "viii": "8", "ix": "9", "x": "10", "xi": "11", "xii": "12",
+    "xiii": "13", "xiv": "14", "xv": "15", "xvi": "16", "xvii": "17",
+    "xviii": "18", "xix": "19", "xx": "20",
+}
+_ARABIC_ROMAN = {v: k for k, v in ROMAN_ARABIC.items()}
+
 
 def normalize_term(s: str) -> str:
-    """Normalization chain stand-in for gilda.process (kg/client.py:345-350):
-    dashes to spaces, casefold, whitespace collapse. Deterministic and
-    identical on both the vocabulary and the query side."""
+    """Core normalization (gilda.process `replace_dashes` + `normalize`,
+    kg/client.py:345,350): dashes to spaces, casefold, whitespace collapse.
+    Deterministic and identical on both the vocabulary and the query side.
+    Greek/roman equivalences are handled as token-path variants
+    (term_token_variants), not by rewriting the canonical string."""
     s = re.sub(r"[-‐-―]", " ", s)
     s = re.sub(r"\s+", " ", s.strip().lower())
     return s
@@ -62,6 +87,51 @@ def _term_tokens(s: str) -> tuple:
     document text, so punctuation inside names ('Africa, Western') cannot
     desynchronize the trie path from the scan path."""
     return tuple(m.group(0) for m in _TOKEN_RE.finditer(normalize_term(s)))
+
+
+def term_token_variants(s: str, max_variants: int = 16) -> set[tuple]:
+    """All token paths under which a vocabulary surface form is inserted
+    into the trie — the engine's equivalent of the reference's grounder
+    normalization chain (kg/client.py:345-350, gilda.process
+    replace_greek_uni / replace_greek_latin / replace_greek_spelled_out /
+    replace_roman_arabic).
+
+    The reference normalizes the vocabulary AND each query through gilda;
+    the streaming scan here walks raw lowercase document tokens, so the
+    equivalences are materialized as alternative trie paths instead: each
+    greek token is inserted both as its unicode char and its spelled-out
+    name ('β-Lactamases' matches 'β lactamases' and 'beta lactamases'), and
+    a trailing roman/arabic numeral of a multi-token name is inserted both
+    ways ('Type III secretion' does not end in a numeral, but 'Influenza A
+    H3' style 'Type III' == 'Type 3'). Cross products are capped at
+    max_variants for pathological names."""
+    base = _term_tokens(s)
+    if not base:
+        return set()
+    variants = {base}
+    # greek: per-token, both directions
+    for i, tok in enumerate(base):
+        alts = set()
+        for v in variants:
+            t = v[i]
+            if t in GREEK_SPELLED:
+                alts.add(v[:i] + (GREEK_SPELLED[t],) + v[i + 1:])
+            elif t in _SPELLED_TO_GREEK:
+                alts.add(v[:i] + (_SPELLED_TO_GREEK[t],) + v[i + 1:])
+        variants |= alts
+        if len(variants) >= max_variants:
+            return set(list(variants)[:max_variants])
+    # trailing roman <-> arabic (multi-token names only)
+    if len(base) >= 2:
+        alts = set()
+        for v in variants:
+            last = v[-1]
+            if last in ROMAN_ARABIC:
+                alts.add(v[:-1] + (ROMAN_ARABIC[last],))
+            elif last in _ARABIC_ROMAN:
+                alts.add(v[:-1] + (_ARABIC_ROMAN[last],))
+        variants |= alts
+    return set(list(variants)[:max_variants])
 
 
 def compile_gazetteer(rows: list[dict], ns_priority=DEFAULT_NS_PRIORITY) -> dict:
@@ -77,13 +147,11 @@ def compile_gazetteer(rows: list[dict], ns_priority=DEFAULT_NS_PRIORITY) -> dict
     prio = {ns: i for i, ns in enumerate(ns_priority)}
     best: dict[tuple, tuple] = {}
     for r in rows:
-        toks = _term_tokens(r["synonym"])
-        if not toks:
-            continue
         cand = (prio.get(r["ns"], len(prio)), r["ns"], r["id"], r["entry_name"])
-        cur = best.get(toks)
-        if cur is None or cand < cur:
-            best[toks] = cand
+        for toks in term_token_variants(r["synonym"]):
+            cur = best.get(toks)
+            if cur is None or cand < cur:
+                best[toks] = cand
     trie: dict = {}
     for toks, (_, ns, id_, name) in best.items():
         node = trie
@@ -211,12 +279,18 @@ def ground_names(spark: SparkSession, gazetteer: DataFrame, names: list[str],
         if ":" in name:
             out[name] = name
             continue
-        node = trie
-        ok = True
-        for t in _term_tokens(name):
-            node = node.get(t)
-            if node is None:
-                ok = False
-                break
-        out[name] = f"{node[0][0]}:{node[0][1]}" if ok and node and 0 in node else None
+        # the query side normalizes through the same variant chain as the
+        # vocabulary (kg/client.py:367-378 grounds via the same grounder)
+        hits = []
+        for toks in sorted(term_token_variants(name)):
+            node = trie
+            for t in toks:
+                node = node.get(t)
+                if node is None:
+                    break
+            else:
+                if node and 0 in node:
+                    hits.append(node[0])
+        best = min(hits) if hits else None
+        out[name] = f"{best[0]}:{best[1]}" if best else None
     return out

@@ -53,6 +53,66 @@ def test_namespace_priority_resolution():
     ]
 
 
+GAZ_NORM = GAZ + [
+    {"ns": "MESH", "id": "D5", "entry_name": "beta-Lactamases",
+     "synonym": "β-Lactamases"},
+    {"ns": "MESH", "id": "D6", "entry_name": "Type III Secretion Systems",
+     "synonym": "Type III Secretion Systems"},
+    {"ns": "MESH", "id": "D7", "entry_name": "Influenza A Virus, H3N2 Subtype",
+     "synonym": "Influenza A Virus, H3N2 Subtype"},
+    {"ns": "MESH", "id": "D8", "entry_name": "Coxsackievirus A6",
+     "synonym": "Coxsackievirus Type 6"},
+]
+
+
+def _scan_norm(text):
+    trie = ground.compile_gazetteer(GAZ_NORM, ("MESH", "geonames"))
+    return ground.scan_text(text, trie)
+
+
+def test_greek_unicode_and_spelled_out_equivalent():
+    """N5 chain (kg/client.py:345-350): vocabulary 'β-Lactamases' must ground
+    both the unicode and the spelled-out surface form."""
+    assert [h[4] for h in _scan_norm("resistant β-lactamases found")] == ["D5"]
+    assert [h[4] for h in _scan_norm("resistant beta-lactamases found")] == ["D5"]
+    assert [h[4] for h in _scan_norm("resistant beta lactamases found")] == ["D5"]
+
+
+def test_roman_arabic_trailing_equivalent():
+    # vocab ends in an arabic-style token ('Type 6') -> roman form matches
+    assert [h[4] for h in _scan_norm("a coxsackievirus type vi outbreak")] == ["D8"]
+    assert [h[4] for h in _scan_norm("a coxsackievirus type 6 outbreak")] == ["D8"]
+    # roman numeral MID-name is not rewritten ('Type III Secretion Systems'
+    # still matches verbatim; 'H3N2' is untouched)
+    assert [h[4] for h in _scan_norm("the type iii secretion systems story")] == ["D6"]
+    assert [h[4] for h in _scan_norm("influenza a virus, h3n2 subtype spread")] == ["D7"]
+
+
+def test_term_token_variants_shapes():
+    v = ground.term_token_variants("β-hemolytic")
+    assert ("β", "hemolytic") in v and ("beta", "hemolytic") in v
+    v2 = ground.term_token_variants("Serotype XIX")
+    assert ("serotype", "xix") in v2 and ("serotype", "19") in v2
+    # single-token names get no roman/arabic variant (trailing semantics)
+    assert ground.term_token_variants("V") == {("v",)}
+
+
+def test_ground_names_normalization_chain(spark):
+    from outbreak_kg_spark.schemas import GAZETTEER
+
+    gaz = spark.createDataFrame(
+        [{"ns": r["ns"], "id": r["id"], "entry_name": r["entry_name"],
+          "synonym": r["synonym"], "node_type": "disease"} for r in GAZ_NORM],
+        GAZETTEER,
+    )
+    out = ground.ground_names(
+        spark, gaz, ["β-Lactamases", "beta-Lactamases", "Coxsackievirus Type VI"]
+    )
+    assert out["β-Lactamases"] == "MESH:D5"
+    assert out["beta-Lactamases"] == "MESH:D5"
+    assert out["Coxsackievirus Type VI"] == "MESH:D8"
+
+
 def test_ground_names_driver_side(spark):
     from outbreak_kg_spark import synth
 
