@@ -1149,13 +1149,53 @@ SQL_SIM_NEARDUP = """
 
 
 def q_similarity_ann_topk(spark, sf_dir):
-    """LSH-bucketed ANN (rows-only check: the bucketing is the scale path;
-    exactness is covered by cosine_topk + pytest recall tests)."""
+    """LSH-bucketed ANN, fully oracle-gated: the hyperplanes are
+    deterministic md5-derived constants computed once in Python and inlined
+    as literals on BOTH sides, so DuckDB reproduces the exact buckets and
+    the per-bucket cosine ranking (round-1 item 8: was no_oracle)."""
     emb = _tbl(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.ann_topk(emb, queries, dim=64, k=5, n_planes=4)
+    out = similarity.ann_topk(emb, queries, dim=64, k=5, n_planes=4)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine_r"), "rank"
+    )
+
+
+def _sql_ann_topk(dim: int = 64, k: int = 5, n_planes: int = 4,
+                  seed: int = 42) -> str:
+    """DuckDB twin of similarity.ann_topk: identical inlined hyperplane
+    literals -> identical sign-pattern buckets -> identical candidates."""
+    planes = similarity._hyperplanes(dim, n_planes, seed)
+    plane_rows = ", ".join(
+        f"({p}, [{', '.join(repr(x) for x in planes[p])}]::DOUBLE[])"
+        for p in range(n_planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    planes(p, w) AS (VALUES {plane_rows}),
+    bucketed AS (
+        SELECT vec_id, v,
+               sum(CASE WHEN list_dot_product(v, w) >= 0
+                        THEN (1 << p) ELSE 0 END)::INT AS bucket
+        FROM e CROSS JOIN planes GROUP BY vec_id, v),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket
+          FROM bucketed WHERE vec_id < 3),
+    scored AS (
+        SELECT q.query_id, b.vec_id AS neighbor_id,
+               list_dot_product(b.v, q.qv)
+               / (sqrt(list_dot_product(b.v, b.v))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+        FROM bucketed b JOIN q USING (bucket)),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored)
+    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r, rank::INT AS rank
+    FROM ranked WHERE rank <= {k}
+"""
 
 
 def q_text_lang_id(spark, sf_dir):
@@ -1356,8 +1396,7 @@ def all_oracle_sql():
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "similarity_cosine_topk": SQL_COSINE_TOPK,
         "similarity_neardup": SQL_SIM_NEARDUP,
-        # similarity_ann_topk: no oracle (probabilistic bucketing; recall
-        # asserted in pytest vs brute force)
+        "similarity_ann_topk": _sql_ann_topk(),
         "text_lang_id": _sql_lang_id(),
         "text_token_counts": SQL_TEXT_TOKEN_COUNTS,
         "text_fingerprints": SQL_TEXT_FINGERPRINTS,
