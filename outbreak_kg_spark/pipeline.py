@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from . import builders, closure as closure_mod, extract, ground
 from .lineage import run_stage
+from .wdi_constants import wb_location_map_df
 
 
 def build_kg(
@@ -98,7 +99,7 @@ def build_kg(
         add(builders.build_indicators(
             indicators_dev, indicators_health, mesh_nodes_for_ind,
             location_map if location_map is not None
-            else _empty_location_map(spark),
+            else wb_location_map_df(spark),
         ))
     if geoname_terms is not None and geoname_partof is not None \
             and geoname_grounding is not None:
@@ -136,8 +137,6 @@ def build_kg(
     }
 
 
-def _empty_location_map(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame([], "src_name string, mesh_name string")
 
 
 def symptom_closure(edges: DataFrame) -> DataFrame:

@@ -1,0 +1,65 @@
+"""World-Bank -> MeSH location-name map, shipped as DATA (round-1 gap #3).
+
+This is the reference's 42-entry LOCATION_MESH_MAPPING
+(/root/reference/kg/constants.py:3-44) verbatim-as-data: the World
+Development Indicators CSVs spell countries differently from MeSH geolocation
+names ('Czechia' vs 'Czech Republic', 'Korea, Rep.' vs 'Republic of Korea');
+without the map, build_indicators' geoloc-grounding inner join silently drops
+those countries. It is a fact table about two public vocabularies, not code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# (World-Bank spelling, MeSH geolocation name) — kg/constants.py:3-44
+LOCATION_MESH_MAPPING: tuple[tuple[str, str], ...] = (
+    ("Czechia", "Czech Republic"),
+    ("St. Lucia", "Saint Lucia"),
+    ("Macao SAR, China", "Macau"),
+    ("Macao", "Macau"),
+    ("North Macedonia", "Republic of North Macedonia"),
+    ("Venezuela, RB", "Venezuela"),
+    ("Iran, Islamic Rep.", "Iran"),
+    ("Congo, Rep.", "Congo"),
+    ("Republic of the Congo", "Congo"),
+    ("Korea, Rep.", "Republic of Korea"),
+    ("South Korea", "Republic of Korea"),
+    ("South Asia", "Asia, Southern"),
+    ("Hong Kong SAR, China", "Hong Kong"),
+    ("Gambia, The", "Gambia"),
+    ("Sub-Saharan Africa", "Africa South of the Sahara"),
+    ("Syrian Arab Republic", "Syria"),
+    ("Slovak Republic", "Slovakia"),
+    ("Viet Nam", "Vietnam"),
+    ("Brunei Darussalam", "Brunei"),
+    ("Yemen, Rep.", "Yemen"),
+    ("St. Vincent and the Grenadines", "Saint Vincent and the Grenadines"),
+    ("Virgin Islands (U.S.)", "United States Virgin Islands"),
+    ("U.S. Virgin Islands", "United States Virgin Islands"),
+    ("Congo, Dem. Rep.", "Democratic Republic of the Congo"),
+    ("St. Kitts and Nevis", "Saint Kitts and Nevis"),
+    ("Turkiye", "Turkey"),
+    ("Belarus", "Republic of Belarus"),
+    ("Egypt, Arab Rep.", "Egypt"),
+    ("Micronesia, Fed. Sts.", "Micronesia"),
+    ("Lao PDR", "Laos"),
+    ("Kyrgyz Republic", "Kyrgyzstan"),
+    ("Korea, Dem. People's Rep.", "Democratic People's Republic of Korea"),
+    ("North Korea", "Democratic People's Republic of Korea"),
+    ("Pacific island small states", "Pacific Islands"),
+    ("Bahamas, The", "Bahamas"),
+    ("The Netherlands", "Netherlands"),
+    ("Vatican", "Vatican City"),
+    ("Pitcairn", "Pitcairn Island"),
+    ("Svalbard and Jan Mayen", "Svalbard"),
+    ("Timor Leste", "Timor-Leste"),
+)
+
+
+def wb_location_map_df(spark: SparkSession) -> DataFrame:
+    """The map as the (src_name, mesh_name) dimension build_indicators
+    broadcasts (builders.py). 40 distinct sources; always broadcast-side."""
+    return spark.createDataFrame(
+        [{"src_name": s, "mesh_name": m} for s, m in LOCATION_MESH_MAPPING]
+    )

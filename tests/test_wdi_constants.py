@@ -1,0 +1,58 @@
+"""The shipped World-Bank -> MeSH location map (round-1 gap #3): exact
+parity with the reference constant and end-to-end effect in
+build_indicators (differently-spelled countries are kept, not dropped)."""
+
+from pyspark.sql import functions as F
+
+from outbreak_kg_spark.builders import build_indicators
+from outbreak_kg_spark.wdi_constants import (
+    LOCATION_MESH_MAPPING,
+    wb_location_map_df,
+)
+
+
+def test_map_matches_reference_constant():
+    """Verbatim-as-data parity with kg/constants.py:3-44."""
+    ref_ns: dict = {}
+    exec(open("/root/reference/kg/constants.py").read(), ref_ns)
+    assert dict(LOCATION_MESH_MAPPING) == ref_ns["LOCATION_MESH_MAPPING"]
+
+
+def test_build_indicators_keeps_wb_spellings(spark):
+    """A WDI row spelled 'Viet Nam' / 'Korea, Rep.' must reach the MeSH
+    geoloc node named 'Vietnam' / 'Republic of Korea'; an unmapped spelling
+    with no matching node is dropped (reference inner-join semantics)."""
+    cols = ["Country Name", "Series Code", "Series Name", "2019 [YR2019]"]
+    health = spark.createDataFrame(
+        [("Viet Nam", "SH.XPD", "Health expenditure", "1.5"),
+         ("Korea, Rep.", "SH.XPD", "Health expenditure", "2.5"),
+         ("Atlantis", "SH.XPD", "Health expenditure", "9.9")],
+        cols,
+    )
+    dev = spark.createDataFrame([], ", ".join(f"`{c}` string" for c in cols))
+    mesh_nodes = spark.createDataFrame(
+        [("MESH:D014744", "Vietnam", ["geoloc", "entity"], "geoloc", None),
+         ("MESH:D007723", "Republic of Korea", ["geoloc", "entity"],
+          "geoloc", None)],
+        "curie string, name string, labels array<string>, node_type string, "
+        "timestamp string",
+    )
+    _nodes, edges = build_indicators(
+        dev, health, mesh_nodes, wb_location_map_df(spark)
+    )
+    got = {(r.subj, r.obj): r.years_data for r in edges.collect()}
+    assert ("MESH:D014744", "wdi:SH.XPD") in got
+    assert ("MESH:D007723", "wdi:SH.XPD") in got
+    assert got[("MESH:D014744", "wdi:SH.XPD")] == {"2019": 1.5}
+    assert len(got) == 2  # Atlantis dropped
+
+
+def test_pipeline_default_is_the_wb_map(spark):
+    """build_kg's default location_map is the shipped constant, not empty."""
+    import inspect
+
+    from outbreak_kg_spark import pipeline
+
+    src = inspect.getsource(pipeline.build_kg)
+    assert "wb_location_map_df" in src
+    assert wb_location_map_df(spark).count() == len(LOCATION_MESH_MAPPING)
