@@ -131,17 +131,23 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iters: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """edges(src, dst) -> assignments(node, component) via hash-min
-    propagation: every node repeatedly adopts the minimum component id in its
-    closed neighborhood until a fixpoint. Used by entity canonicalization
+    propagation WITH pointer jumping: each round every node adopts the
+    minimum component id in its closed neighborhood (one groupBy over the
+    symmetrized edge list), then chases its label one hop through the label
+    table itself (comp[node] = comp[comp[node]]). The jump halves label-path
+    lengths, so chain-shaped clusters (serial web re-posts) converge in
+    O(log diameter) rounds instead of O(diameter) — the round-1 design note
+    (#6); property-tested on a path graph. Used by entity canonicalization
     (north rule; reference analog: geoname->MeSH merge kg/build.py:384-407
     plus neo4j-admin --skip-duplicate-nodes).
 
-    Scale: each round is one groupBy(node).min(component) over the
-    symmetrized edge list — partial aggregation absorbs hot nodes map-side,
-    and AQE handles residual join skew. Rounds ~ graph diameter; entity-dup
-    clusters are tiny, so this converges in a handful of rounds.
+    Scale: the neighborhood min is a partial+final hash agg (hot nodes absorb
+    map-side); the jump is a self-equi-join on the label (labels are node
+    ids, so the lookup always resolves). Two shuffles per round, log rounds.
+    stats (optional dict) records {'rounds': n} for observability.
     """
     sym = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
@@ -157,18 +163,31 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         neigh_min = (
             sym.join(comp.withColumnRenamed("node", "b"), "b")
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("component").alias("nmin"))
         )
+        stepped = comp.join(neigh_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce("nmin", F.col("component"))
+            ).alias("component"),
+        )
+        # pointer jump: comp[node] <- min(comp[node], comp[comp[node]])
+        jump = stepped.select(
+            F.col("node").alias("component"),
+            F.col("component").alias("_cc"),
+        )
         new_comp = (
-            comp.join(neigh_min, "node", "left")
+            stepped.join(jump, "component", "left")
             .select(
                 "node",
                 F.least(
-                    F.col("component"), F.coalesce("nmin", F.col("component"))
+                    F.col("component"), F.coalesce("_cc", F.col("component"))
                 ).alias("component"),
             )
             .localCheckpoint(eager=True)
@@ -181,4 +200,6 @@ def connected_components(
         comp = new_comp
         if changed.isEmpty():
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     return comp

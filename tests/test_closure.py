@@ -92,3 +92,20 @@ def test_connected_components_matches_bruteforce(spark):
     got = {r.node: r.component for r in connected_components(df).collect()}
     want = _brute_components(edges, {n for e in edges for n in e})
     assert got == want
+
+
+def test_connected_components_path_graph_log_rounds(spark):
+    """Pointer jumping (round-1 design note #6): a 512-node path has
+    diameter 511, so plain hash-min needs ~511 rounds (and would NOT
+    converge within max_iters=50); with the per-round jump the label path
+    halves each round -> O(log n) rounds and the true min label."""
+    n = 512
+    df = spark.createDataFrame(
+        [{"src": i, "dst": i + 1} for i in range(n - 1)]
+    )
+    stats = {}
+    got = {r.node: r.component
+           for r in connected_components(df, stats=stats).collect()}
+    assert stats["rounds"] <= 20          # ~2*log2(512)=18 worst case
+    assert set(got.values()) == {0}       # one component, min id 0
+    assert len(got) == n
