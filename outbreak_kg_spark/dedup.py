@@ -226,7 +226,16 @@ def hamming_near_dups(fps: DataFrame, id_col: str = "doc_id",
     """SimHash near-dup pairs by Hamming distance, using the pigeonhole
     block trick: two fingerprints within distance d must agree exactly on at
     least one of d+1 blocks -> equi-join per block, then verify with
-    bit_count(xor)."""
+    bit_count(xor). Pigeonhole soundness requires blocks >= d + 1 and an
+    exact block partition of the fingerprint; violating either silently
+    misses pairs, so both are guarded."""
+    if max_distance >= blocks:
+        raise ValueError(
+            f"pigeonhole needs blocks >= max_distance + 1 "
+            f"(got blocks={blocks}, max_distance={max_distance})"
+        )
+    if bits % blocks != 0:
+        raise ValueError(f"blocks ({blocks}) must divide bits ({bits})")
     width = bits // blocks
     blocked = fps.select(
         id_col, "simhash",

@@ -20,13 +20,23 @@ from pyspark.sql.functions import broadcast
 # kg/realism_score.py:14-35). The reference has a missing-comma bug that
 # fuses 'D005190' 'D012306' into one bogus id 'D005190D012306'; that bug is
 # query-side only (not on the P/R-checked triple surface) so we fix it here
-# and keep both real ids (SURVEY.md §7.4).
+# and keep both real ids. CONTRACT (SURVEY.md §7.4, confirmed round 2): the
+# bug-fixed set is the default — realism scores and literature p-values for
+# queries touching D005190/D012306 intentionally diverge from the reference's
+# runtime, which (because of the fused bogus id) effectively excludes
+# NEITHER. Pass exclude=QUERY_EXCLUDE_MESH_REFERENCE_RUNTIME for
+# bit-for-bit parity with the reference as deployed.
 QUERY_EXCLUDE_MESH = {
     "D003142", "D004194", "D004196", "D005190", "D012306", "D011634",
     "D012816", "D042241", "D003141", "D003643", "D007239", "D004630",
     "D002947", "D012008", "D020478", "D006262", "D011153", "D019090",
     "D009272", "D003933",
 }
+# The set as the reference actually evaluates it at runtime (the two real
+# ids replaced by the fused artifact, which matches no MeSH id).
+QUERY_EXCLUDE_MESH_REFERENCE_RUNTIME = (
+    QUERY_EXCLUDE_MESH - {"D005190", "D012306"}
+) | {"D005190D012306"}
 
 REALISM_HIGH = -4.5   # kg/client.py:275-276
 REALISM_MEDIUM = -7.0

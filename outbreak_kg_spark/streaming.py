@@ -177,10 +177,12 @@ def _duration_ms(s: str) -> int:
 
 def start_kg_append(mentions_stream: DataFrame, out_dir: str,
                     checkpoint_dir: str, trigger_available_now: bool = True):
-    """foreachBatch sink: append distinct mention edges per micro-batch.
-    Batch ids make the append idempotent on restart (Structured Streaming
-    replays the last uncommitted batch; the dropDuplicates inside the batch
-    plus append-by-batch-id file naming keeps exactly-once file output)."""
+    """foreachBatch sink: distinct mention edges per micro-batch, written to
+    a per-batch-id directory with mode('overwrite'). Overwrite — not append —
+    is what makes the sink exactly-once: Structured Streaming replays the
+    last micro-batch after a crash between the parquet write and the
+    checkpoint commit, and a replayed append would lay duplicate part files
+    alongside the partial output; the replayed overwrite replaces it."""
 
     def write_batch(batch_df: DataFrame, batch_id: int):
         (
@@ -190,7 +192,7 @@ def start_kg_append(mentions_stream: DataFrame, out_dir: str,
                 F.concat_ws(":", "ns", "id").alias("obj"),
             )
             .dropDuplicates(["subj", "pred", "obj"])
-            .write.mode("append")
+            .write.mode("overwrite")
             .parquet(f"{out_dir}/batch_id={batch_id}")
         )
 

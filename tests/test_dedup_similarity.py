@@ -122,11 +122,24 @@ def test_canonical_priority_respects_tuple_order(spark):
 
 def test_simhash_near_dups(docs):
     fps = dedup.simhash(docs)
+    # pigeonhole needs blocks >= max_distance + 1 (advisor fix: the old
+    # default blocks=4 with max_distance=6 silently missed pairs)
     pairs = {(r.a, r.b): r.hamming
-             for r in dedup.hamming_near_dups(fps, max_distance=6).collect()}
+             for r in dedup.hamming_near_dups(
+                 fps, max_distance=6, blocks=8).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] == 0
     vals = {r.doc_id: r.simhash for r in fps.collect()}
     assert vals[1] == vals[2]  # identical text -> identical fingerprint
+
+
+def test_hamming_guards(docs):
+    import pytest as _pytest
+
+    fps = dedup.simhash(docs)
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        dedup.hamming_near_dups(fps, max_distance=4, blocks=4)
+    with _pytest.raises(ValueError, match="divide"):
+        dedup.hamming_near_dups(fps, bits=30, blocks=4, max_distance=3)
 
 
 def _cos(a, b):

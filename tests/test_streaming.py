@@ -62,6 +62,49 @@ def test_streaming_restart_is_idempotent(spark, staged):
     assert after == before
 
 
+def test_streaming_crash_replay_is_exactly_once(spark, staged):
+    """The advisor's failure mode: a crash BETWEEN the parquet write and the
+    checkpoint commit makes Structured Streaming replay the batch. Simulated
+    by deleting the commit marker for batch 0 (offsets remain) — the replayed
+    batch must overwrite its batch_id directory, not append duplicates."""
+    import time
+    from pathlib import Path
+
+    root, _ = staged
+    # drain any still-active availableNow query from the prior tests — two
+    # queries may not share one checkpoint
+    deadline = time.time() + 60
+    while spark.streams.active and time.time() < deadline:
+        time.sleep(0.5)
+    assert not spark.streams.active
+    udf = ground.make_annotate_udf(spark, synth.gazetteer_df(spark))
+    before = spark.read.parquet(str(root / "out")).count()
+    # truncate the checkpoint so the newest DATA batch has its offsets entry
+    # but no commit marker — exactly the crash window. Replay must then
+    # rewrite that batch's directory. (Verified against the old append sink:
+    # same scenario duplicates the batch's part files and rows.)
+    offsets = sorted(Path(root / "ckpt" / "offsets").glob("[0-9]*"),
+                     key=lambda p: int(p.name))
+    commits = sorted(Path(root / "ckpt" / "commits").glob("[0-9]*"),
+                     key=lambda p: int(p.name))
+    assert len(commits) >= 2, "expected committed batches from the prior run"
+    keep = int(commits[0].name)  # keep only the first commit
+    for p in commits + offsets:
+        if int(p.name) > keep and (p in commits or int(p.name) > keep + 1):
+            crc = p.parent / f".{p.name}.crc"
+            p.unlink()
+            if crc.exists():
+                crc.unlink()
+    stream = streaming.read_pages_stream(spark, str(root / "in" / "d1"))
+    q = streaming.start_kg_append(
+        streaming.streaming_mentions(stream, udf),
+        str(root / "out"), str(root / "ckpt"),
+    )
+    q.awaitTermination(120)
+    after = spark.read.parquet(str(root / "out")).count()
+    assert after == before  # replay replaced, did not duplicate
+
+
 def test_mention_rate_window(spark, staged):
     root, _ = staged
     udf = ground.make_annotate_udf(spark, synth.gazetteer_df(spark))
