@@ -21,6 +21,26 @@ from . import ground, queries
 from .pipeline import symptom_closure
 
 
+def get_pubmed_meta(results: list[dict], limit: int = 10,
+                    fetcher=None) -> dict:
+    """Top-PMID metadata step of find_literature (kg/mesh_csr.py:169-173:
+    `pubmed_client.get_metadata_for_ids(pmids, get_abstracts=True)`).
+
+    The fetch itself is an external PubMed web service, stubbed behind the
+    `fetcher` seam exactly like the multimodal codec (multimodal.py): pass
+    `fetcher(pmids: list[str]) -> dict[pmid, meta]` (tests use a
+    deterministic fake); without one this raises NotImplementedError rather
+    than silently returning nothing. The pmid slice preserves the p-value
+    ranking order, like the reference's `results.pmid[:limit]`."""
+    pmids = [r["pmid"] for r in results[:limit]]
+    if fetcher is None:
+        raise NotImplementedError(
+            "get_pubmed_meta needs a fetcher(pmids) -> {pmid: meta} "
+            "(external PubMed service; see kg/mesh_csr.py:169-173)"
+        )
+    return fetcher(pmids)
+
+
 class KgApi:
     """Holds the at-rest KG DataFrames + driver-side lookup state (the
     reference builds the same things at import time: custom grounder
@@ -138,14 +158,23 @@ class KgApi:
 
     # -- /v1/find_literature ---------------------------------------------------
     def find_literature(self, mesh_pmids: DataFrame, mesh_ids: list[str],
-                        limit: int = 20) -> list[dict]:
+                        limit: int = 20, include_meta: bool = False,
+                        meta_fetcher=None) -> list[dict] | dict:
+        """The reference endpoint returns PubMed METADATA for the top PMIDs
+        (kg/client.py:310-314: get_pvalues -> get_pubmed_meta -> jsonify),
+        not the p-value rows. include_meta=True reproduces that output shape
+        through the get_pubmed_meta seam; the default keeps the analytic rows
+        (strictly more information, same ordering)."""
         ids = [m[5:] if m.startswith("MESH:") else m for m in mesh_ids]
         types = self.spark.createDataFrame(
             [{"mesh_id": k, "node_type": v} for k, v in self._mesh_types.items()]
             or [{"mesh_id": "", "node_type": ""}]
         )
         res = queries.literature_pvalues(mesh_pmids, types, ids, limit=limit)
-        return [r.asDict() for r in res.collect()]
+        rows = [r.asDict() for r in res.collect()]
+        if include_meta:
+            return get_pubmed_meta(rows, limit=limit, fetcher=meta_fetcher)
+        return rows
 
     # -- /autocomplete/* --------------------------------------------------------
     def autocomplete(self, label: str, prefix: str, top_n: int = 100) -> list:

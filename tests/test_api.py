@@ -87,3 +87,26 @@ def test_find_literature_endpoint(app, spark):
     res = app.find_literature(m, ["MESH:D0103", "MESH:D0303", "MESH:D0202"],
                               limit=5)
     assert res and all(0.0 <= r["pval"] <= 1.0 for r in res)
+    # output-shape parity with the reference endpoint (get_pvalues ->
+    # get_pubmed_meta -> jsonify, kg/client.py:310-314): include_meta returns
+    # {pmid: metadata} for the top PMIDs in ranking order, via the fetcher seam
+    seen = {}
+
+    def fake_fetcher(pmids):
+        seen["pmids"] = list(pmids)
+        return {p: {"title": f"T{p}", "abstract": f"A{p}"} for p in pmids}
+
+    meta = app.find_literature(
+        m, ["MESH:D0103", "MESH:D0303", "MESH:D0202"], limit=5,
+        include_meta=True, meta_fetcher=fake_fetcher,
+    )
+    assert seen["pmids"] == [r["pmid"] for r in res]  # ranking preserved
+    assert set(meta) == set(seen["pmids"])
+    assert meta[res[0]["pmid"]]["title"] == f"T{res[0]['pmid']}"
+    # without a fetcher the external service is an explicit stub, not a silent no-op
+    import pytest as _pytest
+
+    from outbreak_kg_spark.api import get_pubmed_meta
+
+    with _pytest.raises(NotImplementedError):
+        get_pubmed_meta(res, limit=2)
