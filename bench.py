@@ -87,10 +87,21 @@ def replicated_pages(spark, sf_dir: str, repl: int):
     return pages, n * repl
 
 
-def e2e_pages_to_triples(spark, sf_dir: str, repl: int) -> tuple[float, int]:
-    """Full pipeline wall time: extract -> NER -> mentions + salted
-    co-occurrence counts, fully materialized."""
-    from outbreak_kg_spark import extract, ground
+def pipeline_outputs(spark, pages, modular: bool = False):
+    """The benchmark pipeline as relations: pages -> (sets, terms, counted).
+
+    Default path is the FUSED operator (fused.make_fused_udf): pages ->
+    per-doc distinct term sets in ONE Arrow round trip, no exploded
+    section intermediate and — because the UDF already emits the per-doc
+    set — no groupBy(doc_id) shuffle either. The modular path
+    (extract -> explode sections -> annotate -> collect_group_sets) ships
+    section text through Arrow twice and pays one extra exchange; it is
+    kept for comparison and for pipelines that checkpoint the intermediate
+    artifacts. Path equivalence is pytest-asserted
+    (tests/test_bench_paths.py) on top of the operator-level equivalence
+    in tests/test_fused.py.
+    """
+    from outbreak_kg_spark import extract, fused, ground
     from outbreak_kg_spark.entry_queries import entry_gazetteer_df
     from outbreak_kg_spark.skew import (
         collect_group_sets,
@@ -98,26 +109,45 @@ def e2e_pages_to_triples(spark, sf_dir: str, repl: int) -> tuple[float, int]:
         salted_count,
     )
 
-    pages, n_docs = replicated_pages(spark, sf_dir, repl)
-    udf = ground.make_annotate_udf(spark, entry_gazetteer_df(spark))
-    t0 = time.monotonic()
-    ex = extract.extract_pages(pages).filter("valid")
-    sections = extract.explode_section_texts(
-        ex.select(F.col("url").alias("archive_number"), "sections")
-    )
-    mentions = ground.annotate_sections(sections, udf)
-    # ONE shuffle produces both outputs: the per-doc distinct term sets feed
-    # the terms table (explode) and the pair counts (JVM-side expansion).
-    # The persisted sets are the checkpointed stage boundary (in the real
-    # pipeline this is lineage.run_stage writing parquet).
-    sets = collect_group_sets(
-        mentions.select(
-            "doc_id",
-            F.col("entry_name").alias("entry_name"),
-            F.concat_ws(":", "ns", "id").alias("curie"),
-        ),
-        "doc_id", ["entry_name", "curie"],
-    ).persist()
+    gaz = entry_gazetteer_df(spark)
+    if modular:
+        udf = ground.make_annotate_udf(spark, gaz)
+        ex = extract.extract_pages(pages).filter("valid")
+        sections = extract.explode_section_texts(
+            ex.select(F.col("url").alias("archive_number"), "sections")
+        )
+        mentions = ground.annotate_sections(sections, udf)
+        # ONE shuffle produces both outputs: the per-doc distinct term sets
+        # feed the terms table (explode) and the pair counts (JVM-side
+        # expansion). The persisted sets are the checkpointed stage boundary
+        # (in the real pipeline this is lineage.run_stage writing parquet).
+        sets = collect_group_sets(
+            mentions.select(
+                "doc_id",
+                F.col("entry_name").alias("entry_name"),
+                F.concat_ws(":", "ns", "id").alias("curie"),
+            ),
+            "doc_id", ["entry_name", "curie"],
+        ).persist()
+    else:
+        fudf = fused.make_fused_udf(spark, gaz)
+        x = pages.select(
+            "url", fudf(F.col("text")).alias("x")
+        ).filter(F.col("x.valid"))
+        # the UDF output IS the per-doc distinct set — re-sort by
+        # (entry_name, curie) so pair orientation matches the modular
+        # collect_group_sets path (sort_array on structs is field-order
+        # lexicographic), then persist as the stage boundary
+        sets = x.select(
+            F.col("url").alias("doc_id"),
+            F.sort_array(
+                F.expr(
+                    "transform(x.terms, t -> struct("
+                    "t.entry_name as entry_name, "
+                    "concat(t.ns, ':', t.id) as curie))"
+                )
+            ).alias("_arr"),
+        ).persist()
     terms = sets.select(
         "doc_id", F.explode("_arr").alias("t")
     ).select("doc_id", "t.entry_name", "t.curie")
@@ -126,6 +156,16 @@ def e2e_pages_to_triples(spark, sf_dir: str, repl: int) -> tuple[float, int]:
         ["a_entry_name", "a_curie", "b_entry_name", "b_curie"],
         salt=32, count_col="n_docs", salt_from=F.col("doc_id"),
     )
+    return sets, terms, counted
+
+
+def e2e_pages_to_triples(spark, sf_dir: str, repl: int,
+                         modular: bool = False) -> tuple[float, int]:
+    """Full pipeline wall time: extract -> NER -> mentions + salted
+    co-occurrence counts, fully materialized."""
+    pages, n_docs = replicated_pages(spark, sf_dir, repl)
+    t0 = time.monotonic()
+    sets, terms, counted = pipeline_outputs(spark, pages, modular=modular)
     _force(terms)
     _force(counted)
     wall = time.monotonic() - t0
@@ -145,6 +185,7 @@ def main() -> None:
     repl = int(_arg("--repl", os.environ.get("SPARK_GRAFT_BENCH_REPL", "300")))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     e2e_only = "--e2e-only" in args
+    modular = "--modular" in args
 
     os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
     from outbreak_kg_spark.session import get_spark
@@ -158,6 +199,11 @@ def main() -> None:
         from outbreak_kg_spark.entry_queries import all_queries
 
         qs = all_queries()
+        # untimed warmup: spin up the Python worker pool, JIT the Arrow
+        # serializers, and page in the parquet inputs once — otherwise the
+        # FIRST timed query absorbs the whole JVM/worker cold start and
+        # reads several seconds slow regardless of its own plan
+        _force(qs[HEADLINE[0]](spark, sf_dir))
         for name in HEADLINE:
             t0 = time.monotonic()
             _force(qs[name](spark, sf_dir))
@@ -166,13 +212,16 @@ def main() -> None:
     # warm-up (JVM JIT/codegen/python workers), then best-of-2 measured runs
     # in the warm JVM — local-mode wall times carry JIT/GC variance that a
     # single sample over-reads
-    e2e_pages_to_triples(spark, sf_dir, repl=max(1, repl // 10))
-    wall, n_docs = e2e_pages_to_triples(spark, sf_dir, repl=repl)
-    wall2, _ = e2e_pages_to_triples(spark, sf_dir, repl=repl)
+    e2e_pages_to_triples(spark, sf_dir, repl=max(1, repl // 10),
+                         modular=modular)
+    wall, n_docs = e2e_pages_to_triples(spark, sf_dir, repl=repl,
+                                        modular=modular)
+    wall2, _ = e2e_pages_to_triples(spark, sf_dir, repl=repl, modular=modular)
     if abs(wall - wall2) / min(wall, wall2) > 0.5:
         # bimodal host window (observed: occasional runs 3-7x slower with
         # ~80% system time) — take a tie-breaker sample
-        wall3, _ = e2e_pages_to_triples(spark, sf_dir, repl=repl)
+        wall3, _ = e2e_pages_to_triples(spark, sf_dir, repl=repl,
+                                        modular=modular)
         wall = min(wall, wall2, wall3)
     else:
         wall = min(wall, wall2)
@@ -187,6 +236,7 @@ def main() -> None:
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / wall, 1),
         "cpus": cpus,
+        "path": "modular" if modular else "fused",
     }
     print(json.dumps(out))
 

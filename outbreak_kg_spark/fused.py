@@ -13,7 +13,7 @@ the canonical text remains covered by the modular stage and its tests.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
@@ -75,6 +75,46 @@ def make_fused_udf(spark: SparkSession, gazetteer: DataFrame,
         return pd.DataFrame(out, columns=["archive_number", "valid", "terms"])
 
     return fused
+
+
+def fused_page_terms(pages: DataFrame, fused_udf) -> DataFrame:
+    """pages -> one row per kept alert: (doc_id, terms array<struct>).
+
+    The whole extract+NER chain runs in ONE Arrow pass, then the first-wins
+    archive-number dedup (earliest warc_ts, tie by url — the same policy as
+    extract.dedup_alerts, SURVEY.md §7.4) is applied to the LIGHTWEIGHT
+    per-page terms relation: the window shuffles (doc_id, warc_ts, url,
+    terms) rows of a few hundred bytes instead of full alert texts. Trade:
+    duplicate pages pay a redundant NER scan (dup rates are single-digit
+    percent in the wild — promed_ner.py:113-118), in exchange for never
+    shipping the corpus text through a shuffle or a second Arrow hop.
+    """
+    x = pages.select(
+        "url", "warc_ts", fused_udf(F.col("text")).alias("x")
+    ).filter(F.col("x.valid"))
+    w = Window.partitionBy("x.archive_number").orderBy(
+        F.col("warc_ts").asc_nulls_last(), F.col("url").asc()
+    )
+    return (
+        x.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("x.archive_number").alias("doc_id"),
+            F.col("x.terms").alias("terms"),
+        )
+    )
+
+
+def page_terms_to_alert_terms(page_terms: DataFrame) -> DataFrame:
+    """(doc_id, terms array) -> the exploded (doc_id, ns, id, entry_name)
+    relation ground.terms_by_alert produces from the modular path. The
+    surface-token exclusion already happened inside the fused UDF
+    (exclude_tokens), so only the (ns, id) dedup remains."""
+    return (
+        page_terms.select("doc_id", F.explode("terms").alias("t"))
+        .select("doc_id", "t.ns", "t.id", "t.entry_name")
+        .dropDuplicates(["doc_id", "ns", "id"])
+    )
 
 
 def fused_terms(pages: DataFrame, fused_udf) -> DataFrame:

@@ -41,30 +41,60 @@ def build_kg(
     geoname_grounding: DataFrame | None = None,
     location_map: DataFrame | None = None,
     force: bool = False,
+    fused: bool = False,
 ) -> dict[str, DataFrame]:
-    """Run (or resume) the full pipeline; returns the at-rest DataFrames."""
-    annotate_udf = ground.make_annotate_udf(spark, gazetteer)
+    """Run (or resume) the full pipeline; returns the at-rest DataFrames.
+
+    fused=True runs extraction+NER in ONE Arrow pass (fused.fused_page_terms)
+    and skips the extracted/alerts/mentions checkpoints — half the Python
+    round trips and no corpus-text shuffle, for runs that only need the graph
+    (equivalence vs the modular stage chain is pytest-asserted in
+    tests/test_pipeline_resume.py). The modular default materializes every
+    intermediate, which is what you want when canonical text or mention spans
+    are downstream products in their own right.
+    """
     tdim = ground.type_dim(gazetteer)
 
-    extracted = run_stage(
-        spark, root, "extracted",
-        lambda: extract.extract_pages(pages), force=force,
-    )
-    alerts = run_stage(
-        spark, root, "alerts",
-        lambda: extract.dedup_alerts(extracted), force=force,
-    )
-    mentions = run_stage(
-        spark, root, "mentions",
-        lambda: ground.annotate_sections(
-            extract.explode_section_texts(alerts), annotate_udf
-        ),
-        force=force,
-    )
-    terms = run_stage(
-        spark, root, "terms",
-        lambda: ground.terms_by_alert(mentions), force=force,
-    )
+    if fused:
+        from . import fused as fused_mod
+
+        fudf = fused_mod.make_fused_udf(
+            spark, gazetteer, exclude_tokens=ground.NER_EXCLUDE_TOKENS
+        )
+        extracted = mentions = None
+        page_terms = run_stage(
+            spark, root, "page_terms",
+            lambda: fused_mod.fused_page_terms(pages, fudf), force=force,
+        )
+        alerts = page_terms.select(
+            F.col("doc_id").alias("archive_number")
+        )
+        terms = run_stage(
+            spark, root, "terms",
+            lambda: fused_mod.page_terms_to_alert_terms(page_terms),
+            force=force,
+        )
+    else:
+        annotate_udf = ground.make_annotate_udf(spark, gazetteer)
+        extracted = run_stage(
+            spark, root, "extracted",
+            lambda: extract.extract_pages(pages), force=force,
+        )
+        alerts = run_stage(
+            spark, root, "alerts",
+            lambda: extract.dedup_alerts(extracted), force=force,
+        )
+        mentions = run_stage(
+            spark, root, "mentions",
+            lambda: ground.annotate_sections(
+                extract.explode_section_texts(alerts), annotate_udf
+            ),
+            force=force,
+        )
+        terms = run_stage(
+            spark, root, "terms",
+            lambda: ground.terms_by_alert(mentions), force=force,
+        )
     closure = run_stage(
         spark, root, "closure",
         lambda: closure_mod.transitive_closure(

@@ -1,0 +1,35 @@
+"""The bench e2e fused path must produce exactly the relations the modular
+path produces — same per-doc term sets, same terms table, same pair counts
+with the same canonical pair orientation (the fused UDF emits sets sorted by
+(ns, id, entry_name); the bench wiring re-sorts by (entry_name, curie) to
+match collect_group_sets' struct-field-order sort)."""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from bench import pipeline_outputs, replicated_pages  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_fused_bench_path_matches_modular(spark):
+    pages, n = replicated_pages(spark, SF, repl=2)
+    sets_f, terms_f, counted_f = pipeline_outputs(spark, pages, modular=False)
+    sets_m, terms_m, counted_m = pipeline_outputs(spark, pages, modular=True)
+    try:
+        assert _rows(terms_f) == _rows(terms_m)
+        cf, cm = _rows(counted_f), _rows(counted_m)
+        assert cf == cm
+        assert len(cf) > 0
+        # canonical orientation: every pair ordered by (entry_name, curie)
+        assert all((a_en, a_c) < (b_en, b_c)
+                   for a_en, a_c, b_en, b_c, _n in cf)
+    finally:
+        sets_f.unpersist()
+        sets_m.unpersist()

@@ -126,3 +126,51 @@ def test_partial_failure_rebuilds_only_broken_stage(spark, tmp_path):
     df_b = run_stage(spark, root, "b", mk("b", 7))
     assert built == ["b"]  # only the broken stage re-ran
     assert df_a.count() == 5 and df_b.count() == 7
+
+
+def test_build_kg_fused_matches_modular(spark, tmp_path):
+    """build_kg(fused=True) — ONE Arrow pass, no extracted/alerts/mentions
+    checkpoints — must emit the same terms and the same graph as the modular
+    stage chain, including the first-wins archive dedup: a duplicate page
+    with a LATER warc_ts and different text must lose in both modes."""
+    import datetime
+
+    pages = synth.pages_df(spark, 50)
+    first = pages.orderBy("url").first()
+    intruder = spark.createDataFrame(
+        [{
+            "url": first.url + "/zzz-later-dup",
+            "warc_ts": first.warc_ts + datetime.timedelta(days=3),
+            "html": first.html,
+            "text": first.text.replace(
+                "-----------------------------------------",
+                "-----------------------------------------\nPlague in Narnia",
+                1,
+            ),
+            "lang": first.lang,
+        }],
+        pages.schema,
+    )
+    pages = pages.unionByName(intruder)
+    kw = dict(
+        pages=pages,
+        gazetteer=synth.gazetteer_df(spark),
+        vocab_isa=synth.vocab_isa_df(spark),
+        outbreaks=synth.outbreaks_df(spark, 50),
+    )
+    out_m = build_kg(spark, str(tmp_path / "modular"), **kw)
+    out_f = build_kg(spark, str(tmp_path / "fused"), **kw, fused=True)
+
+    t_m = sorted(tuple(r) for r in out_m["terms"].collect())
+    t_f = sorted(tuple(r) for r in out_f["terms"].collect())
+    assert t_m == t_f and len(t_m) > 0
+
+    e_m = sorted((r.subj, r.pred, r.obj)
+                 for r in out_m["edges"].collect())
+    e_f = sorted((r.subj, r.pred, r.obj)
+                 for r in out_f["edges"].collect())
+    assert e_m == e_f
+
+    n_m = sorted(r.curie for r in out_m["nodes"].collect())
+    n_f = sorted(r.curie for r in out_f["nodes"].collect())
+    assert n_m == n_f
