@@ -1313,6 +1313,378 @@ def _sql_text_quality() -> str:
 
 # ---- registry ----------------------------------------------------------------
 
+# ---- temporal alignment (asof/range joins — operators the reference lacks) --
+
+def q_asof_join_events(spark, sf_dir):
+    """As-of join: each click event picks up the latest at-or-before
+    purchase of the same user (temporal.asof_join — single-shuffle
+    union+window plan, no inequality join). Right side is unique per
+    (user_id, ts) in the events table (asserted by the oracle's ASOF
+    semantics: DuckDB errors on ambiguous matches only at runtime; the
+    generator emits unique event times per user/type)."""
+    from .temporal import asof_join
+
+    ev = _tbl(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round("value", 6).alias("purchase_value")
+    )
+    return asof_join(
+        clicks, purchases, ["user_id"],
+        right_value_cols=["purchase_value"],
+    ).select("user_id", "event_id", "ts", "ts_asof", "purchase_value_asof")
+
+
+SQL_ASOF_JOIN_EVENTS = """
+    SELECT l.user_id, l.event_id, l.ts, r.ts AS ts_asof,
+           round(r.value, 6) AS purchase_value_asof
+    FROM (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                    WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND r.ts <= l.ts
+"""
+
+
+def q_range_join_events(spark, sf_dir):
+    """Bounded range join: (click, error) pairs of the same user with the
+    error 0..600s after the click (temporal.range_join — bucketed
+    equi-join on (user, time-cell), no nested loop)."""
+    from .temporal import range_join
+
+    ev = _tbl(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    return range_join(
+        clicks, errors, ["user_id"], delta_seconds=600.0
+    ).select(
+        "user_id",
+        F.col("l_event_id").alias("click_id"),
+        F.col("r_event_id").alias("error_id"),
+        F.round("dt_seconds", 6).alias("dt_seconds"),
+    )
+
+
+SQL_RANGE_JOIN_EVENTS = """
+    SELECT l.user_id, l.event_id AS click_id, r.event_id AS error_id,
+           round(epoch(r.ts) - epoch(l.ts), 6) AS dt_seconds
+    FROM (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'click') l
+    JOIN (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'error') r
+      ON l.user_id = r.user_id
+     AND epoch(r.ts) - epoch(l.ts) BETWEEN 0 AND 600
+"""
+
+
+# ---- remaining reference-parity entries (J2/J4/J8/A15/A17/K1) ----------------
+
+NATION_NAME_FIXES = [
+    # (n_nationkey, fixed display name) — J2's name-map-with-coalesce shape
+    (0, "DZ"), (3, "CA"), (8, "IN"), (14, "KE"), (23, "GB"),
+]
+
+
+def q_join_name_coalesce(spark, sf_dir):
+    """J2: broadcast name-map join + coalesce fallback (builders'
+    geonames name-fix join, kg/build.py:373-381 shape)."""
+    nation = _tbl(spark, sf_dir, "nation")
+    region = _tbl(spark, sf_dir, "region")
+    fixes = F.broadcast(
+        spark.createDataFrame(
+            NATION_NAME_FIXES, "n_nationkey int, fixed_name string"
+        )
+    )
+    return (
+        nation.join(fixes, "n_nationkey", "left")
+        .join(F.broadcast(region),
+              nation.n_regionkey == region.r_regionkey)
+        .select(
+            "n_nationkey",
+            F.coalesce("fixed_name", "n_name").alias("display_name"),
+            F.col("r_name").alias("region_name"),
+        )
+    )
+
+
+SQL_JOIN_NAME_COALESCE = f"""
+    SELECT n.n_nationkey,
+           coalesce(f.fixed_name, n.n_name) AS display_name,
+           r.r_name AS region_name
+    FROM nation n
+    LEFT JOIN (VALUES {", ".join(f"({k}, '{v}')" for k, v in NATION_NAME_FIXES)})
+         f(n_nationkey, fixed_name) ON n.n_nationkey = f.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+
+ENTRY_XREF = [
+    # (mesh curie, external curie) — J4's xref shape (pathogen_disease join)
+    ("MESH:D1001", "NCBITAXON:1001"),
+    ("MESH:D1002", "NCBITAXON:1002"),
+    ("MESH:D0001", "DOID:0001"),
+]
+
+
+def q_kg_xref_join(spark, sf_dir):
+    """J4: xref broadcast join over the mention vocabulary — map each
+    mentioned curie to its external id (fallback: itself), with per-curie
+    doc counts."""
+    m = entry_mentions(spark, sf_dir)
+    xref = F.broadcast(
+        spark.createDataFrame(ENTRY_XREF, "curie string, ext_curie string")
+    )
+    return (
+        m.join(xref, "curie", "left")
+        .groupBy(
+            "curie", F.coalesce("ext_curie", "curie").alias("ext_curie")
+        )
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+    )
+
+
+SQL_KG_XREF_JOIN = f"""
+    WITH m AS ({{mentions}}),
+    x(curie, ext_curie) AS (VALUES {", ".join(
+        f"('{a}', '{b}')" for a, b in ENTRY_XREF)})
+    SELECT m.curie, coalesce(x.ext_curie, m.curie) AS ext_curie,
+           count(DISTINCT m.doc_id) AS n_docs
+    FROM m LEFT JOIN x ON m.curie = x.curie
+    GROUP BY 1, 2
+"""
+
+
+ENTRY_PHENO = [
+    # has_phenotype edges for the J8 mixed-predicate path
+    ("MESH:D0001", "MESH:D3001"),
+    ("MESH:D0002", "MESH:D3002"),
+    ("MESH:D3001", "MESH:D3000"),
+]
+
+
+def q_kg_mixed_path(spark, sf_dir):
+    """J8: `[:has_phenotype|isa*0..]` mixed-predicate closure
+    (pipeline.symptom_closure) over the entry isa edges plus embedded
+    has_phenotype edges."""
+    from .pipeline import symptom_closure
+
+    edges = spark.createDataFrame(
+        [(s, "isa", o) for s, o in ENTRY_ISA]
+        + [(s, "has_phenotype", o) for s, o in ENTRY_PHENO],
+        "subj string, pred string, obj string",
+    )
+    return symptom_closure(edges).select(
+        F.col("node").alias("node"),
+        F.col("ancestor").alias("ancestor"),
+        F.col("depth").cast("int").alias("depth"),
+    )
+
+
+def _sql_mixed_path() -> str:
+    edges = ", ".join(
+        f"('{s}', '{o}')" for s, o in list(ENTRY_ISA) + ENTRY_PHENO
+    )
+    return f"""
+        WITH RECURSIVE e(subj, obj) AS (VALUES {edges}),
+        c AS (
+            SELECT subj AS node, obj AS ancestor, 1 AS depth FROM e
+            UNION
+            SELECT c.node, e.obj, c.depth + 1
+            FROM c JOIN e ON c.ancestor = e.subj
+        ),
+        n(v) AS (SELECT DISTINCT v FROM
+                 (SELECT subj AS v FROM e UNION ALL SELECT obj AS v FROM e))
+        SELECT node, ancestor, min(depth)::INT AS depth FROM c GROUP BY 1, 2
+        UNION ALL
+        SELECT v, v, 0 FROM n
+    """
+
+
+def q_kg_coverage_metrics(spark, sf_dir):
+    """A15: per-candidate overlap coverage metrics — how many distinct
+    node types (and 'relevant' types) the query-term overlap spans
+    (kg/client.py:143-151 semantics, the ordering keys of
+    find_literature)."""
+    m = entry_mentions(spark, sf_dir)
+    cand = (
+        m.filter(F.col("curie").isin(LIT_QUERY_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("curie").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= 2)
+        .select("doc_id")
+    )
+    overlap = m.join(cand, "doc_id", "left_semi").filter(
+        F.col("curie").isin(LIT_QUERY_TERMS)
+    )
+    return overlap.groupBy(F.col("doc_id").alias("pmid")).agg(
+        F.count_distinct("node_type").alias("overlap_coverage"),
+        F.count_distinct(
+            F.when(
+                F.col("node_type").isin("geoloc", "disease", "pathogen"),
+                F.col("node_type"),
+            )
+        ).alias("overlap_coverage_relevant"),
+    )
+
+
+SQL_KG_COVERAGE_METRICS = f"""
+    WITH m AS ({{mentions}}),
+    cand AS (
+        SELECT doc_id FROM m
+        WHERE curie IN ('{LIT_QUERY_TERMS[0]}', '{LIT_QUERY_TERMS[1]}',
+                        '{LIT_QUERY_TERMS[2]}')
+        GROUP BY doc_id HAVING count(DISTINCT curie) >= 2
+    )
+    SELECT m.doc_id AS pmid,
+           count(DISTINCT m.node_type) AS overlap_coverage,
+           count(DISTINCT CASE WHEN m.node_type IN
+                 ('geoloc', 'disease', 'pathogen') THEN m.node_type END)
+               AS overlap_coverage_relevant
+    FROM m JOIN cand USING (doc_id)
+    WHERE m.curie IN ('{LIT_QUERY_TERMS[0]}', '{LIT_QUERY_TERMS[1]}',
+                      '{LIT_QUERY_TERMS[2]}')
+    GROUP BY 1
+"""
+
+
+def q_kg_typed_subtree(spark, sf_dir):
+    """A17: typed vocabulary subtree — every descendant of MESH:D1000
+    (the pathogen root) with its gazetteer name/type, via the REAL
+    transitive-closure operator (builders.build_vocab_hierarchy shape,
+    kg/build.py:215-230)."""
+    edges = spark.createDataFrame(ENTRY_ISA, "subj string, obj string")
+    cl = transitive_closure(edges, "subj", "obj", include_self=False)
+    gaz = spark.createDataFrame(
+        [(c, t, ty) for c, t, ty in ENTRY_GAZ],
+        "curie string, name string, node_type string",
+    )
+    return (
+        cl.filter(F.col("ancestor") == "MESH:D1000")
+        .select(F.col("node").alias("curie"), F.col("depth").cast("int").alias("depth"))
+        .join(F.broadcast(gaz), "curie")
+        .select("curie", "name", "node_type", "depth")
+    )
+
+
+SQL_KG_TYPED_SUBTREE = f"""
+    WITH RECURSIVE e(subj, obj) AS (VALUES {{isa_edges}}),
+    c AS (
+        SELECT subj AS node, obj AS ancestor, 1 AS depth FROM e
+        UNION
+        SELECT c.node, e.obj, c.depth + 1 FROM c JOIN e ON c.ancestor = e.subj
+    ),
+    g(curie, name, node_type) AS (VALUES {{gaz}})
+    SELECT c.node AS curie, g.name, g.node_type, min(c.depth)::INT AS depth
+    FROM c JOIN g ON c.node = g.curie
+    WHERE c.ancestor = 'MESH:D1000'
+    GROUP BY 1, 2, 3
+"""
+
+
+def q_kg_tsv_node_rows(spark, sf_dir):
+    """K1: the sorted TSV node sink as a relation — one tab-joined line
+    per distinct node in the reference's neo4j-import column order, with
+    rank encoding the total sort order (the driver's compare sorts rows,
+    so the rank column is what makes the ORDER itself checkable)."""
+    m = entry_mentions(spark, sf_dir)
+    nodes = m.select(
+        "curie", "name", F.concat(F.col("node_type"), F.lit(";entity")).alias("labels")
+    ).dropDuplicates(["curie"])
+    line = F.concat_ws("\t", "curie", "name", "labels")
+    w = Window.orderBy("curie")
+    return nodes.select(
+        F.row_number().over(w).alias("rank"), line.alias("line")
+    )
+
+
+SQL_KG_TSV_NODE_ROWS = f"""
+    WITH m AS ({{mentions}}),
+    n AS (SELECT DISTINCT curie, name, node_type || ';entity' AS labels FROM m)
+    SELECT row_number() OVER (ORDER BY curie) AS rank,
+           curie || chr(9) || name || chr(9) || labels AS line
+    FROM n
+"""
+
+
+def q_events_rollup(spark, sf_dir):
+    """Hypertable-style tumbling-window rollup: per (user, 1h bucket)
+    count/sum — the batch analog of the streaming windowed agg
+    (streaming.windowed_event_counts). Map-side partial agg absorbs hot
+    users; the bucket key is derivable from the sort order so at rest this
+    rolls up partition-locally on a time-partitioned table."""
+    ev = _tbl(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.window("ts", "1 hour").start.alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_ROLLUP = """
+    SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+           count(*) AS n_events, round(sum(value), 6) AS sum_value
+    FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Batch sessionization: a session breaks after a >30min gap per user
+    (lag + running sum of break flags — the scalable one-shuffle
+    formulation; streaming's applyInPandasWithState twin is
+    streaming.sessionize_episodes). Output: one row per session with its
+    bounds and size."""
+    ev = _tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id", "ts", "event_id",
+        (
+            F.col("ts").cast("timestamp").cast("double")
+            - F.lag(F.col("ts").cast("timestamp").cast("double"), 1, None).over(w)
+            > 1800.0
+        ).cast("int").alias("_brk"),
+    ).withColumn(
+        "session_id",
+        F.sum(F.coalesce("_brk", F.lit(0))).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return flagged.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+    ), s AS (
+        SELECT user_id, ts,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id, min(ts) AS session_start,
+           max(ts) AS session_end, count(*) AS n_events
+    FROM s GROUP BY 1, 2
+"""
+
+
 def all_queries():
     return {
         "kg_extract_text": q_kg_extract_text,
@@ -1354,6 +1726,16 @@ def all_queries():
         "text_token_counts": q_text_token_counts,
         "text_fingerprints": q_text_fingerprints,
         "text_quality": q_text_quality,
+        "asof_join_events": q_asof_join_events,
+        "range_join_events": q_range_join_events,
+        "join_name_coalesce": q_join_name_coalesce,
+        "kg_xref_join": q_kg_xref_join,
+        "kg_mixed_path": q_kg_mixed_path,
+        "kg_coverage_metrics": q_kg_coverage_metrics,
+        "kg_typed_subtree": q_kg_typed_subtree,
+        "kg_tsv_node_rows": q_kg_tsv_node_rows,
+        "events_rollup": q_events_rollup,
+        "events_sessionize": q_events_sessionize,
     }
 
 
@@ -1401,4 +1783,21 @@ def all_oracle_sql():
         "text_token_counts": SQL_TEXT_TOKEN_COUNTS,
         "text_fingerprints": SQL_TEXT_FINGERPRINTS,
         "text_quality": _sql_text_quality(),
+        "asof_join_events": SQL_ASOF_JOIN_EVENTS,
+        "range_join_events": SQL_RANGE_JOIN_EVENTS,
+        "join_name_coalesce": SQL_JOIN_NAME_COALESCE,
+        "kg_xref_join": SQL_KG_XREF_JOIN.format(mentions=_SQL_MENTIONS),
+        "kg_mixed_path": _sql_mixed_path(),
+        "kg_coverage_metrics": SQL_KG_COVERAGE_METRICS.format(
+            mentions=_SQL_MENTIONS
+        ),
+        "kg_typed_subtree": SQL_KG_TYPED_SUBTREE.format(
+            isa_edges=", ".join(f"('{s}', '{o}')" for s, o in ENTRY_ISA),
+            gaz=_sql_values_gaz(),
+        ),
+        "kg_tsv_node_rows": SQL_KG_TSV_NODE_ROWS.format(
+            mentions=_SQL_MENTIONS
+        ),
+        "events_rollup": SQL_EVENTS_ROLLUP,
+        "events_sessionize": SQL_EVENTS_SESSIONIZE,
     }

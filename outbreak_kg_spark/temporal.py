@@ -1,0 +1,162 @@
+"""Temporal alignment operators: as-of join and bounded range join.
+
+The reference queries alert timestamps only by string equality
+(/root/reference/kg/client.py:131-133) — it has no temporal-alignment
+operator at all. A web-scale event pipeline needs two:
+
+- **as-of join**: for each left event, the latest right event at-or-before
+  it (per key). The textbook Spark formulation is a sort-merge inequality
+  join, which Catalyst can only execute as a broadcast-nested-loop or a
+  per-key cross join — quadratic per hot key. We instead use the
+  *union + window* plan: tag both sides, union them (cheap, no shuffle),
+  then one window per key ordered by time carrying `last(right_value,
+  ignorenulls=True)` forward onto left rows. Exactly ONE shuffle (the
+  window's partition-by-key exchange), linear in |L|+|R|, and hot keys
+  cost O(n log n) in-partition sort rather than O(n^2) join fan-out. AQE
+  skew hints do not help inequality joins; they are unnecessary here.
+
+- **range join**: all pairs (l, r) with the same key and
+  |r.ts - l.ts| <= delta. A naive theta-join is again nested-loop. We
+  bucket time into floor(ts / delta) cells and equi-join on
+  (key, cell) x (key, cell + {0, 1}) — every qualifying pair shares a
+  cell or sits in adjacent cells, so two equi-shuffles replace the
+  nested loop; the final |dt| <= delta filter runs inside whole-stage
+  codegen. Bucket width == delta keeps the candidate blow-up <= 2x.
+
+Both are pure DataFrame compositions — no UDFs, fully codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_value_cols: list[str] | None = None,
+    allow_equal: bool = True,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For every left row, attach the right row with the greatest
+    right_ts <= left_ts (or < when allow_equal=False) within key_cols.
+
+    Single-shuffle union+window plan (see module docstring). Right rows
+    must be unique per (key, right_ts) for a deterministic result —
+    pre-aggregate the right side if they are not.
+
+    Output: all left columns + right_value_cols renamed with `suffix`
+    + `<right_ts><suffix>` (the matched time, null when no match).
+    """
+    right_value_cols = right_value_cols or [
+        c for c in right.columns if c not in key_cols and c != right_ts
+    ]
+    # side marker orders right rows BEFORE left rows at equal timestamps,
+    # so `last(..., ignorenulls)` at a tie sees the right row iff
+    # allow_equal; flipping the marker excludes the tie.
+    l_tag = F.lit(1) if allow_equal else F.lit(0)
+    r_tag = F.lit(0) if allow_equal else F.lit(1)
+
+    lu = left.select(
+        *key_cols,
+        F.col(left_ts).alias("_t"),
+        l_tag.alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+        F.lit(None).cast(
+            right.select(
+                F.struct(
+                    F.col(right_ts).alias("_rt"), *right_value_cols
+                ).alias("s")
+            ).schema["s"].dataType
+        ).alias("_r"),
+    )
+    ru = right.select(
+        *key_cols,
+        F.col(right_ts).alias("_t"),
+        r_tag.alias("_side"),
+        F.lit(None).cast(
+            left.select(
+                F.struct(*[F.col(c) for c in left.columns]).alias("s")
+            ).schema["s"].dataType
+        ).alias("_l"),
+        F.struct(F.col(right_ts).alias("_rt"), *right_value_cols).alias("_r"),
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        lu.unionByName(ru)
+        .withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+        .filter(F.col("_l").isNotNull())
+    )
+    return matched.select(
+        *[F.col(f"_l.{c}").alias(c) for c in left.columns],
+        F.col(f"_m._rt").alias(f"{right_ts}{suffix}"),
+        *[F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in right_value_cols],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    delta_seconds: float = 300.0,
+    anti_reflexive_on: tuple[str, str] | None = None,
+) -> DataFrame:
+    """All (l, r) pairs sharing key_cols with 0 <= r.ts - l.ts <= delta.
+
+    Bucketed equi-join (see module docstring): join on (key, cell) with the
+    right side exploded into cells {c, c-1} so any pair within delta lands
+    on an equal cell key; the exact dt filter finishes the predicate.
+    One-sided (r at-or-after l); pass anti_reflexive_on=(l_id, r_id) to
+    drop self pairs and keep l_id < r_id ordering at dt == 0 so unordered
+    pairs appear once.
+
+    Output: left cols prefixed `l_`, right cols prefixed `r_`, plus
+    `dt_seconds`.
+    """
+    def _secs(c: str):
+        # TIMESTAMP_NTZ cannot cast straight to double; routing through
+        # TIMESTAMP first works for both flavors (the session-tz offset is a
+        # constant, which cancels in dt and merely shifts cells uniformly)
+        return F.col(c).cast("timestamp").cast("double")
+
+    cell_l = F.floor(_secs(left_ts) / F.lit(delta_seconds))
+    cell_r = F.floor(_secs(right_ts) / F.lit(delta_seconds))
+
+    l = left.select(
+        *key_cols,
+        cell_l.alias("_cell"),
+        _secs(left_ts).alias("_lt"),
+        *[F.col(c).alias(f"l_{c}") for c in left.columns if c not in key_cols],
+    )
+    r = right.select(
+        *key_cols,
+        F.explode(F.array(cell_r, cell_r - 1)).alias("_cell"),
+        _secs(right_ts).alias("_rt"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c not in key_cols],
+    )
+    joined = l.join(r, [*key_cols, "_cell"]).withColumn(
+        "dt_seconds", F.col("_rt") - F.col("_lt")
+    )
+    out = joined.filter(
+        (F.col("dt_seconds") >= 0) & (F.col("dt_seconds") <= delta_seconds)
+    )
+    if anti_reflexive_on is not None:
+        l_id, r_id = anti_reflexive_on
+        out = out.filter(
+            (F.col("dt_seconds") > 0)
+            | (F.col(f"l_{l_id}") < F.col(f"r_{r_id}"))
+        )
+    # no dedup needed: for a fixed pair the join key equality pins which of
+    # the two exploded cells matched (cl == cr xor cl == cr - 1), so each
+    # qualifying pair is emitted exactly once
+    return out.drop("_cell", "_lt", "_rt")

@@ -1,0 +1,122 @@
+"""asof_join / range_join vs brute-force oracles, plus plan shape checks."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from outbreak_kg_spark.temporal import asof_join, range_join
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            # (user, minute, event_id)
+            (1, 0, 100), (1, 5, 101), (1, 10, 102), (1, 10, 103),
+            (2, 3, 200), (2, 50, 201),
+            (3, 1, 300),  # no right rows for user 3
+        ],
+        "user_id long, m long, event_id long",
+    ).select("user_id", "event_id", F.expr(
+        "timestamp'2024-01-01' + make_interval(0,0,0,0,0,m,0)").alias("ts"))
+    right = spark.createDataFrame(
+        [
+            (1, 0, 10.0), (1, 7, 11.0), (1, 10, 12.0),
+            (2, 2, 20.0), (2, 49, 21.0),
+        ],
+        "user_id long, m long, price double",
+    ).select("user_id", F.expr(
+        "timestamp'2024-01-01' + make_interval(0,0,0,0,0,m,0)").alias("ts"),
+        "price")
+    return left, right
+
+
+def _brute_asof(lrows, rrows, allow_equal=True):
+    out = {}
+    for u, eid, lt in lrows:
+        best = None
+        for ru, rt, price in rrows:
+            if ru != u:
+                continue
+            ok = rt <= lt if allow_equal else rt < lt
+            if ok and (best is None or rt > best[0]):
+                best = (rt, price)
+        out[(u, eid)] = best
+    return out
+
+
+def test_asof_matches_brute_force(frames):
+    left, right = frames
+    lrows = [(r.user_id, r.event_id, r.ts) for r in left.collect()]
+    rrows = [(r.user_id, r.ts, r.price) for r in right.collect()]
+    for allow_equal in (True, False):
+        exp = _brute_asof(lrows, rrows, allow_equal)
+        got = asof_join(left, right, ["user_id"],
+                        allow_equal=allow_equal).collect()
+        assert len(got) == len(lrows)
+        for r in got:
+            want = exp[(r.user_id, r.event_id)]
+            if want is None:
+                assert r.ts_asof is None and r.price_asof is None
+            else:
+                assert (r.ts_asof, r.price_asof) == want
+
+
+def test_asof_single_shuffle(frames):
+    left, right = frames
+    plan = asof_join(left, right, ["user_id"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    # one window exchange; no join operator of any kind in the plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def _brute_range(rows, delta_s, anti_reflexive):
+    out = set()
+    for u1, e1, t1 in rows:
+        for u2, e2, t2 in rows:
+            if u1 != u2:
+                continue
+            d = (t2 - t1).total_seconds()
+            if 0 <= d <= delta_s:
+                if anti_reflexive and not (d > 0 or e1 < e2):
+                    continue
+                out.add((u1, e1, e2, d))
+    return out
+
+
+def test_range_join_matches_brute_force(frames):
+    left, _ = frames
+    rows = [(r.user_id, r.event_id, r.ts) for r in left.collect()]
+    exp = _brute_range(rows, 600.0, anti_reflexive=True)
+    got = range_join(
+        left, left, ["user_id"], delta_seconds=600.0,
+        anti_reflexive_on=("event_id", "event_id"),
+    ).collect()
+    assert {(r.user_id, r.l_event_id, r.r_event_id, r.dt_seconds)
+            for r in got} == exp
+
+
+def test_range_join_boundary_cells(spark):
+    # timestamps exactly on cell boundaries must pair exactly once
+    left = spark.createDataFrame(
+        [(1, 0.0, 1), (1, 300.0, 2), (1, 600.0, 3)],
+        "k long, sec double, id long",
+    ).select("k", "id", F.col("sec").cast("timestamp").alias("ts"))
+    got = range_join(left, left, ["k"], delta_seconds=300.0,
+                     anti_reflexive_on=("id", "id")).collect()
+    pairs = sorted((r.l_id, r.r_id) for r in got)
+    assert pairs == [(1, 2), (2, 3)]
+
+
+def test_range_join_no_nested_loop(frames):
+    left, _ = frames
+    plan = range_join(left, left, ["user_id"], delta_seconds=600.0) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
