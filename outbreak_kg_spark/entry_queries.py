@@ -1685,6 +1685,109 @@ SQL_EVENTS_SESSIONIZE = """
 """
 
 
+def q_similarity_neardup_lsh(spark, sf_dir):
+    """Embedding near-dup via the LSH-bucketed SCALE path
+    (similarity.cosine_near_dup_pairs): bucket self-join replaces the cross
+    join; exact cosine verify after. Hyperplanes are md5-derived literals,
+    so DuckDB replicates the buckets exactly (same device as the ann_topk
+    oracle) — this gates that the bucketing loses only what LSH is allowed
+    to lose, deterministically."""
+    from .similarity import cosine_near_dup_pairs
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    out = cosine_near_dup_pairs(emb, dim=64, threshold=0.35, n_planes=6)
+    return out.select("a", "b", F.round("cosine", 6).alias("cosine_r"))
+
+
+def _sql_neardup_lsh(dim: int = 64, n_planes: int = 6, seed: int = 42,
+                     threshold: float = 0.35) -> str:
+    planes = similarity._hyperplanes(dim, n_planes, seed)
+    plane_rows = ", ".join(
+        f"({p}, [{', '.join(repr(x) for x in planes[p])}]::DOUBLE[])"
+        for p in range(n_planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    planes(p, w) AS (VALUES {plane_rows}),
+    bucketed AS (
+        SELECT vec_id, v,
+               sum(CASE WHEN list_dot_product(v, w) >= 0
+                        THEN (1 << p) ELSE 0 END)::INT AS bucket
+        FROM e CROSS JOIN planes GROUP BY vec_id, v)
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_r
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= {threshold}
+"""
+
+
+def _entry_media(spark, sf_dir):
+    """Deterministic media table derived from documents: every doc yields a
+    fake image (content = utf-8 bytes of its text) and a fake video
+    (duration = n_chars * 10 ms) — the multimodal plumbing runs on real
+    binary columns without external data."""
+    from .multimodal import MEDIA
+
+    d = _docs(spark, sf_dir)
+    imgs = d.select(
+        F.concat(F.lit("i"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.lit("image/png").alias("mime"),
+        F.lit(64).alias("width"), F.lit(64).alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    vids = d.select(
+        F.concat(F.lit("v"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit(None).cast("binary").alias("content"),
+        F.lit("video/mp4").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+    )
+    return imgs.unionByName(vids)
+
+
+def q_multimodal_frame_plan(spark, sf_dir):
+    """Video frame-sampling plan (multimodal.frame_sample_plan): sequence +
+    explode per video, JVM-only. The codec half of frame sampling is the
+    honest stub; THIS half — the distributed expansion a decoder would
+    consume — is fully oracle-checkable."""
+    from .multimodal import frame_sample_plan
+
+    return frame_sample_plan(_entry_media(spark, sf_dir), every_ms=1000)
+
+
+SQL_MULTIMODAL_FRAME_PLAN = """
+    SELECT 'v' || doc_id AS media_id,
+           unnest(generate_series(0, n_chars * 10, 1000)) AS frame_ts_ms
+    FROM documents
+"""
+
+
+def q_multimodal_image_bytes(spark, sf_dir):
+    """image_features' mapInPandas plumbing end to end (Arrow binary
+    batches -> per-image rows), projected to the engine-independent columns
+    (byte length); the pseudo-pixel stats ride the same rows but are
+    pytest-verified (the fake decode is not SQL-expressible)."""
+    from .multimodal import image_features
+
+    feats = image_features(_entry_media(spark, sf_dir), decode="fake")
+    return feats.select("media_id", "n_bytes")
+
+
+SQL_MULTIMODAL_IMAGE_BYTES = """
+    SELECT 'i' || doc_id AS media_id, strlen(text)::BIGINT AS n_bytes
+    FROM documents
+"""
+
+
 def all_queries():
     return {
         "kg_extract_text": q_kg_extract_text,
@@ -1736,6 +1839,9 @@ def all_queries():
         "kg_tsv_node_rows": q_kg_tsv_node_rows,
         "events_rollup": q_events_rollup,
         "events_sessionize": q_events_sessionize,
+        "similarity_neardup_lsh": q_similarity_neardup_lsh,
+        "multimodal_frame_plan": q_multimodal_frame_plan,
+        "multimodal_image_bytes": q_multimodal_image_bytes,
     }
 
 
@@ -1800,4 +1906,7 @@ def all_oracle_sql():
         ),
         "events_rollup": SQL_EVENTS_ROLLUP,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
+        "similarity_neardup_lsh": _sql_neardup_lsh(),
+        "multimodal_frame_plan": SQL_MULTIMODAL_FRAME_PLAN,
+        "multimodal_image_bytes": SQL_MULTIMODAL_IMAGE_BYTES,
     }
