@@ -34,22 +34,32 @@ def tokens(df: DataFrame, text_col: str = "text",
     ).filter(F.col("tok") != "")
 
 
+def shingle_array(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, array of DISTINCT token n-gram shingles) — a NARROW map: the
+    token list never leaves its input partition, so shingling is shuffle-
+    free regardless of corpus size (the earlier formulation sorted every
+    token through a per-doc window exchange). Token semantics match
+    tokens(): lowercase, split on whitespace, empties dropped."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + F.lit(1), F.lit(n)), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(id_col, F.array_distinct(sh).alias("shingles"))
+
+
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
              n: int = 3) -> DataFrame:
-    """Distinct token n-gram shingles per doc (space-joined). Built with
-    lead() windows over token position — one shuffle keyed by doc id."""
-    w = Window.partitionBy(id_col).orderBy("pos")
-    t = tokens(df, text_col, id_col)
-    parts = [F.col("tok") if i == 0 else F.lead("tok", i).over(w) for i in range(n)]
-    grams = t.select(
-        id_col,
-        F.concat_ws(" ", *parts).alias("shingle"),
-        parts[-1].alias("_last"),
-    )
-    return (
-        grams.filter(F.col("_last").isNotNull())
-        .select(id_col, "shingle")
-        .dropDuplicates()
+    """Distinct token n-gram shingles per doc (space-joined), long form —
+    explode of shingle_array, still shuffle-free."""
+    return shingle_array(df, text_col, id_col, n).select(
+        id_col, F.explode("shingles").alias("shingle")
     )
 
 
@@ -74,21 +84,30 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     fully-mixing hash per index (a linear a*h+b family is order-preserving
     in h and collapses every index onto the same argmin shingle, which
     degenerates LSH). md5 keeps the family engine-portable for oracles.
-    Output: (doc_id, hash_idx, minhash)."""
-    sh = shingles(df, text_col, id_col, n=shingle_n)
-    params = sh.sparkSession.createDataFrame(
-        [{"hash_idx": i} for i in range(num_hashes)]
+    Output: (doc_id, hash_idx, minhash).
+
+    Plan shape: ZERO shuffles — the signature is computed per doc with
+    array expressions (array_min over a transform), entirely inside
+    whole-stage codegen. The earlier formulation materialized
+    num_hashes x |shingles| rows through a hash-agg exchange; this one
+    touches nothing beyond the doc's own partition, which is the shape
+    that survives 100 TB (signature cost scales with bytes scanned, not
+    with shuffle capacity)."""
+    sa = shingle_array(df, text_col, id_col, n=shingle_n)
+    sigs = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s: _md5_48(F.concat_ws(":", i.cast("string"), s)),
+            )
+        ),
     )
     return (
-        sh.crossJoin(F.broadcast(params))
-        .select(
-            id_col, "hash_idx",
-            _md5_48(
-                F.concat_ws(":", F.col("hash_idx").cast("string"), "shingle")
-            ).alias("hv"),
-        )
-        .groupBy(id_col, "hash_idx")
-        .agg(F.min("hv").alias("minhash"))
+        sa.filter(F.size("shingles") > 0)
+        .select(id_col, F.posexplode(sigs).alias("hash_idx", "minhash"))
+        .select(id_col, F.col("hash_idx").cast("long").alias("hash_idx"),
+                "minhash")
     )
 
 
