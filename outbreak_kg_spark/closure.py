@@ -50,9 +50,17 @@ def transitive_closure(
     acc = base.withColumn("depth", F.lit(1)).localCheckpoint(eager=True)
     if method == "doubling":
         n_prev = acc.count()
-        for _ in range(max_iters):
+        for rnd in range(1, max_iters + 1):
+            # Filtered doubling: a NEW shortest path this round has length
+            # L in (2^(rnd-1), 2^rnd]; it splits at position 2^(rnd-1) into
+            # a prefix of length exactly 2^(rnd-1) — which lies in
+            # (2^(rnd-2), 2^(rnd-1)], i.e. the pairs discovered LAST round
+            # (the frontier) — and a suffix of length <= 2^(rnd-1) (in acc).
+            # So frontier x acc reaches everything acc x acc would, at a
+            # fraction of the join's left side.
+            frontier = acc.filter(F.col("depth") > (1 << (rnd - 1)) // 2)
             stepped = (
-                acc.withColumnRenamed("ancestor", "mid")
+                frontier.withColumnRenamed("ancestor", "mid")
                 .withColumnRenamed("depth", "d1")
                 .join(
                     acc.select(
@@ -74,10 +82,19 @@ def transitive_closure(
                 .agg(F.min("depth").alias("depth"))
                 .localCheckpoint(eager=True)
             )
-            n_now = acc.count()
-            if n_now == n_prev:
+            stats = acc.agg(
+                F.count(F.lit(1)).alias("n"), F.max("depth").alias("md")
+            ).first()
+            # After round k every min-depth <= 2^k is final. If the deepest
+            # pair found is < 2^k, no pair of depth exactly 2^k exists; a
+            # pair deeper than 2^k would contain a shortest SUBpath of depth
+            # exactly 2^k (unit weights), so none exists either — the
+            # closure is complete WITHOUT paying the fixpoint-confirming
+            # extra round the count-equality test needs (that last round is
+            # the full closure x closure join, the most expensive of all).
+            if stats["md"] < (1 << rnd) or stats["n"] == n_prev:
                 break
-            n_prev = n_now
+            n_prev = stats["n"]
     else:
         hop = base.select(
             F.col("node").alias("mid"), F.col("ancestor").alias("hop_ancestor")
