@@ -100,9 +100,28 @@ def entry_gazetteer_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, GAZETTEER)
 
 
+_MENTIONS_CACHE: dict = {}
+
+
 def entry_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, curie, name, node_type) distinct — documents annotated with
-    the broadcast entry trie (operator N1/N3)."""
+    the broadcast entry trie (operator N1/N3).
+
+    Persisted + memoized per (session, sf_dir): most KG entries reference
+    the mentions relation several times (query_graph touches it SIX times
+    via nodes/edges/self-join), and without a cache boundary Catalyst
+    re-evaluates the NER UDF for every occurrence — six full corpus
+    annotation passes at 100 TB. One persist makes it one pass."""
+    key = (id(spark), sf_dir)
+    if key in _MENTIONS_CACHE:
+        return _MENTIONS_CACHE[key]
+    df = _entry_mentions_plan(spark, sf_dir).persist()
+    _MENTIONS_CACHE[key] = df
+    return df
+
+
+def _entry_mentions_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-cached mentions plan (plan-shape tests target this)."""
     udf = make_annotate_udf(spark, entry_gazetteer_df(spark))
     d = _docs(spark, sf_dir)
     m = d.select("doc_id", F.explode(udf(F.col("text"))).alias("a"))

@@ -24,7 +24,12 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from .ground import DEFAULT_NS_PRIORITY, compile_gazetteer, scan_text
+from .ground import (
+    DEFAULT_NS_PRIORITY,
+    compile_gazetteer,
+    scan_terms,
+    scan_text,
+)
 from .textproc import extract_alert
 
 _FUSED_STRUCT = StructType(
@@ -68,9 +73,16 @@ def make_fused_udf(spark: SparkSession, gazetteer: DataFrame,
             terms = set()
             for sec in ex["sections"]:
                 for field_text in (sec["title"], sec["content"]):
-                    for (surf, _a, _b, ns, id_, name) in scan_text(field_text, t):
-                        if surf not in excl:
-                            terms.add((ns, id_, name))
+                    if excl:
+                        # surface-form exclusion needs the original-case
+                        # surface — use the offset-carrying scan
+                        for (surf, _a, _b, ns, id_, name) in scan_text(
+                            field_text, t
+                        ):
+                            if surf not in excl:
+                                terms.add((ns, id_, name))
+                    else:
+                        terms.update(scan_terms(field_text, t))
             out.append((ex["archive_number"], True, sorted(terms)))
         return pd.DataFrame(out, columns=["archive_number", "valid", "terms"])
 

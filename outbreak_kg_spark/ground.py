@@ -190,6 +190,39 @@ def scan_text(text: str, trie: dict) -> list[tuple]:
     return out
 
 
+def scan_terms(text: str, trie: dict) -> list[tuple]:
+    """Offset-free greedy longest-match scan: same trie, same matching
+    semantics as scan_text, but returns only the grounding tuples
+    (ns, id, entry_name). Skipping the per-token (surface, start, end)
+    tuple construction and the finditer Match objects cuts the per-doc scan
+    cost several-fold — this is the hot path of the fused extract+NER
+    operator, where surfaces/offsets are discarded anyway. Identical term
+    sets to scan_text are property-tested (test_fused)."""
+    if not text:
+        return []
+    toks = _TOKEN_RE.findall(text.lower())
+    out = []
+    i, n = 0, len(toks)
+    while i < n:
+        node = trie
+        match_end = -1
+        match_val = None
+        j = i
+        while j < n:
+            node = node.get(toks[j])
+            if node is None:
+                break
+            if 0 in node:
+                match_end, match_val = j, node[0]
+            j += 1
+        if match_val is not None:
+            out.append(match_val)
+            i = match_end + 1
+        else:
+            i += 1
+    return out
+
+
 _MATCH_ARR = ArrayType(
     StructType(
         [

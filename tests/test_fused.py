@@ -24,3 +24,38 @@ def test_fused_equals_modular(spark):
     got_df = fused.fused_terms(pages.join(first, "url", "left_semi"), fudf)
     got = {(r.doc_id, r.ns, r.id) for r in got_df.collect()}
     assert got == want
+
+
+def test_scan_terms_matches_scan_text():
+    """Property: the offset-free fast scan produces exactly the term set of
+    the offset-carrying scan on arbitrary token streams, including
+    overlapping multi-token entries and greedy-longest tie cases."""
+    from hypothesis import given, settings, strategies as st
+
+    from outbreak_kg_spark.ground import (
+        compile_gazetteer, scan_terms, scan_text,
+    )
+
+    rows = [
+        {"ns": "MESH", "id": "1", "entry_name": "ebola", "synonym": "ebola"},
+        {"ns": "MESH", "id": "2", "entry_name": "ebola virus",
+         "synonym": "ebola virus"},
+        {"ns": "MESH", "id": "3", "entry_name": "virus disease",
+         "synonym": "virus disease"},
+        {"ns": "GEO", "id": "4", "entry_name": "congo", "synonym": "congo"},
+        {"ns": "MESH", "id": "5", "entry_name": "drc congo",
+         "synonym": "drc congo"},
+    ]
+    trie = compile_gazetteer(rows)
+    vocab = ["ebola", "virus", "disease", "congo", "drc", "the", "in", "of"]
+
+    @given(st.lists(st.sampled_from(vocab), max_size=12))
+    @settings(max_examples=200, deadline=None)
+    def check(tokens):
+        text = " ".join(tokens)
+        full = {(ns, i, nm) for (_s, _a, _b, ns, i, nm)
+                in scan_text(text, trie)}
+        fast = set(scan_terms(text, trie))
+        assert full == fast
+
+    check()

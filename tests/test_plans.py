@@ -86,8 +86,8 @@ def test_edges_partition_pruning_by_pred(spark, tmp_path):
 def test_mentions_pipeline_has_no_python_row_udfs(spark):
     """Input-hint guard: only Arrow-evaluated Python (ArrowEvalPython /
     mapInPandas), never row-at-a-time BatchEvalPython."""
-    from outbreak_kg_spark.entry_queries import entry_mentions
+    from outbreak_kg_spark.entry_queries import _entry_mentions_plan
 
-    plan = _plan(entry_mentions(spark, SF))
+    plan = _plan(_entry_mentions_plan(spark, SF))
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" in plan
