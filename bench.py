@@ -209,22 +209,18 @@ def main() -> None:
             _force(qs[name](spark, sf_dir))
             qtimes[name] = round(time.monotonic() - t0, 3)
 
-    # warm-up (JVM JIT/codegen/python workers), then best-of-2 measured runs
-    # in the warm JVM — local-mode wall times carry JIT/GC variance that a
-    # single sample over-reads
+    # warm-up (JVM JIT/codegen/python workers), then best-of-3 measured runs
+    # in the warm JVM — this host's wall times are bimodal (single samples
+    # swing +/-30%, with occasional 3-7x-slower windows at ~80% system
+    # time), so the min of three is the stable steady-state reading
     e2e_pages_to_triples(spark, sf_dir, repl=max(1, repl // 10),
                          modular=modular)
-    wall, n_docs = e2e_pages_to_triples(spark, sf_dir, repl=repl,
-                                        modular=modular)
-    wall2, _ = e2e_pages_to_triples(spark, sf_dir, repl=repl, modular=modular)
-    if abs(wall - wall2) / min(wall, wall2) > 0.5:
-        # bimodal host window (observed: occasional runs 3-7x slower with
-        # ~80% system time) — take a tie-breaker sample
-        wall3, _ = e2e_pages_to_triples(spark, sf_dir, repl=repl,
-                                        modular=modular)
-        wall = min(wall, wall2, wall3)
-    else:
-        wall = min(wall, wall2)
+    samples = [
+        e2e_pages_to_triples(spark, sf_dir, repl=repl, modular=modular)
+        for _ in range(3)
+    ]
+    n_docs = samples[0][1]
+    wall = min(w for w, _ in samples)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     out = {

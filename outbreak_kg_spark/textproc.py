@@ -22,6 +22,21 @@ _RE_DATE = re.compile(r"Published Date: (.+)\n")
 _RE_SUBJECT = re.compile(r"Subject:(.+?)\n")
 _RE_ARCHIVE = re.compile(r"Archive Number: (\d{8}\.\d+)?")
 
+# Fast path for the overwhelmingly-common zero-padded date shape; anything
+# else falls back to strptime so flexible-width inputs ('2024-3-01') keep
+# strptime's exact accept/reject behavior. strptime alone costs ~6us per
+# call — the single hottest line of header parsing.
+_RE_FASTDATE = re.compile(r"(\d{4})-(\d{2})-(\d{2}) (\d{2}):(\d{2}):(\d{2})\Z")
+
+
+def _parse_date(s: str) -> datetime.datetime:
+    m = _RE_FASTDATE.match(s)
+    if m:
+        y, mo, d, h, mi, se = map(int, m.groups())
+        # the datetime constructor range-checks exactly like strptime
+        return datetime.datetime(y, mo, d, h, mi, se)
+    return datetime.datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+
 
 def split_sections(body: str) -> list[dict]:
     """Split a raw alert body into [{title, content}] sections.
@@ -71,7 +86,7 @@ def parse_header_fields(header: str) -> dict:
     subj_m = _RE_SUBJECT.search(header)
     arch_m = _RE_ARCHIVE.search(header)
     raw_date = date_m.group(1)  # AttributeError when absent == reference crash
-    dt = datetime.datetime.strptime(raw_date[:-4], "%Y-%m-%d %H:%M:%S")
+    dt = _parse_date(raw_date[:-4])
     return {
         "date": dt,
         "subject": subj_m.group(1).strip() if subj_m else None,
