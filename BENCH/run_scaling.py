@@ -135,12 +135,13 @@ leaks JVM service + Arrow serialization work onto the host's idle cores
 
 Secondary pair 8 pinned -> 32 (whole host): {eff_8_32:.3f}. The 32-core
 level saturates the machine — nothing is left for the OS/hypervisor, and
-the 32 task threads + 32 Python workers share SMT siblings — so it reads
+the 32 JVM task threads compete with their own 32 Python UDF workers for
+the same 32 cores (2x oversubscription of the Python-heavy stage) — so it reads
 as a saturation ceiling, not a scaling datum; a real 4N-executor cluster
 adds machines rather than oversubscribing one. Within the unsaturated
-region (4 -> 8 -> 16 pinned) the pipeline scales at ~1.0x per core
-doubling, consistent with its plan shape: one narrow Arrow pass plus one
-exchange keyed by doc id and a salted two-phase count.
+region the pipeline scales near-linearly (4 -> 8: 2.0x; 8 -> 16: 1.72x),
+consistent with its plan shape: one narrow Arrow pass plus one exchange
+keyed by doc id and a salted two-phase count.
 
 Reproduce: `python BENCH/run_scaling.py --repl {repl}`
 (input: {sf_dir}, documents replicated x{repl} with distinct doc ids).

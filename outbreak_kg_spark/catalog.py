@@ -52,6 +52,54 @@ class Catalog:
             return self.spark.catalog.tableExists(self._ident(name))
         return os.path.exists(os.path.join(self._ident(name), "_SUCCESS"))
 
+    def write_bucketed(self, name: str, df: DataFrame, bucket_col: str,
+                       n_buckets: int = 64,
+                       partition_by: list[str] | None = None) -> None:
+        """Persist a table hash-bucketed (and sorted) by its join key.
+
+        This is the co-located-join device for the big recurring joins
+        (edges bucketed by subj, mentions by doc_id — SURVEY.md §1.4): two
+        tables bucketed by the same key into the same bucket count join
+        WITHOUT a shuffle on either side — the scan itself satisfies the
+        join's distribution requirement (plan-asserted in
+        tests/test_catalog_bucketed.py). At 100 TB that converts the
+        dominant recurring exchange of every downstream job into a one-time
+        cost paid at write.
+
+        Bucketed tables need a table catalog (metastore keeps the bucket
+        spec); the parquet-path backend uses saveAsTable into the session
+        warehouse. Iceberg's equivalent is a `bucket(n, col)` partition
+        transform.
+        """
+        if self.use_iceberg:
+            # df.writeTo(...).partitionedBy(bucket(n_buckets, bucket_col))
+            # is the Iceberg spelling; the runtime jar is absent here
+            raise NotImplementedError(
+                "iceberg bucket() transform requires the iceberg runtime; "
+                "unavailable in this sandbox"
+            )
+        w = (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(n_buckets, bucket_col)
+            .sortBy(bucket_col)
+        )
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.option("path", self._ident(name)).saveAsTable(_table_name(name))
+
+    def read_bucketed(self, name: str) -> DataFrame:
+        """Read a bucketed table THROUGH the catalog (a plain
+        spark.read.parquet of the same files loses the bucket spec and
+        re-shuffles on join)."""
+        if self.use_iceberg:
+            return self.spark.read.table(self._ident(name))
+        return self.spark.read.table(_table_name(name))
+
+
+def _table_name(name: str) -> str:
+    return "kg_bucketed_" + name.replace("/", "_").replace(".", "_")
+
 
 def _iceberg_available(spark: SparkSession) -> bool:
     try:

@@ -1,0 +1,61 @@
+"""Bucketed-table co-located join: two tables bucketed on the join key
+join with ZERO exchanges — the scan satisfies the join's distribution
+requirement. This is the write-once/shuffle-never device for the recurring
+big joins (edges by subj, mentions by doc_id)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from outbreak_kg_spark.catalog import Catalog
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path, no_broadcast):
+    cat = Catalog(spark, str(tmp_path), use_iceberg=False)
+    edges = spark.range(0, 10_000).select(
+        F.concat(F.lit("doc:"), (F.col("id") % 500).cast("string")).alias("subj"),
+        F.lit("mentions").alias("pred"),
+        F.concat(F.lit("MESH:D"), (F.col("id") % 37).cast("string")).alias("obj"),
+    )
+    docs = spark.range(0, 500).select(
+        F.concat(F.lit("doc:"), F.col("id").cast("string")).alias("subj"),
+        (F.col("id") % 7).alias("shard"),
+    )
+    cat.write_bucketed("edges_b", edges, "subj", n_buckets=8)
+    cat.write_bucketed("docs_b", docs, "subj", n_buckets=8)
+
+    joined = cat.read_bucketed("edges_b").join(
+        cat.read_bucketed("docs_b"), "subj"
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert joined.count() == 10_000
+
+    # parity with the shuffled join
+    plain = edges.join(docs, "subj")
+    assert joined.groupBy("obj").count().orderBy("obj").collect() == \
+        plain.groupBy("obj").count().orderBy("obj").collect()
+
+
+def test_plain_read_of_same_files_does_shuffle(spark, tmp_path, no_broadcast):
+    """Control: reading the same parquet files WITHOUT the catalog loses the
+    bucket spec — the join shuffles. Reading through read_bucketed is what
+    carries the guarantee."""
+    cat = Catalog(spark, str(tmp_path), use_iceberg=False)
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    cat.write_bucketed("t1", df, "k", n_buckets=4)
+    cat.write_bucketed("t2", df, "k", n_buckets=4)
+    raw1 = spark.read.parquet(str(tmp_path / "t1"))
+    raw2 = spark.read.parquet(str(tmp_path / "t2"))
+    plan = raw1.join(raw2, "k")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange hashpartitioning" in plan
