@@ -24,46 +24,83 @@ from .closure import connected_components
 from .dedup import _md5_48
 
 
-def name_shingles(nodes: DataFrame, name_col: str = "name",
-                  id_col: str = "curie", n: int = 3) -> DataFrame:
-    """Distinct character n-gram shingles of the normalized name."""
+def name_shingle_array(nodes: DataFrame, name_col: str = "name",
+                       id_col: str = "curie", n: int = 3) -> DataFrame:
+    """(id, array of DISTINCT char n-gram shingles of the normalized
+    padded name) — a narrow map, no shuffle (same device as
+    dedup.shingle_array). Names too short to yield a full n-gram get an
+    empty array (and thus never block or pair)."""
     norm = F.regexp_replace(F.lower(F.col(name_col)), r"[^a-z0-9]+", " ")
     padded = F.concat(F.lit(" "), F.trim(norm), F.lit(" "))
-    idx = F.sequence(F.lit(0), F.length(padded) - n)
-    return (
-        nodes.select(id_col, F.explode(idx).alias("i"), padded.alias("_p"))
-        .select(id_col, F.substring_index(F.lit(""), "", 0).alias("_drop"),
-                F.expr(f"substring(_p, i + 1, {n})").alias("shingle"))
-        .select(id_col, "shingle")
-        .dropDuplicates()
+    p = nodes.select(id_col, padded.alias("_p"))
+    sh = F.when(
+        F.length("_p") >= n,
+        F.expr(
+            f"transform(sequence(0, length(_p) - {n}), "
+            f"i -> substring(_p, i + 1, {n}))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return p.select(id_col, F.array_distinct(sh).alias("shingles"))
+
+
+def name_shingles(nodes: DataFrame, name_col: str = "name",
+                  id_col: str = "curie", n: int = 3) -> DataFrame:
+    """Long-form distinct (id, shingle) rows — explode of the array form."""
+    return name_shingle_array(nodes, name_col, id_col, n).select(
+        id_col, F.explode("shingles").alias("shingle")
     )
 
 
 def lsh_blocks(sh: DataFrame, id_col: str = "curie", num_hashes: int = 12,
                bands: int = 6) -> DataFrame:
-    """MinHash the shingle sets, band the signature, emit (band, bucket,
-    id). Same md5-based family as dedup.minhash_signatures."""
-    spark = sh.sparkSession
-    params = spark.createDataFrame([{"hash_idx": i} for i in range(num_hashes)])
-    sigs = (
-        sh.crossJoin(F.broadcast(params))
-        .select(
-            id_col, "hash_idx",
-            _md5_48(F.concat_ws(":", F.col("hash_idx").cast("string"),
-                                "shingle")).alias("hv"),
-        )
-        .groupBy(id_col, "hash_idx")
-        .agg(F.min("hv").alias("minhash"))
+    """Long-form-shingle compatibility wrapper around lsh_blocks_array."""
+    arr = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("shingles"))
+    return lsh_blocks_array(arr, id_col, num_hashes, bands)
+
+
+def lsh_blocks_array(arr: DataFrame, id_col: str = "curie",
+                     num_hashes: int = 12, bands: int = 6) -> DataFrame:
+    """MinHash the shingle arrays and band the signature — all with array
+    expressions inside whole-stage codegen, ZERO shuffles (the earlier
+    formulation exploded num_hashes x |shingles| rows through a hash agg;
+    same md5-48 family, same banding semantics: equal bucket <=> equal
+    per-band signature slice). Emits (id, band, bucket)."""
+    sigs = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s: _md5_48(F.concat_ws(":", i.cast("string"), s)),
+            )
+        ),
     )
-    banded = sigs.withColumn("band", F.col("hash_idx") % bands)
-    return banded.groupBy(id_col, "band").agg(
-        F.md5(
+    band_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.md5(
             F.concat_ws(
                 ",",
-                F.sort_array(F.collect_list(F.struct("hash_idx", "minhash")))
-                .cast("array<string>"),
+                F.filter(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                        lambda i: F.when(
+                            i % bands == b,
+                            F.concat_ws(
+                                ":",
+                                i.cast("string"),
+                                F.element_at(F.col("_sigs"), i + F.lit(1))
+                                .cast("string"),
+                            ),
+                        ),
+                    ),
+                    lambda x: x.isNotNull(),
+                ),
             )
-        ).alias("bucket")
+        ),
+    )
+    return (
+        arr.filter(F.size("shingles") > 0)
+        .select(id_col, sigs.alias("_sigs"))
+        .select(id_col, F.posexplode(band_keys).alias("band", "bucket"))
     )
 
 
@@ -118,8 +155,9 @@ def canonical_assignments(nodes: DataFrame, ns_priority: tuple = ("MESH",),
     keyed = nodes.select(
         F.concat_ws("\x00", "node_type", "curie").alias("k"), "name"
     )
-    sh = name_shingles(keyed, "name", "k")
-    cand = candidate_pairs(lsh_blocks(sh, "k", num_hashes, bands), "k")
+    arr = name_shingle_array(keyed, "name", "k")
+    sh = arr.select("k", F.explode("shingles").alias("shingle"))
+    cand = candidate_pairs(lsh_blocks_array(arr, "k", num_hashes, bands), "k")
     # same-type guard: the type is the prefix of the key
     cand = cand.filter(
         F.substring_index("a", "\x00", 1) == F.substring_index("b", "\x00", 1)

@@ -1807,6 +1807,107 @@ SQL_MULTIMODAL_IMAGE_BYTES = """
 """
 
 
+def q_canonicalize_assignments(spark, sf_dir):
+    """N6 at scale, fully oracle-gated end to end: name canonicalization
+    (char-shingle MinHash-LSH blocking -> exact Jaccard verify -> connected
+    components -> ns-priority canonical election). Input: two namespaces
+    over the part names — GEONAMES names differ only by punctuation, which
+    normalization erases, so each (MESH:k, GEONAMES:k) pair must merge;
+    cross-key merges happen wherever TPC-H color-word names are
+    shingle-close, identically in both engines (md5 family)."""
+    from .canonicalize import canonical_assignments
+
+    part = _tbl(spark, sf_dir, "part").filter(F.col("p_partkey") < 150)
+    nodes = part.select(
+        F.concat(F.lit("MESH:"), F.col("p_partkey").cast("string")).alias("curie"),
+        F.col("p_name").alias("name"),
+        F.lit("disease").alias("node_type"),
+    ).unionByName(
+        part.select(
+            F.concat(F.lit("GEONAMES:"),
+                     F.col("p_partkey").cast("string")).alias("curie"),
+            F.regexp_replace("p_name", " ", "-").alias("name"),
+            F.lit("disease").alias("node_type"),
+        )
+    )
+    return canonical_assignments(
+        nodes, ns_priority=("MESH", "GEONAMES"), threshold=0.7,
+        num_hashes=12, bands=6,
+    )
+
+
+SQL_CANONICALIZE = """
+    WITH RECURSIVE names AS (
+        SELECT 'MESH:' || p_partkey AS curie, p_name AS name
+        FROM part WHERE p_partkey < 150
+        UNION ALL
+        SELECT 'GEONAMES:' || p_partkey, replace(p_name, ' ', '-')
+        FROM part WHERE p_partkey < 150),
+    norm AS (
+        SELECT curie,
+               ' ' || trim(regexp_replace(lower(name), '[^a-z0-9]+', ' ', 'g'))
+               || ' ' AS p
+        FROM names),
+    sh AS (
+        SELECT DISTINCT curie, substr(p, i + 1, 3) AS shingle
+        FROM norm, unnest(range(0, greatest(len(p) - 2, 0))) u(i)
+        WHERE len(p) >= 3),
+    hv AS (
+        SELECT curie, i AS hash_idx,
+               ('0x' || substr(md5(i || ':' || shingle), 1, 12))::BIGINT AS v
+        FROM sh, unnest(range(0, 12)) h(i)),
+    sig AS (SELECT curie, hash_idx, min(v) AS minhash FROM hv GROUP BY 1, 2),
+    bands AS (
+        SELECT curie, hash_idx % 6 AS band,
+               string_agg(minhash, ',' ORDER BY hash_idx) AS key
+        FROM sig GROUP BY 1, 2),
+    cand AS (
+        SELECT DISTINCT x.curie AS a, y.curie AS b
+        FROM bands x JOIN bands y USING (band, key)
+        WHERE x.curie < y.curie),
+    sz AS (SELECT curie, count(*) AS s FROM sh GROUP BY 1),
+    inter AS (
+        SELECT c.a, c.b, count(*) AS ni
+        FROM cand c
+        JOIN sh sa ON sa.curie = c.a
+        JOIN sh sb ON sb.curie = c.b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2),
+    ver AS (
+        SELECT i.a, i.b FROM inter i
+        JOIN sz za ON za.curie = i.a
+        JOIN sz zb ON zb.curie = i.b
+        WHERE ni * 1.0 / (za.s + zb.s - ni) >= 0.7),
+    sym AS (SELECT a, b FROM ver UNION SELECT b, a FROM ver),
+    reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+    vnodes AS (SELECT a AS n FROM sym UNION SELECT b FROM sym),
+    comp AS (
+        SELECT n AS curie, least(n, min(r.b)) AS component
+        FROM vnodes LEFT JOIN reach r ON r.a = n GROUP BY n),
+    ranked AS (
+        SELECT curie, component,
+               CASE split_part(curie, ':', 1)
+                    WHEN 'MESH' THEN 0 WHEN 'GEONAMES' THEN 1 ELSE 2
+               END AS p
+        FROM comp),
+    canon AS (
+        SELECT component, curie AS canonical_curie FROM (
+            SELECT component, curie,
+                   row_number() OVER (PARTITION BY component
+                                      ORDER BY p, curie) AS rn
+            FROM ranked) WHERE rn = 1),
+    assigned AS (
+        SELECT r.curie, c.canonical_curie
+        FROM ranked r JOIN canon c USING (component))
+    SELECT n.curie,
+           coalesce(a.canonical_curie, n.curie) AS canonical_curie
+    FROM (SELECT DISTINCT curie FROM names) n
+    LEFT JOIN assigned a USING (curie)
+"""
+
+
 def all_queries():
     return {
         "kg_extract_text": q_kg_extract_text,
@@ -1861,6 +1962,7 @@ def all_queries():
         "similarity_neardup_lsh": q_similarity_neardup_lsh,
         "multimodal_frame_plan": q_multimodal_frame_plan,
         "multimodal_image_bytes": q_multimodal_image_bytes,
+        "canonicalize_assignments": q_canonicalize_assignments,
     }
 
 
@@ -1928,4 +2030,5 @@ def all_oracle_sql():
         "similarity_neardup_lsh": _sql_neardup_lsh(),
         "multimodal_frame_plan": SQL_MULTIMODAL_FRAME_PLAN,
         "multimodal_image_bytes": SQL_MULTIMODAL_IMAGE_BYTES,
+        "canonicalize_assignments": SQL_CANONICALIZE,
     }
