@@ -1908,6 +1908,83 @@ SQL_CANONICALIZE = """
 """
 
 
+def q_kg_query_indicators(spark, sf_dir):
+    """The reference's second endpoint query (kg/client.py:76-116,
+    queries.query_indicators): indicators attached to the anchor
+    geolocation, its ancestors, OR its descendants (bidirectional isa*0..),
+    with name joins and the years_data map payload. Indicator edges are
+    derived from events (per-geo per-type monthly integer-cent totals — a
+    WDI-shaped table); map values stay integers so the oracle is exact.
+    The map rides through the operator and is exploded for comparison."""
+    from .queries import query_indicators
+
+    ev = _tbl(spark, sf_dir, "events")
+    geo = (
+        F.when(F.pmod("user_id", F.lit(3)) == 0, F.lit("MESH:D2001"))
+        .when(F.pmod("user_id", F.lit(3)) == 1, F.lit("MESH:D2002"))
+        .otherwise(F.lit("MESH:D2003"))
+    )
+    monthly = (
+        ev.select(
+            geo.alias("subj"),
+            F.concat(F.lit("WDI:"), "event_type").alias("obj"),
+            F.date_format("ts", "yyyy-MM").alias("ym"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("subj", "obj", "ym")
+        .agg(F.sum("cents").alias("v"))
+    )
+    edges = monthly.groupBy("subj", "obj").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("ym", "v")))
+        ).alias("years_data")
+    ).select("subj", F.lit("has_indicator").alias("pred"), "obj", "years_data")
+    nodes = spark.createDataFrame(
+        [(c, t) for c, t, ty in ENTRY_GAZ], "curie string, name string"
+    ).unionByName(
+        ev.select(
+            F.concat(F.lit("WDI:"), "event_type").alias("curie"),
+            F.concat(F.lit("indicator "), "event_type").alias("name"),
+        ).dropDuplicates()
+    )
+    closure = spark.createDataFrame(
+        [{"node": n, "ancestor": a} for n, a in _entry_closure_pairs()]
+    )
+    out = query_indicators(nodes, edges, closure, "MESH:D2002")
+    return out.select(
+        "indicator_curie", "indicator_name", "geo_curie", "geo_name",
+        F.explode("years_data").alias("ym", "cents"),
+    )
+
+
+SQL_KG_QUERY_INDICATORS = f"""
+    WITH ev AS (
+        SELECT CASE user_id % 3 WHEN 0 THEN 'MESH:D2001'
+                                WHEN 1 THEN 'MESH:D2002'
+                                ELSE 'MESH:D2003' END AS geo_curie,
+               'WDI:' || event_type AS indicator_curie,
+               'indicator ' || event_type AS indicator_name,
+               strftime(ts, '%Y-%m') AS ym,
+               round(value * 100)::BIGINT AS cents
+        FROM events),
+    agg AS (
+        SELECT geo_curie, indicator_curie, indicator_name, ym,
+               sum(cents) AS cents
+        FROM ev GROUP BY 1, 2, 3, 4),
+    cl(node, ancestor) AS (VALUES {{closure}}),
+    related AS (
+        SELECT node AS geo_curie FROM cl WHERE ancestor = 'MESH:D2002'
+        UNION
+        SELECT ancestor FROM cl WHERE node = 'MESH:D2002'),
+    g(curie, name) AS (VALUES {{gaz}})
+    SELECT a.indicator_curie, a.indicator_name,
+           a.geo_curie, g.name AS geo_name, a.ym, a.cents
+    FROM agg a
+    JOIN related r USING (geo_curie)
+    JOIN g ON g.curie = a.geo_curie
+"""
+
+
 def all_queries():
     return {
         "kg_extract_text": q_kg_extract_text,
@@ -1963,6 +2040,7 @@ def all_queries():
         "multimodal_frame_plan": q_multimodal_frame_plan,
         "multimodal_image_bytes": q_multimodal_image_bytes,
         "canonicalize_assignments": q_canonicalize_assignments,
+        "kg_query_indicators": q_kg_query_indicators,
     }
 
 
@@ -2031,4 +2109,8 @@ def all_oracle_sql():
         "multimodal_frame_plan": SQL_MULTIMODAL_FRAME_PLAN,
         "multimodal_image_bytes": SQL_MULTIMODAL_IMAGE_BYTES,
         "canonicalize_assignments": SQL_CANONICALIZE,
+        "kg_query_indicators": SQL_KG_QUERY_INDICATORS.format(
+            closure=_sql_values_closure(),
+            gaz=", ".join(f"('{c}', '{t}')" for c, t, _ty in ENTRY_GAZ),
+        ),
     }
