@@ -1985,6 +1985,43 @@ SQL_KG_QUERY_INDICATORS = f"""
 """
 
 
+DIRECT_REL_CURIES = ["MESH:D0001", "MESH:D1004", "MESH:D2001"]
+
+
+def q_kg_direct_relations(spark, sf_dir):
+    """text_relations endpoint (kg/client.py:222-227,
+    queries.direct_relations): edges whose BOTH endpoints lie in the given
+    curie set, over the occurs_with edge table built from mention pairs."""
+    from .queries import direct_relations
+
+    m = entry_mentions(spark, sf_dir).select("doc_id", "curie", "name")
+    a = m.select("doc_id", F.col("curie").alias("subj"), F.col("name").alias("an"))
+    b = m.select("doc_id", F.col("curie").alias("obj"), F.col("name").alias("bn"))
+    pairs = a.join(b, "doc_id").filter(F.col("an") < F.col("bn"))
+    edges = salted_count(
+        pairs, ["subj", "obj"], salt=16, count_col="count",
+        salt_from=F.col("doc_id"),
+    ).withColumn("pred", F.lit("occurs_with"))
+    return direct_relations(edges, DIRECT_REL_CURIES).select(
+        "subj", "pred", "obj", "count"
+    )
+
+
+SQL_KG_DIRECT_RELATIONS = f"""
+    WITH m AS ({_SQL_MENTIONS}),
+    e AS (
+        SELECT a.curie AS subj, b.curie AS obj, count(*) AS count
+        FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.name < b.name
+        GROUP BY 1, 2)
+    SELECT subj, 'occurs_with' AS pred, obj, count
+    FROM e
+    WHERE subj IN ('{DIRECT_REL_CURIES[0]}', '{DIRECT_REL_CURIES[1]}',
+                   '{DIRECT_REL_CURIES[2]}')
+      AND obj IN ('{DIRECT_REL_CURIES[0]}', '{DIRECT_REL_CURIES[1]}',
+                  '{DIRECT_REL_CURIES[2]}')
+"""
+
+
 def all_queries():
     return {
         "kg_extract_text": q_kg_extract_text,
@@ -2041,6 +2078,7 @@ def all_queries():
         "multimodal_image_bytes": q_multimodal_image_bytes,
         "canonicalize_assignments": q_canonicalize_assignments,
         "kg_query_indicators": q_kg_query_indicators,
+        "kg_direct_relations": q_kg_direct_relations,
     }
 
 
@@ -2113,4 +2151,5 @@ def all_oracle_sql():
             closure=_sql_values_closure(),
             gaz=", ".join(f"('{c}', '{t}')" for c, t, _ty in ENTRY_GAZ),
         ),
+        "kg_direct_relations": SQL_KG_DIRECT_RELATIONS,
     }
