@@ -2022,6 +2022,42 @@ SQL_KG_DIRECT_RELATIONS = f"""
 """
 
 
+GROUND_QUERY_NAMES = [
+    "  Slow ", "DUP", "ha-sh", "MESH:D9999", "zzz", "Join", "ta-ble",
+]
+
+
+def q_kg_ground_names(spark, sf_dir):
+    """N4 / api.get_curie endpoint (kg/client.py:367-378): name -> CURIE
+    grounding through the same compiled gazetteer as NER. Driver-side by
+    design — the query side grounds a handful of user-typed names, a
+    dimension-sized op (the reference calls gilda per name). Curie-shaped
+    inputs pass through; ungroundable names map to null."""
+    from .ground import ground_names
+
+    out = ground_names(spark, entry_gazetteer_df(spark), GROUND_QUERY_NAMES)
+    return spark.createDataFrame(
+        [(k, out[k]) for k in GROUND_QUERY_NAMES],
+        "name string, curie string",
+    )
+
+
+SQL_KG_GROUND_NAMES = f"""
+    WITH q(name) AS (VALUES {", ".join(f"('{n}')" for n in GROUND_QUERY_NAMES)}),
+    g(curie, tok) AS (VALUES {", ".join(
+        f"('{c}', '{t}')" for c, t, _ty in ENTRY_GAZ)}),
+    norm AS (
+        SELECT name,
+               trim(regexp_replace(regexp_replace(lower(name), '-', ' ', 'g'),
+                                   '\\s+', ' ', 'g')) AS n
+        FROM q)
+    SELECT norm.name,
+           CASE WHEN norm.name LIKE '%:%' THEN norm.name ELSE g.curie END
+               AS curie
+    FROM norm LEFT JOIN g ON g.tok = norm.n AND norm.name NOT LIKE '%:%'
+"""
+
+
 def all_queries():
     return {
         "kg_extract_text": q_kg_extract_text,
@@ -2079,6 +2115,7 @@ def all_queries():
         "canonicalize_assignments": q_canonicalize_assignments,
         "kg_query_indicators": q_kg_query_indicators,
         "kg_direct_relations": q_kg_direct_relations,
+        "kg_ground_names": q_kg_ground_names,
     }
 
 
@@ -2152,4 +2189,5 @@ def all_oracle_sql():
             gaz=", ".join(f"('{c}', '{t}')" for c, t, _ty in ENTRY_GAZ),
         ),
         "kg_direct_relations": SQL_KG_DIRECT_RELATIONS,
+        "kg_ground_names": SQL_KG_GROUND_NAMES,
     }
