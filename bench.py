@@ -190,8 +190,11 @@ def main() -> None:
     os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
     from outbreak_kg_spark.session import get_spark
 
+    # shuffle partitions = cores (not 2x): AQE re-sizes post-shuffle stages
+    # anyway, and at this data scale the extra task-scheduling overhead of
+    # 2x-partition stages costs more than any skew headroom buys
     spark = get_spark(app_name=f"bench-{cpus}", master=f"local[{cpus}]",
-                      shuffle_partitions=max(2 * cpus, 32))
+                      shuffle_partitions=max(cpus, 32))
     spark.sparkContext.setLogLevel("ERROR")
 
     qtimes: dict[str, float] = {}
