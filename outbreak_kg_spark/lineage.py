@@ -13,12 +13,19 @@ checkpoint (promed_ner.py:152-153) and the terms-by-alert JSON hand-off
 Storage: plain parquet locally; in prod the same call sites target Iceberg
 tables (the sandbox has no Iceberg jar — SURVEY.md §4.4) where commit
 atomicity comes from the table format instead of the _SUCCESS marker.
+
+All filesystem access goes through the Hadoop FileSystem API on the driver
+JVM, so the same code runs against file://, hdfs:// or s3a:// stage roots —
+a cluster's stages do NOT live on the driver's local disk, so os.walk /
+pyarrow-on-local-paths (the round-1 implementation) would silently see an
+empty directory there. Row counts still come from parquet footers
+(ParquetFileReader over a HadoopInputFile): metadata-only reads, no data
+scan, any scheme.
 """
 
 from __future__ import annotations
 
 import datetime
-import os
 import time
 import uuid
 
@@ -27,22 +34,49 @@ from pyspark.sql import DataFrame, SparkSession
 from .schemas import LINEAGE
 
 
-def _part_files(path: str) -> list[str]:
-    return [
-        os.path.join(path, f)
-        for f in os.listdir(path)
-        if f.endswith(".parquet") and not f.startswith("_")
-    ]
+def _hadoop(spark: SparkSession, path: str):
+    """(jvm, hadoop Configuration, hadoop Path, FileSystem) for any scheme."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, conf, jpath, jpath.getFileSystem(conf)
 
 
-def _footer_rows(f: str) -> int:
-    import pyarrow.parquet as pq
+def _list_part_files(spark: SparkSession, out: str):
+    """Recursive (path_str, bytes) of data part-files under out — Hadoop FS
+    listing, works on object stores; skips _SUCCESS/_metadata/etc."""
+    jvm, conf, jpath, fs = _hadoop(spark, out)
+    files = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.endswith(".parquet") and not name.startswith(("_", ".")):
+            files.append((st.getPath(), st.getLen()))
+    return jvm, conf, jpath, files
 
-    return pq.ParquetFile(f).metadata.num_rows
+
+def _footer_rows(jvm, conf, jpath_file) -> int:
+    """Row count from the parquet footer via the JVM reader — metadata-only,
+    scheme-agnostic (HadoopInputFile handles hdfs/s3a/file)."""
+    in_file = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        jpath_file, conf
+    )
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(in_file)
+    try:
+        return int(reader.getRecordCount())
+    finally:
+        reader.close()
 
 
-def stage_done(root: str, name: str) -> bool:
-    return os.path.exists(os.path.join(root, name, "_SUCCESS"))
+def stage_done(root: str, name: str, spark: SparkSession | None = None) -> bool:
+    path = f"{root}/{name}/_SUCCESS"
+    if spark is None:  # local-path convenience (tests, sandbox)
+        import os
+
+        return os.path.exists(path)
+    _jvm, _conf, jpath, fs = _hadoop(spark, path)
+    return fs.exists(jpath)
 
 
 def run_stage(
@@ -57,8 +91,8 @@ def run_stage(
     """Materialize ``build() -> DataFrame`` at <root>/<name> unless already
     committed; return a reader DataFrame either way (so downstream stages
     always consume the at-rest copy — deterministic resume)."""
-    out = os.path.join(root, name)
-    if force or not stage_done(root, name):
+    out = f"{root}/{name}"
+    if force or not stage_done(root, name, spark):
         t0 = time.monotonic()
         df = build()
         writer = df.write.mode("overwrite")
@@ -72,28 +106,28 @@ def run_stage(
 
 
 def _append_lineage(spark, root, name, out, wall_ms, run_id):
-    files = []
-    for dirpath, _dirs, fnames in os.walk(out):
-        for f in fnames:
-            if f.endswith(".parquet") and not f.startswith("_"):
-                files.append(os.path.join(dirpath, f))
+    jvm, conf, _jroot, files = _list_part_files(spark, out)
     now = datetime.datetime.now(datetime.timezone.utc).isoformat()
-    rows = [
-        {
-            "stage": name,
-            "run_id": run_id,
-            "part_file": os.path.relpath(f, root),
-            "rows": _footer_rows(f),
-            "bytes": os.path.getsize(f),
-            "wall_ms": wall_ms,
-            "committed_at": now,
-        }
-        for f in files
-    ]
+    root_uri = str(jvm.org.apache.hadoop.fs.Path(root).toUri().getPath() or root)
+    rows = []
+    for jpath_file, nbytes in files:
+        full = str(jpath_file.toUri().getPath())
+        rel = full[len(root_uri):].lstrip("/") if full.startswith(root_uri) else full
+        rows.append(
+            {
+                "stage": name,
+                "run_id": run_id,
+                "part_file": rel,
+                "rows": _footer_rows(jvm, conf, jpath_file),
+                "bytes": int(nbytes),
+                "wall_ms": wall_ms,
+                "committed_at": now,
+            }
+        )
     spark.createDataFrame(rows or [], LINEAGE).coalesce(1).write.mode(
         "append"
-    ).parquet(os.path.join(root, "_lineage"))
+    ).parquet(f"{root}/_lineage")
 
 
 def read_lineage(spark: SparkSession, root: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(root, "_lineage"))
+    return spark.read.parquet(f"{root}/_lineage")
