@@ -46,6 +46,41 @@ def _force(df):
     df.write.mode("overwrite").format("noop").save()
 
 
+def _burn(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+
+
+def host_calibration(workers: int) -> float:
+    """Measured effective parallelism of this host RIGHT NOW: wall time of
+    one CPU-bound burn vs `workers` identical burns in parallel processes
+    (effective cores = workers * serial / parallel).
+
+    The sandbox VM advertises 32 vCPUs but the hypervisor intermittently
+    backs them with far fewer physical cores (observed: the same pipeline
+    run swings 3-7x in wall time with 75-90% system time, and this probe
+    reads ~10 effective cores in those windows vs ~26 when healthy). The
+    figure is emitted in the bench JSON so wall-time comparisons across
+    rounds are interpretable: docs/sec scales with deliverable cores, not
+    with the code under test. A ~2 s probe, run BEFORE the Spark JVM starts
+    so it measures the host, not the benchmark's own contention.
+    """
+    import multiprocessing as mp
+
+    n = 3_000_000
+    with mp.get_context("spawn").Pool(workers) as pool:
+        pool.map(_burn, [1000] * workers)  # warm the pool (spawn cost)
+        t0 = time.monotonic()
+        _burn(n)
+        serial = time.monotonic() - t0
+        t0 = time.monotonic()
+        pool.map(_burn, [n] * workers)
+        parallel = time.monotonic() - t0
+    return round(workers * serial / max(parallel, 1e-9), 1)
+
+
 def replicated_pages(spark, sf_dir: str, repl: int):
     """Page-ified documents table replicated repl x with distinct doc ids.
 
@@ -187,6 +222,8 @@ def main() -> None:
     e2e_only = "--e2e-only" in args
     modular = "--modular" in args
 
+    effective_cores = host_calibration(cpus)
+
     os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
     from outbreak_kg_spark.session import get_spark
 
@@ -235,6 +272,7 @@ def main() -> None:
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / wall, 1),
         "cpus": cpus,
+        "host_effective_cores": effective_cores,
         "path": "modular" if modular else "fused",
     }
     print(json.dumps(out))
