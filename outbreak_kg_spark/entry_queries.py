@@ -2058,6 +2058,159 @@ SQL_KG_GROUND_NAMES = f"""
 """
 
 
+def _curate_corpus_df(spark, sf_dir):
+    """Deterministic curation corpus: the documents table plus injected
+    duplicates, so every curation stage demonstrably fires (the synthetic
+    corpus has no exact dups and uniform quality). doc_id+1000 = identical
+    copy (exact-dup stage); doc_id+2000 = tail-truncated copy (near-dup
+    stage). Identical construction in the DuckDB oracle."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 150).select(
+        "doc_id", "text"
+    )
+    exact_copies = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    near_copies = (
+        d.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 40))
+        .select(
+            (F.col("doc_id") + 2000).alias("doc_id"),
+            F.expr(
+                "substring(text, 1, greatest(length(text) - 40, 1))"
+            ).alias("text"),
+        )
+    )
+    return d.unionByName(exact_copies).unionByName(near_copies)
+
+
+def q_corpus_curate(spark, sf_dir):
+    """Composite corpus curation (curate.curate_corpus): lang filter ->
+    quality filter -> exact dedup -> near-dup canonical election, one row
+    per doc with first-dropping-stage attribution."""
+    from . import curate
+
+    out = curate.curate_corpus(_curate_corpus_df(spark, sf_dir))
+    return out.select("doc_id", "lang_pred", "quality_score",
+                      "drop_stage", "keep")
+
+
+def _sql_corpus_curate() -> str:
+    vals = ", ".join(
+        f"('{t}', '{lang}')"
+        for lang, toks in sorted(textstats.LANG_STOPWORDS.items())
+        for t in toks
+    )
+    sw = ", ".join(f"'{s}'" for s in textstats.LANG_STOPWORDS["en"])
+    return f"""
+    WITH RECURSIVE corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 150
+        UNION ALL
+        SELECT doc_id + 1000, text FROM documents WHERE doc_id < 20
+        UNION ALL
+        SELECT doc_id + 2000,
+               substr(text, 1, greatest(length(text) - 40, 1))
+        FROM documents WHERE doc_id >= 20 AND doc_id < 40),
+    ltoks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM corpus),
+    votes AS (
+        SELECT doc_id, g.lang_cand, count(*) AS votes
+        FROM ltoks JOIN (VALUES {vals}) g(tok, lang_cand) USING (tok)
+        GROUP BY 1, 2),
+    bestl AS (
+        SELECT doc_id, lang_cand, votes,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY votes DESC, lang_cand ASC) AS rn
+        FROM votes),
+    lang AS (
+        SELECT c.doc_id, coalesce(b.lang_cand, 'und') AS lang_pred
+        FROM corpus c LEFT JOIN (SELECT * FROM bestl WHERE rn = 1) b
+          ON c.doc_id = b.doc_id),
+    qbase AS (
+        SELECT doc_id, length(text) AS n_chars,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                 AS toks,
+               length(text)
+                 - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                 AS n_punct
+        FROM corpus),
+    qual AS (
+        SELECT doc_id,
+               round((CASE WHEN len(toks) BETWEEN 10 AND 100000
+                           THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END)
+                     + (CASE WHEN n_punct / greatest(n_chars, 1)::DOUBLE
+                                  <= 0.2
+                             THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END)
+                     + (CASE WHEN (n_chars - n_punct)
+                                  / greatest(len(toks), 1)::DOUBLE
+                                  BETWEEN 3.0 AND 12.0
+                             THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END),
+                     2)::DOUBLE AS quality_score
+        FROM qbase),
+    base AS (
+        SELECT c.doc_id, c.text, l.lang_pred, q.quality_score,
+               l.lang_pred IN ('en') AS lang_ok,
+               q.quality_score >= 0.7 AS qual_ok
+        FROM corpus c JOIN lang l USING (doc_id) JOIN qual q USING (doc_id)),
+    slq AS (SELECT * FROM base WHERE lang_ok AND qual_ok),
+    ex AS (
+        SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY md5(text)) AS exact_canon
+        FROM slq),
+    sex AS (
+        SELECT b.doc_id, b.text FROM slq b JOIN ex USING (doc_id)
+        WHERE b.doc_id = ex.exact_canon),
+    tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM sex),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS shingle
+        FROM tk, unnest(range(1, len(t))) u(i)),
+    hv AS (
+        SELECT doc_id, i AS hash_idx,
+               ('0x' || substr(md5(i || ':' || shingle), 1, 12))::BIGINT AS v
+        FROM sh, unnest(range(0, 8)) h(i)),
+    sig AS (SELECT doc_id, hash_idx, min(v) AS minhash FROM hv GROUP BY 1, 2),
+    bandt AS (
+        SELECT doc_id, hash_idx % 4 AS band,
+               string_agg(minhash, ',' ORDER BY hash_idx) AS key
+        FROM sig GROUP BY 1, 2),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bandt x JOIN bandt y USING (band, key)
+        WHERE x.doc_id < y.doc_id),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT c.a, c.b, count(*) AS ni
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.a
+        JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2),
+    edges AS (
+        SELECT i.a, i.b FROM inter i
+        JOIN sz za ON za.doc_id = i.a JOIN sz zb ON zb.doc_id = i.b
+        WHERE ni / (za.n + zb.n - ni)::DOUBLE >= 0.35),
+    sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+    reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+    cnodes AS (SELECT a AS n FROM sym UNION SELECT b FROM sym),
+    comp AS (
+        SELECT n AS doc_id, least(n, min(r.b)) AS component
+        FROM cnodes LEFT JOIN reach r ON r.a = n GROUP BY n)
+    SELECT b.doc_id, b.lang_pred, b.quality_score,
+           CASE WHEN NOT b.lang_ok THEN 'lang'
+                WHEN NOT b.qual_ok THEN 'quality'
+                WHEN b.doc_id <> e.exact_canon THEN 'exact_dup'
+                WHEN c.component IS NOT NULL AND c.component <> b.doc_id
+                     THEN 'near_dup'
+                ELSE NULL END AS drop_stage,
+           (b.lang_ok AND b.qual_ok AND b.doc_id = e.exact_canon
+            AND (c.component IS NULL OR c.component = b.doc_id)) AS keep
+    FROM base b
+    LEFT JOIN (SELECT DISTINCT doc_id, exact_canon FROM ex) e USING (doc_id)
+    LEFT JOIN comp c USING (doc_id)
+    """
+
+
 def all_queries():
     return {
         "kg_extract_text": q_kg_extract_text,
@@ -2116,6 +2269,7 @@ def all_queries():
         "kg_query_indicators": q_kg_query_indicators,
         "kg_direct_relations": q_kg_direct_relations,
         "kg_ground_names": q_kg_ground_names,
+        "corpus_curate": q_corpus_curate,
     }
 
 
@@ -2190,4 +2344,5 @@ def all_oracle_sql():
         ),
         "kg_direct_relations": SQL_KG_DIRECT_RELATIONS,
         "kg_ground_names": SQL_KG_GROUND_NAMES,
+        "corpus_curate": _sql_corpus_curate(),
     }

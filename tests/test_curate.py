@@ -1,0 +1,72 @@
+"""curate.curate_corpus: staged drop attribution + stage-ordering
+semantics (each stage only sees survivors of the previous ones)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from outbreak_kg_spark.curate import curate_corpus
+
+EN = ("the quick brown fox and the lazy dog were with some other animals "
+      "that could not have been more different from each other")
+
+
+def _corpus(spark):
+    # 1: good en doc.  2: exact copy of 1.  3: near copy of 1 (tail cut).
+    # 4: non-en (no stopword votes).  5: junk (too short -> low quality).
+    # 6: near copy of 4 (would pair with 4, but both die at lang).
+    rows = [
+        (1, EN),
+        (2, EN),
+        (3, EN[:-25]),
+        (4, "zzz qqq www rrr ttt yyy uuu iii ooo ppp aaa sss ddd fff ggg"),
+        (5, "the of and"),
+        (6, "zzz qqq www rrr ttt yyy uuu iii ooo ppp aaa sss ddd fff hhh"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def curated(spark):
+    out = curate_corpus(_corpus(spark), min_quality=0.7,
+                        neardup_threshold=0.3, num_hashes=8, bands=4,
+                        shingle_n=2)
+    return {r.doc_id: r for r in out.collect()}
+
+
+def test_one_row_per_doc_first_stage_attribution(curated):
+    assert set(curated) == {1, 2, 3, 4, 5, 6}
+    assert curated[1].keep and curated[1].drop_stage is None
+    assert curated[2].drop_stage == "exact_dup"  # min-id canonical wins
+    assert curated[3].drop_stage == "near_dup"
+    assert curated[4].drop_stage == "lang"
+    assert curated[5].drop_stage == "quality"
+    # 6 is non-en: dropped at lang, NOT attributed to near_dup even though
+    # it would pair with 4 — earlier stages shield later ones
+    assert curated[6].drop_stage == "lang"
+
+
+def test_keep_iff_no_drop_stage(curated):
+    for r in curated.values():
+        assert r.keep == (r.drop_stage is None)
+
+
+def test_neardup_stage_never_sees_dropped_docs(spark):
+    """An exact-dup loser must not form near-dup edges: if doc 2 (identical
+    to 1) were fed to the near-dup stage it would trivially pair with 1 —
+    but it was already dropped, and doc 1 must stay kept (no self-cluster
+    from its own exact copy)."""
+    out = curate_corpus(_corpus(spark), neardup_threshold=0.3,
+                        num_hashes=8, bands=4, shingle_n=2)
+    r1 = out.filter(F.col("doc_id") == 1).first()
+    assert r1.keep and r1.drop_stage is None
+
+
+def test_lang_gate_respects_langs_param(spark):
+    out = curate_corpus(_corpus(spark), langs=("en", "und"),
+                        neardup_threshold=0.3, num_hashes=8, bands=4,
+                        shingle_n=2)
+    rows = {r.doc_id: r for r in out.collect()}
+    # 'und' now allowed: 4 survives lang; 6 is a near copy of 4 and gets
+    # dropped at the near-dup stage instead (4 is the min-id canonical)
+    assert rows[4].drop_stage is None and rows[4].keep
+    assert rows[6].drop_stage == "near_dup"
