@@ -73,38 +73,32 @@ def lang_id(df: DataFrame, text_col: str = "text",
     stopword list; argmax with deterministic tie-break (score desc, lang
     asc); 'und' when no list scores > 0.
 
-    Plan shape: explode tokens -> broadcast-join the stopword gazetteer ->
-    per-doc pivot counts. One shuffle keyed by doc id."""
-    spark = df.sparkSession
-    gaz = spark.createDataFrame(
-        [{"tok": t, "lang_cand": lang}
-         for lang, toks in sorted(LANG_STOPWORDS.items()) for t in toks]
+    Plan shape: ZERO shuffles — one vote counter per language as a JVM
+    array expression (size of filter over the doc's own tokens), argmax
+    over the per-lang struct array, all inside whole-stage codegen. The
+    stopword lists are compile-time literals (dozens of words), so there
+    is nothing to broadcast. The earlier formulation exploded every token
+    of every doc through a broadcast join and a groupBy(doc) exchange —
+    at web scale that shuffle is |tokens| rows, i.e. the corpus itself;
+    this one touches nothing beyond the doc's partition."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
     )
-    toks = df.select(
+    per_lang = []  # lang-ascending order = the tie-break order
+    for lang in sorted(LANG_STOPWORDS):
+        sw_arr = F.array(*[F.lit(s) for s in LANG_STOPWORDS[lang]])
+        votes = F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t)))
+        per_lang.append(
+            F.struct(votes.alias("votes"), F.lit(lang).alias("lang"))
+        )
+    arr = F.array(*per_lang)
+    mx = F.array_max(F.transform(arr, lambda s: s["votes"]))
+    # first (lang-asc) entry achieving the max vote count
+    best = F.get(F.filter(arr, lambda s: s["votes"] == mx), 0)
+    return df.select(
         id_col,
-        F.explode(
-            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
-        ).alias("tok"),
-    )
-    votes = (
-        toks.join(F.broadcast(gaz), "tok")
-        .groupBy(id_col, "lang_cand")
-        .agg(F.count(F.lit(1)).alias("votes"))
-    )
-    # argmax with tie-break (votes desc, lang asc) as a window top-1
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(id_col).orderBy(F.desc("votes"), F.asc("lang_cand"))
-    best = (
-        votes.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, F.col("lang_cand").alias("lang_pred"),
-                F.col("votes").alias("lang_votes"))
-    )
-    return df.select(id_col).join(best, id_col, "left").select(
-        id_col,
-        F.coalesce("lang_pred", F.lit("und")).alias("lang_pred"),
-        F.coalesce("lang_votes", F.lit(0)).alias("lang_votes"),
+        F.when(mx > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
+        F.when(mx > 0, mx).otherwise(F.lit(0)).cast("long").alias("lang_votes"),
     )
 
 
