@@ -83,9 +83,9 @@ def curate_corpus(
 
     # stage 4 input: exact winners
     s_ex = s_lq.join(ex, id_col).filter(F.col(id_col) == F.col("_exact_canon"))
-    sigs = dedup.minhash_signatures(s_ex, text_col, id_col,
-                                    num_hashes=num_hashes, shingle_n=shingle_n)
-    cand = dedup.lsh_candidate_pairs(sigs, id_col, bands=bands)
+    siga = dedup.minhash_sig_array(s_ex, text_col, id_col,
+                                   num_hashes=num_hashes, shingle_n=shingle_n)
+    cand = dedup.lsh_candidate_pairs_narrow(siga, id_col, bands=bands)
     dup_edges = dedup.jaccard_pairs(
         s_ex.select(id_col, text_col), cand, text_col, id_col, shingle_n
     ).filter(F.col("jaccard") >= neardup_threshold)

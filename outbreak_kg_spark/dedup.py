@@ -93,6 +93,22 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     touches nothing beyond the doc's own partition, which is the shape
     that survives 100 TB (signature cost scales with bytes scanned, not
     with shuffle capacity)."""
+    return (
+        minhash_sig_array(df, text_col, id_col, num_hashes, shingle_n)
+        .select(id_col, F.posexplode("sigs").alias("hash_idx", "minhash"))
+        .select(id_col, F.col("hash_idx").cast("long").alias("hash_idx"),
+                "minhash")
+    )
+
+
+def minhash_sig_array(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 32,
+                      shingle_n: int = 3) -> DataFrame:
+    """(id, sigs array<long>) — the MinHash signature as one array column,
+    index position = hash_idx. NARROW: computed entirely with array
+    expressions inside the doc's own partition (see minhash_signatures for
+    the hash family). Docs with no shingles are dropped, matching the
+    long-form filter."""
     sa = shingle_array(df, text_col, id_col, n=shingle_n)
     sigs = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
@@ -105,9 +121,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     )
     return (
         sa.filter(F.size("shingles") > 0)
-        .select(id_col, F.posexplode(sigs).alias("hash_idx", "minhash"))
-        .select(id_col, F.col("hash_idx").cast("long").alias("hash_idx"),
-                "minhash")
+        .select(id_col, sigs.alias("sigs"))
     )
 
 
@@ -125,6 +139,12 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
             )
         ).alias("bucket")
     )
+    return _bucket_pairs(buckets, id_col)
+
+
+def _bucket_pairs(buckets: DataFrame, id_col: str) -> DataFrame:
+    """(id, band, bucket) -> distinct candidate pairs (a < b) sharing any
+    (band, bucket) — the LSH blocking equi-join."""
     l = buckets.select(F.col(id_col).alias("a"), "band", "bucket")
     r = buckets.select(F.col(id_col).alias("b"), "band", "bucket")
     return (
@@ -133,6 +153,49 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
         .select("a", "b")
         .dropDuplicates()
     )
+
+
+def lsh_band_buckets(sig_arrays: DataFrame, id_col: str = "doc_id",
+                     bands: int = 8) -> DataFrame:
+    """(id, band, bucket) directly from (id, sigs array<long>) — NARROW:
+    each band's bucket key is an md5 over the band's hash-index-ascending
+    minhash values (indices b, b+bands, ... — the same strided banding as
+    lsh_candidate_pairs), built with array expressions and a `bands`-wide
+    explode. No groupBy: the long-form path re-aggregates the exploded
+    signature rows back per (doc, band) through an exchange that this
+    formulation never creates. Bucket strings differ from the long-form
+    path but are injective in the same band value vector, so the candidate
+    pair sets are identical (property-tested)."""
+    n = F.size("sigs")
+    band_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("long").alias("band"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sequence(b, n - 1, F.lit(bands)),
+                        lambda i: F.get(F.col("sigs"), i.cast("int"))
+                        .cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("bucket"),
+        ),
+    )
+    return sig_arrays.select(
+        id_col, F.explode(band_structs).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
+def lsh_candidate_pairs_narrow(sig_arrays: DataFrame,
+                               id_col: str = "doc_id",
+                               bands: int = 8) -> DataFrame:
+    """Candidate pairs from array-form signatures: the only exchange left
+    is the blocking equi-join itself (banding is narrow). This is the
+    scale path; the long-form lsh_candidate_pairs stays for pipelines that
+    materialize per-hash signature rows."""
+    return _bucket_pairs(lsh_band_buckets(sig_arrays, id_col, bands), id_col)
 
 
 def jaccard_pairs(df: DataFrame, pairs: DataFrame | None = None,
@@ -187,8 +250,8 @@ def minhash_dedup(df: DataFrame, text_col: str = "text",
     verify -> connected components -> canonical id per doc."""
     from .closure import connected_components
 
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    cand = lsh_candidate_pairs(sigs, id_col, bands)
+    siga = minhash_sig_array(df, text_col, id_col, num_hashes, shingle_n)
+    cand = lsh_candidate_pairs_narrow(siga, id_col, bands)
     dup_edges = jaccard_pairs(df, cand, text_col, id_col, shingle_n).filter(
         F.col("jaccard") >= threshold
     )
@@ -208,35 +271,56 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 32) -> DataFrame:
     """Per-doc SimHash: bit b of the fingerprint is 1 iff the sum over
     distinct tokens of (+1 if bit b of h(token) else -1) is positive.
-    Computed with shiftright/bit-and inside one explode + sum agg.
-    bits <= 48 (the md5-derived hash width; also keeps 1<<b ANSI-safe)."""
+    bits <= 48 (the md5-derived hash width; also keeps 1<<b ANSI-safe).
+
+    Plan shape: ZERO shuffles — one F.aggregate pass over the doc's own
+    distinct-token hash array with a bits-wide vector accumulator
+    (zip_with add of per-bit signs), then an in-expression bit assembly.
+    The earlier formulation exploded every distinct token of every doc
+    through a `bits`-column groupBy(doc) exchange — a shuffle proportional
+    to corpus token count at web scale; this one never leaves the doc's
+    partition. Fingerprints are identical (same hash, same sums)."""
     if not 1 <= bits <= 48:
         raise ValueError("simhash bits must be in [1, 48]")
-    t = tokens(df, text_col, id_col).select(id_col, "tok").dropDuplicates()
-    h = t.select(id_col, _md5_48("tok").alias("h"))
-    contrib = h.select(
-        id_col,
-        *[
-            (
-                (F.shiftright("h", b).bitwiseAND(F.lit(1)) * 2 - 1)
-            ).alias(f"b{b}")
-            for b in range(bits)
-        ],
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                 lambda t: t != "")
     )
-    summed = contrib.groupBy(id_col).agg(
-        *[F.sum(f"b{b}").alias(f"s{b}") for b in range(bits)]
+    # empty-token docs have no rows in the long form either
+    base = df.select(id_col, toks.alias("_toks")).filter(
+        F.size("_toks") > 0
     )
-    fp = summed.select(
-        id_col,
-        sum(
-            [
-                F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-                for b in range(bits)
-            ],
-            F.lit(0),
-        ).cast("long").alias("simhash"),
+    hashes = F.transform(F.col("_toks"), _md5_48)
+    bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    # sign vector of one hash: +1 where bit b is set, else -1. shiftright
+    # needs a literal shift amount, so bit b is read arithmetically:
+    # (h / 2^b) % 2 — exact in doubles up to 2^47 (hashes are 48-bit).
+    def _signs(h):
+        return F.transform(
+            bit_idx,
+            lambda b: (
+                F.floor(h / F.pow(F.lit(2.0), b.cast("double")))
+                .cast("long") % 2
+            ) * 2 - 1,
+        )
+
+    sums = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(acc, _signs(h), lambda a, s: a + s),
     )
-    return fp
+    powers = F.transform(
+        bit_idx, lambda b: F.pow(F.lit(2.0), b.cast("double")).cast("long")
+    )
+    fp = F.aggregate(
+        F.zip_with(
+            sums, powers,
+            lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return base.select(id_col, fp.cast("long").alias("simhash"))
 
 
 def hamming_near_dups(fps: DataFrame, id_col: str = "doc_id",

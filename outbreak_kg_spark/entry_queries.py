@@ -1045,8 +1045,8 @@ def q_dedup_lsh_candidates(spark, sf_dir):
     joins directly on the band's value list — equal relations because bucket
     equality <=> identical band lists (md5 collisions aside)."""
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 60)
-    sigs = dedup.minhash_signatures(d, num_hashes=8, shingle_n=2)
-    return dedup.lsh_candidate_pairs(sigs, bands=8)
+    siga = dedup.minhash_sig_array(d, num_hashes=8, shingle_n=2)
+    return dedup.lsh_candidate_pairs_narrow(siga, bands=8)
 
 
 SQL_DEDUP_LSH_CANDIDATES = """

@@ -285,3 +285,37 @@ def test_minhash_estimates_jaccard(spark):
     # exact jaccard operator agrees with the set computation
     jp = {(r.a, r.b): r.jaccard for r in dedup.jaccard_pairs(df).collect()}
     assert jp[(1, 2)] == pytest.approx(true_j)
+
+
+def test_lsh_narrow_equals_longform(docs):
+    """Array-native banding (lsh_candidate_pairs_narrow) must produce the
+    same candidate pair set as the long-form path for every band count —
+    bucket keys differ, pair semantics may not."""
+    for bands in (4, 8, 16):
+        long_pairs = {
+            (r.a, r.b)
+            for r in dedup.lsh_candidate_pairs(
+                dedup.minhash_signatures(docs, num_hashes=16),
+                bands=bands).collect()
+        }
+        narrow_pairs = {
+            (r.a, r.b)
+            for r in dedup.lsh_candidate_pairs_narrow(
+                dedup.minhash_sig_array(docs, num_hashes=16),
+                bands=bands).collect()
+        }
+        assert narrow_pairs == long_pairs
+
+
+def _n_exchanges(df):
+    return df._jdf.queryExecution().executedPlan().toString().count("Exchange")
+
+
+def test_narrow_stages_have_zero_exchanges(docs):
+    """The scale-path guarantees: simhash, signature arrays, and band
+    buckets are all narrow (no shuffle anywhere before the LSH blocking
+    join itself)."""
+    assert _n_exchanges(dedup.simhash(docs, bits=16)) == 0
+    siga = dedup.minhash_sig_array(docs, num_hashes=16)
+    assert _n_exchanges(siga) == 0
+    assert _n_exchanges(dedup.lsh_band_buckets(siga, bands=8)) == 0
