@@ -2211,6 +2211,55 @@ def _sql_corpus_curate() -> str:
     """
 
 
+def q_kg_edge_merge(spark, sf_dir):
+    """Incremental KG maintenance (incremental.merge_edge_counts): a
+    counted edge relation built from 2/3 of the events stream merged with
+    a delta built from the remaining 1/3 — counts add, payload columns
+    first-wins (existing beats delta)."""
+    from . import incremental
+
+    ev = _tbl(spark, sf_dir, "events")
+
+    def edgeify(d, prov):
+        return (
+            d.groupBy(
+                F.concat(F.lit("user:"),
+                         F.col("user_id").cast("string")).alias("subj"),
+                F.col("event_type").alias("pred"),
+                F.concat(F.lit("bucket:"),
+                         (F.col("user_id") % 7).cast("string")).alias("obj"),
+            )
+            .agg(F.count(F.lit(1)).alias("count"))
+            .withColumn("provenance", F.lit(prov))
+        )
+
+    base = edgeify(ev.filter(F.col("event_id") % 3 != 0), "base")
+    delta = edgeify(ev.filter(F.col("event_id") % 3 == 0), "delta")
+    out = incremental.merge_edge_counts(base, delta)
+    return out.select("subj", "pred", "obj", "count", "provenance")
+
+
+SQL_KG_EDGE_MERGE = """
+    WITH base AS (
+        SELECT 'user:' || user_id AS subj, event_type AS pred,
+               'bucket:' || (user_id % 7) AS obj,
+               count(*) AS cnt, 'base' AS provenance
+        FROM events WHERE event_id % 3 <> 0 GROUP BY 1, 2, 3),
+    delta AS (
+        SELECT 'user:' || user_id AS subj, event_type AS pred,
+               'bucket:' || (user_id % 7) AS obj,
+               count(*) AS cnt, 'delta' AS provenance
+        FROM events WHERE event_id % 3 = 0 GROUP BY 1, 2, 3),
+    u AS (
+        SELECT *, 0 AS src FROM base
+        UNION ALL
+        SELECT *, 1 AS src FROM delta)
+    SELECT subj, pred, obj, sum(cnt)::BIGINT AS "count",
+           arg_min(provenance, src) AS provenance
+    FROM u GROUP BY 1, 2, 3
+"""
+
+
 def all_queries():
     return {
         "kg_extract_text": q_kg_extract_text,
@@ -2270,6 +2319,7 @@ def all_queries():
         "kg_direct_relations": q_kg_direct_relations,
         "kg_ground_names": q_kg_ground_names,
         "corpus_curate": q_corpus_curate,
+        "kg_edge_merge": q_kg_edge_merge,
     }
 
 
@@ -2345,4 +2395,5 @@ def all_oracle_sql():
         "kg_direct_relations": SQL_KG_DIRECT_RELATIONS,
         "kg_ground_names": SQL_KG_GROUND_NAMES,
         "corpus_curate": _sql_corpus_curate(),
+        "kg_edge_merge": SQL_KG_EDGE_MERGE,
     }

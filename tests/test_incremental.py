@@ -1,0 +1,75 @@
+"""incremental.merge_edge_counts / upsert_edges: count accumulation,
+first-wins payload, and partition-scoped at-rest rewrite."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from outbreak_kg_spark.incremental import merge_edge_counts, upsert_edges
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(
+        rows, ["subj", "pred", "obj", "count", "provenance"]
+    )
+
+
+def test_merge_counts_add_and_payload_first_wins(spark):
+    existing = _edges(spark, [
+        ("a", "occurs_with", "b", 3, "run1"),
+        ("a", "isa", "c", None, "run1"),
+    ])
+    delta = _edges(spark, [
+        ("a", "occurs_with", "b", 2, "run2"),   # counts add, run1 wins
+        ("x", "occurs_with", "y", 5, "run2"),   # new edge from delta
+    ])
+    got = {(r.subj, r.pred, r.obj): (r["count"], r.provenance)
+           for r in merge_edge_counts(existing, delta).collect()}
+    assert got[("a", "occurs_with", "b")] == (5, "run1")
+    assert got[("a", "isa", "c")] == (None, "run1")
+    assert got[("x", "occurs_with", "y")] == (5, "run2")
+    assert len(got) == 3
+
+
+def test_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    path = str(tmp_path / "edges")
+    base = _edges(spark, [
+        ("a", "occurs_with", "b", 3, "run1"),
+        ("c", "isa", "d", None, "run1"),
+        ("e", "has_pathogen", "f", None, "run1"),
+    ])
+    base.write.partitionBy("pred").parquet(path)
+    untouched_dir = os.path.join(path, "pred=isa")
+    before = sorted(os.listdir(untouched_dir))
+
+    delta = _edges(spark, [
+        ("a", "occurs_with", "b", 4, "run2"),
+        ("g", "occurs_with", "h", 1, "run2"),
+    ])
+    touched = upsert_edges(spark, path, delta)
+    assert touched == ["occurs_with"]
+    # untouched partition directory is bit-for-bit the same files
+    assert sorted(os.listdir(untouched_dir)) == before
+
+    got = {(r.subj, r.pred, r.obj): (r["count"], r.provenance)
+           for r in spark.read.parquet(path).collect()}
+    assert got[("a", "occurs_with", "b")] == (7, "run1")
+    assert got[("g", "occurs_with", "h")] == (1, "run2")
+    assert got[("c", "isa", "d")] == (None, "run1")
+    assert got[("e", "has_pathogen", "f")] == (None, "run1")
+    assert len(got) == 4
+
+
+def test_upsert_is_idempotent_on_replay_of_merged_state(spark, tmp_path):
+    """Upserting an EMPTY delta (or re-reading after upsert) leaves the
+    graph unchanged — the merge is a pure function of (existing, delta)."""
+    path = str(tmp_path / "edges")
+    _edges(spark, [("a", "occurs_with", "b", 3, "run1")]).write.partitionBy(
+        "pred"
+    ).parquet(path)
+    delta = _edges(spark, [("a", "occurs_with", "b", 2, "run2")])
+    upsert_edges(spark, path, delta)
+    first = {(r.subj, r.pred, r.obj, r["count"])
+             for r in spark.read.parquet(path).collect()}
+    assert first == {("a", "occurs_with", "b", 5)}
