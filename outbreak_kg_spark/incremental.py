@@ -29,6 +29,8 @@ add, matching build_cooccurrence's accumulation semantics
 
 from __future__ import annotations
 
+import datetime
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -101,3 +103,130 @@ def upsert_edges(
         .parquet(path)
     )
     return sorted(touched)
+
+
+# ---------------------------------------------------------------------------
+# Streamed-delta compaction: versioned snapshot commits (MVCC-lite)
+# ---------------------------------------------------------------------------
+# The streaming sink (streaming.start_kg_append) lands exactly-once
+# per-batch edge deltas under <delta_dir>/batch_id=N. Compaction folds them
+# into a counted at-rest graph with snapshot isolation and no table format:
+# each compaction writes a COMPLETE new version directory
+# <base_root>/v=K/data plus a one-row v=K/_meta recording the batch
+# high-watermark it covers, meta written LAST. A version is live iff its
+# _meta is readable; a crash anywhere mid-compaction leaves a version
+# without _meta, which readers and the next compaction ignore (the next run
+# re-derives the same version from the same inputs — exactly-once by
+# re-execution, not by partial-state repair). Old versions are immutable
+# snapshots until vacuumed. On Iceberg this is simply MERGE INTO + the
+# table's own snapshot commit; the versioned-directory scheme is the plain-
+# parquet equivalent with the same commit point.
+
+
+def _meta_path(base_root: str, version: int) -> str:
+    return f"{base_root}/v={version}/_meta"
+
+
+def current_edge_version(spark: SparkSession, base_root: str) -> int | None:
+    """Largest version with a committed _meta, or None. Directory listing
+    via the Hadoop FS API (object-store safe); versions are single digits
+    to hundreds — a driver-side listing, not a data scan."""
+    from .lineage import _hadoop
+
+    jvm, _conf, jroot, fs = _hadoop(spark, base_root)
+    if not fs.exists(jroot):
+        return None
+    best = None
+    for st in fs.listStatus(jroot):
+        name = st.getPath().getName()
+        if not name.startswith("v="):
+            continue
+        try:
+            v = int(name[2:])
+        except ValueError:
+            continue
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(
+                f"{_meta_path(base_root, v)}/_SUCCESS")):
+            best = v if best is None or v > best else best
+    return best
+
+
+def read_current_edges(spark: SparkSession, base_root: str) -> DataFrame:
+    v = current_edge_version(spark, base_root)
+    if v is None:
+        raise FileNotFoundError(f"no committed edge version under {base_root}")
+    return spark.read.parquet(f"{base_root}/v={v}/data")
+
+
+def compacted_through(spark: SparkSession, base_root: str) -> int:
+    """Batch high-watermark of the live version (-1 before any compaction)."""
+    v = current_edge_version(spark, base_root)
+    if v is None:
+        return -1
+    return spark.read.parquet(_meta_path(base_root, v)).first()["through_batch"]
+
+
+def compact_edge_deltas(
+    spark: SparkSession,
+    delta_dir: str,
+    base_root: str,
+    count_col: str = "count",
+) -> dict:
+    """Fold streamed per-batch deltas newer than the live version's
+    watermark into a new committed version. Returns
+    {version, through_batch, n_batches}. Idempotent: re-running after any
+    crash (including between data write and meta write) redoes the same
+    fold from the same immutable inputs; re-running after a commit is a
+    no-op."""
+    from .lineage import _hadoop
+
+    _jvm, _conf, jdelta, fs = _hadoop(spark, delta_dir)
+    through = compacted_through(spark, base_root)
+    batches = []
+    if fs.exists(jdelta):
+        for st in fs.listStatus(jdelta):
+            name = st.getPath().getName()
+            if name.startswith("batch_id="):
+                b = int(name.split("=", 1)[1])
+                if b > through:
+                    batches.append(b)
+    cur = current_edge_version(spark, base_root)
+    if not batches:
+        return {"version": cur, "through_batch": through, "n_batches": 0}
+
+    delta = spark.read.option("basePath", delta_dir).parquet(
+        *[f"{delta_dir}/batch_id={b}" for b in sorted(batches)]
+    )
+    delta_counts = (
+        delta.groupBy(*EDGE_KEYS)
+        .agg(F.count(F.lit(1)).cast("long").alias(count_col))
+        .withColumn("provenance", F.lit("stream"))
+    )
+    if cur is not None:
+        base = spark.read.parquet(f"{base_root}/v={cur}/data")
+        merged = merge_edge_counts(base, delta_counts, count_col=count_col)
+    else:
+        merged = delta_counts
+    new_v = (cur if cur is not None else -1) + 1
+    (
+        merged.write.mode("overwrite")  # overwrite clears a crashed attempt
+        .partitionBy("pred")
+        .parquet(f"{base_root}/v={new_v}/data")
+    )
+    new_through = max(batches)
+    meta = spark.createDataFrame(
+        [{
+            "version": new_v,
+            "through_batch": new_through,
+            "n_batches": len(batches),
+            "committed_at": datetime.datetime.now(
+                datetime.timezone.utc).isoformat(),
+        }]
+    )
+    # the commit point: _meta (with its _SUCCESS) appears only after the
+    # data write finished
+    meta.coalesce(1).write.mode("overwrite").parquet(
+        _meta_path(base_root, new_v)
+    )
+    return {"version": new_v, "through_batch": new_through,
+            "n_batches": len(batches)}

@@ -73,3 +73,67 @@ def test_upsert_is_idempotent_on_replay_of_merged_state(spark, tmp_path):
     first = {(r.subj, r.pred, r.obj, r["count"])
              for r in spark.read.parquet(path).collect()}
     assert first == {("a", "occurs_with", "b", 5)}
+
+
+def _batch(spark, path, batch_id, rows):
+    spark.createDataFrame(rows, ["subj", "pred", "obj"]).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/batch_id={batch_id}")
+
+
+def test_compaction_versions_and_watermark(spark, tmp_path):
+    from outbreak_kg_spark import incremental as inc
+
+    delta_dir = str(tmp_path / "deltas")
+    base_root = str(tmp_path / "edges_base")
+    _batch(spark, delta_dir, 0, [("a", "mentions", "x"), ("a", "mentions", "y")])
+    _batch(spark, delta_dir, 1, [("a", "mentions", "x")])
+
+    r1 = inc.compact_edge_deltas(spark, delta_dir, base_root)
+    assert r1 == {"version": 0, "through_batch": 1, "n_batches": 2}
+    got = {(r.subj, r.pred, r.obj): r["count"]
+           for r in inc.read_current_edges(spark, base_root).collect()}
+    assert got == {("a", "mentions", "x"): 2, ("a", "mentions", "y"): 1}
+
+    # no new batches -> no-op, same version
+    assert inc.compact_edge_deltas(spark, delta_dir, base_root)["n_batches"] == 0
+    assert inc.current_edge_version(spark, base_root) == 0
+
+    # new batch -> v=1 accumulates ONLY the new delta on top of v=0
+    _batch(spark, delta_dir, 2, [("a", "mentions", "x"), ("b", "mentions", "z")])
+    r2 = inc.compact_edge_deltas(spark, delta_dir, base_root)
+    assert r2 == {"version": 1, "through_batch": 2, "n_batches": 1}
+    got = {(r.subj, r.pred, r.obj): r["count"]
+           for r in inc.read_current_edges(spark, base_root).collect()}
+    assert got == {("a", "mentions", "x"): 3, ("a", "mentions", "y"): 1,
+                   ("b", "mentions", "z"): 1}
+    # old snapshot still intact (snapshot isolation)
+    v0 = {(r.subj, r.pred, r.obj): r["count"]
+          for r in spark.read.parquet(f"{base_root}/v=0/data").collect()}
+    assert v0[("a", "mentions", "x")] == 2
+
+
+def test_compaction_crash_between_data_and_meta_is_invisible(spark, tmp_path):
+    """A version directory without committed _meta (crash window) must be
+    ignored by readers and safely overwritten by the next compaction."""
+    import shutil
+
+    from outbreak_kg_spark import incremental as inc
+
+    delta_dir = str(tmp_path / "deltas")
+    base_root = str(tmp_path / "edges_base")
+    _batch(spark, delta_dir, 0, [("a", "mentions", "x")])
+    inc.compact_edge_deltas(spark, delta_dir, base_root)
+
+    _batch(spark, delta_dir, 1, [("a", "mentions", "x")])
+    inc.compact_edge_deltas(spark, delta_dir, base_root)
+    # simulate the crash: v=1 data written but meta commit lost
+    shutil.rmtree(f"{base_root}/v=1/_meta")
+    assert inc.current_edge_version(spark, base_root) == 0
+    assert inc.compacted_through(spark, base_root) == 0
+    # recovery re-runs the same fold and commits this time
+    r = inc.compact_edge_deltas(spark, delta_dir, base_root)
+    assert r == {"version": 1, "through_batch": 1, "n_batches": 1}
+    got = {(r_.subj, r_.pred, r_.obj): r_["count"]
+           for r_ in inc.read_current_edges(spark, base_root).collect()}
+    assert got == {("a", "mentions", "x"): 2}

@@ -91,3 +91,15 @@ def test_mentions_pipeline_has_no_python_row_udfs(spark):
     plan = _plan(_entry_mentions_plan(spark, SF))
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" in plan
+
+
+def test_textstats_and_curation_prefilters_are_narrow(spark):
+    """lang_id and quality_scores — the curation chain's per-doc
+    prefilters — must stay shuffle-free (no Exchange anywhere): both are
+    pure array/scalar expressions over the doc's own partition."""
+    from outbreak_kg_spark import textstats
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    for df in (textstats.lang_id(d), textstats.quality_scores(d)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
