@@ -230,3 +230,38 @@ def compact_edge_deltas(
     )
     return {"version": new_v, "through_batch": new_through,
             "n_batches": len(batches)}
+
+
+def vacuum_edge_versions(spark: SparkSession, base_root: str,
+                         keep: int = 2) -> list[int]:
+    """Delete all but the newest `keep` committed versions (plus any
+    uncommitted partials older than the live version — crash leftovers).
+    Returns the versions removed. Never touches the live version."""
+    from .lineage import _hadoop
+
+    jvm, _conf, jroot, fs = _hadoop(spark, base_root)
+    if not fs.exists(jroot) or keep < 1:
+        return []
+    committed, partial = [], []
+    for st in fs.listStatus(jroot):
+        name = st.getPath().getName()
+        if not name.startswith("v="):
+            continue
+        try:
+            v = int(name[2:])
+        except ValueError:
+            continue
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(
+                f"{_meta_path(base_root, v)}/_SUCCESS")):
+            committed.append(v)
+        else:
+            partial.append(v)
+    committed.sort()
+    live = committed[-1] if committed else None
+    doomed = committed[:-keep]
+    # partial dirs BELOW the live version are crash leftovers that no
+    # recovery will ever overwrite (compaction only writes live+1)
+    doomed += [v for v in partial if live is not None and v < live]
+    for v in sorted(doomed):
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{base_root}/v={v}"), True)
+    return sorted(doomed)

@@ -137,3 +137,23 @@ def test_compaction_crash_between_data_and_meta_is_invisible(spark, tmp_path):
     got = {(r_.subj, r_.pred, r_.obj): r_["count"]
            for r_ in inc.read_current_edges(spark, base_root).collect()}
     assert got == {("a", "mentions", "x"): 2}
+
+
+def test_vacuum_keeps_live_and_recent(spark, tmp_path):
+    import os
+
+    from outbreak_kg_spark import incremental as inc
+
+    delta_dir = str(tmp_path / "deltas")
+    base_root = str(tmp_path / "edges_base")
+    for b in range(3):
+        _batch(spark, delta_dir, b, [("a", "mentions", "x")])
+        inc.compact_edge_deltas(spark, delta_dir, base_root)
+    assert inc.current_edge_version(spark, base_root) == 2
+    removed = inc.vacuum_edge_versions(spark, base_root, keep=2)
+    assert removed == [0]
+    assert sorted(os.listdir(base_root)) == ["v=1", "v=2"]
+    # live version unharmed
+    got = {(r.subj, r.pred, r.obj): r["count"]
+           for r in inc.read_current_edges(spark, base_root).collect()}
+    assert got == {("a", "mentions", "x"): 3}
