@@ -71,7 +71,12 @@ def host_calibration(workers: int) -> float:
 
     n = 3_000_000
     with mp.get_context("spawn").Pool(workers) as pool:
-        pool.map(_burn, [1000] * workers)  # warm the pool (spawn cost)
+        # warm with a FULL-SIZE untimed parallel run: equal heavy tasks,
+        # one per worker, so every worker must finish booting (tiny warm
+        # tasks can all be drained by the first few workers to spawn,
+        # leaving late workers' interpreter-boot cost inside the timed
+        # run — exactly in the degraded windows this probe measures)
+        pool.map(_burn, [n] * workers)
         t0 = time.monotonic()
         _burn(n)
         serial = time.monotonic() - t0

@@ -28,11 +28,14 @@ Output: one row per input doc —
 ``drop_stage`` in {'lang','quality','exact_dup','near_dup'} or NULL when
 kept.
 
-Plan shape: lang votes are one exploded broadcast-join agg keyed by doc;
-quality is a narrow projection; exact dedup one hash agg on md5; the
-near-dup chain is the bucketed LSH design of dedup.py (no all-pairs
-step). All stage joins are keyed by doc id — uniform, salted nowhere
-because nothing here groups by a skewable key.
+Plan shape: the lang and quality gates are computed in ONE narrow
+projection over the corpus (zero shuffles, zero joins — bare column
+expressions from textstats, plan-asserted in tests/test_plans.py); exact
+dedup is one hash agg on md5; the near-dup chain is the bucketed LSH
+design of dedup.py (no all-pairs step). The only per-doc joins left are
+the final attribution joins against the (small) exact-canon and
+component relations, keyed by doc id — uniform, salted nowhere because
+nothing here groups by a skewable key.
 
 Reference scope note: the reference repo has no corpus-curation layer
 (it ingests a curated ProMED dump); this module is part of the
@@ -62,15 +65,14 @@ def curate_corpus(
 ) -> DataFrame:
     """One row per input doc: (id, lang_pred, quality_score, drop_stage,
     keep). See module docstring for stage semantics."""
-    ids = df.select(id_col, text_col)
-
-    li = textstats.lang_id(df, text_col, id_col).select(id_col, "lang_pred")
-    qs = textstats.quality_scores(df, text_col, id_col).select(
-        id_col, "quality_score"
-    )
+    lp, _lv = textstats.lang_pred_cols(text_col)
     base = (
-        ids.join(li, id_col)
-        .join(qs, id_col)
+        df.select(
+            id_col,
+            text_col,
+            lp.alias("lang_pred"),
+            textstats.quality_score_col(text_col).alias("quality_score"),
+        )
         .withColumn("_lang_ok", F.col("lang_pred").isin(*langs))
         .withColumn("_qual_ok", F.col("quality_score") >= F.lit(min_quality))
     )

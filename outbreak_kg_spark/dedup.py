@@ -171,21 +171,30 @@ def lsh_band_buckets(sig_arrays: DataFrame, id_col: str = "doc_id",
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
             b.cast("long").alias("band"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.sequence(b, n - 1, F.lit(bands)),
-                        lambda i: F.get(F.col("sigs"), i.cast("int"))
-                        .cast("string"),
-                    ),
-                    ",",
-                )
+            # bands beyond the signature length get a null bucket and are
+            # dropped below — the long-form path's hash_idx % bands simply
+            # never produces them (and an unguarded sequence(b, n-1) with
+            # b > n-1 is an illegal-boundary runtime error)
+            F.when(
+                b < n,
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.sequence(b, n - 1, F.lit(bands)),
+                            lambda i: F.get(F.col("sigs"), i.cast("int"))
+                            .cast("string"),
+                        ),
+                        ",",
+                    )
+                ),
             ).alias("bucket"),
         ),
     )
-    return sig_arrays.select(
-        id_col, F.explode(band_structs).alias("bb")
-    ).select(id_col, "bb.band", "bb.bucket")
+    return (
+        sig_arrays.select(id_col, F.explode(band_structs).alias("bb"))
+        .select(id_col, "bb.band", "bb.bucket")
+        .filter(F.col("bucket").isNotNull())
+    )
 
 
 def lsh_candidate_pairs_narrow(sig_arrays: DataFrame,

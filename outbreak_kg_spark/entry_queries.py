@@ -2099,7 +2099,6 @@ def _sql_corpus_curate() -> str:
         for lang, toks in sorted(textstats.LANG_STOPWORDS.items())
         for t in toks
     )
-    sw = ", ".join(f"'{s}'" for s in textstats.LANG_STOPWORDS["en"])
     return f"""
     WITH RECURSIVE corpus AS (
         SELECT doc_id, text FROM documents WHERE doc_id < 150

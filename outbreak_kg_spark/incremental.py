@@ -43,10 +43,10 @@ def merge_edge_counts(
     keys: tuple[str, ...] = EDGE_KEYS,
     count_col: str = "count",
 ) -> DataFrame:
-    """Merge counted edges: one row per key, counts summed (null count =
-    relation edge without payload -> stays null unless both sides carry
-    counts), non-key non-count columns first-wins with existing-before-
-    delta priority.
+    """Merge counted edges: one row per key, counts summed with null
+    treated as absent (a relation-only edge contributes nothing; the
+    result is null only when NO side carries a count), non-key non-count
+    columns first-wins with existing-before-delta priority.
 
     Shape: one hash aggregation keyed on the edge identity. Edge keys are
     near-uniform (hot entities fan out across partner terms), and partial
@@ -77,11 +77,18 @@ def upsert_edges(
     touched partition values.
 
     The collect is dimension-sized (distinct predicates — single digits in
-    this graph's vocabulary, reference kg/build.py emits 7)."""
+    this graph's vocabulary, reference kg/build.py emits 7). On a fresh
+    table root (first-ever increment) the delta bootstraps the table."""
+    from .lineage import _hadoop
+
     touched = [
         r[0]
         for r in delta.select(partition_col).distinct().collect()
     ]
+    _jvm, _conf, jpath, fs = _hadoop(spark, path)
+    if not fs.exists(jpath):
+        delta.write.partitionBy(partition_col).parquet(path)
+        return sorted(touched)
     existing = spark.read.parquet(path).filter(
         F.col(partition_col).isin(touched)
     )

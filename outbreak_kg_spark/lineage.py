@@ -71,10 +71,17 @@ def _footer_rows(jvm, conf, jpath_file) -> int:
 
 def stage_done(root: str, name: str, spark: SparkSession | None = None) -> bool:
     path = f"{root}/{name}/_SUCCESS"
-    if spark is None:  # local-path convenience (tests, sandbox)
-        import os
+    if spark is None:
+        # 2-arg call shape: recover the active session so an hdfs://- or
+        # s3a://-rooted deployment still resolves through the Hadoop FS
+        # (an os.path fallback here would silently report every committed
+        # stage as missing and rebuild the world); plain os.path only when
+        # no JVM exists to ask (driver-less unit helpers).
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            import os
 
-        return os.path.exists(path)
+            return os.path.exists(path)
     _jvm, _conf, jpath, fs = _hadoop(spark, path)
     return fs.exists(jpath)
 

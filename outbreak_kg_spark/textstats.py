@@ -35,6 +35,26 @@ def token_counts(df: DataFrame, text_col: str = "text",
     )
 
 
+def quality_score_col(text_col: str = "text"):
+    """The composite quality score in [0,1] as a single Column (narrow
+    scalar expressions — no shuffle), for callers that only gate on the
+    score (curate.curate_corpus) and don't need the feature columns."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    n_toks = F.size(toks)
+    n_chars = F.length(text_col)
+    n_punct = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), r"[^\w\s]", "")
+    )
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    mean_word_len = (n_chars - n_punct) / F.greatest(n_toks, F.lit(1))
+    score = (
+        F.when((n_toks >= 10) & (n_toks <= 100000), 0.4).otherwise(0.0)
+        + F.when(punct_ratio <= 0.2, 0.3).otherwise(0.0)
+        + F.when(mean_word_len.between(3.0, 12.0), 0.3).otherwise(0.0)
+    )
+    return F.round(score, 2)
+
+
 def quality_scores(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id",
                    stopwords: list[str] | None = None) -> DataFrame:
@@ -50,21 +70,15 @@ def quality_scores(df: DataFrame, text_col: str = "text",
     )
     sw_arr = F.array(*[F.lit(s) for s in sw])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t)))
-    out = df.select(
+    return df.select(
         id_col,
         n_chars.alias("n_chars"),
         n_toks.alias("n_tokens"),
         (n_punct / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
         (n_stop / F.greatest(n_toks, F.lit(1))).alias("stopword_ratio"),
         ((n_chars - n_punct) / F.greatest(n_toks, F.lit(1))).alias("mean_word_len"),
+        quality_score_col(text_col).alias("quality_score"),
     )
-    score = (
-        F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100000), 0.4)
-        .otherwise(0.0)
-        + F.when(F.col("punct_ratio") <= 0.2, 0.3).otherwise(0.0)
-        + F.when(F.col("mean_word_len").between(3.0, 12.0), 0.3).otherwise(0.0)
-    )
-    return out.withColumn("quality_score", F.round(score, 2))
 
 
 def lang_id(df: DataFrame, text_col: str = "text",
@@ -81,6 +95,16 @@ def lang_id(df: DataFrame, text_col: str = "text",
     of every doc through a broadcast join and a groupBy(doc) exchange —
     at web scale that shuffle is |tokens| rows, i.e. the corpus itself;
     this one touches nothing beyond the doc's partition."""
+    lp, lv = lang_pred_cols(text_col)
+    return df.select(
+        id_col, lp.alias("lang_pred"), lv.alias("lang_votes")
+    )
+
+
+def lang_pred_cols(text_col: str = "text"):
+    """(lang_pred, lang_votes) as bare Columns — the zero-shuffle
+    expression form of lang_id, for callers composing several per-doc
+    scores in one projection (curate.curate_corpus)."""
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
     )
@@ -95,10 +119,9 @@ def lang_id(df: DataFrame, text_col: str = "text",
     mx = F.array_max(F.transform(arr, lambda s: s["votes"]))
     # first (lang-asc) entry achieving the max vote count
     best = F.get(F.filter(arr, lambda s: s["votes"] == mx), 0)
-    return df.select(
-        id_col,
-        F.when(mx > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
-        F.when(mx > 0, mx).otherwise(F.lit(0)).cast("long").alias("lang_votes"),
+    return (
+        F.when(mx > 0, best["lang"]).otherwise(F.lit("und")),
+        F.when(mx > 0, mx).otherwise(F.lit(0)).cast("long"),
     )
 
 

@@ -319,3 +319,22 @@ def test_narrow_stages_have_zero_exchanges(docs):
     siga = dedup.minhash_sig_array(docs, num_hashes=16)
     assert _n_exchanges(siga) == 0
     assert _n_exchanges(dedup.lsh_band_buckets(siga, bands=8)) == 0
+
+
+def test_lsh_narrow_handles_bands_exceeding_hashes(docs):
+    """bands > num_hashes must degrade gracefully (only the populated
+    bands exist), matching the long-form path — not raise an
+    illegal-sequence-boundary error."""
+    long_pairs = {
+        (r.a, r.b)
+        for r in dedup.lsh_candidate_pairs(
+            dedup.minhash_signatures(docs, num_hashes=4),
+            bands=16).collect()
+    }
+    narrow_pairs = {
+        (r.a, r.b)
+        for r in dedup.lsh_candidate_pairs_narrow(
+            dedup.minhash_sig_array(docs, num_hashes=4),
+            bands=16).collect()
+    }
+    assert narrow_pairs == long_pairs
