@@ -88,19 +88,37 @@ def main() -> None:
                         "n_docs": prior["n_docs"],
                     }
     levels = dict(sorted(levels.items()))
-    eff_4_16 = (levels[16]["docs_per_sec"] / levels[4]["docs_per_sec"]) / 4
-    eff_8_32 = (levels[32]["docs_per_sec"] / levels[8]["docs_per_sec"]) / 4
+
+    def _eff(lo, hi):
+        # only computable when both levels were measured (this run or a
+        # merged prior) — a partial --levels run must not KeyError after
+        # the measurements already happened
+        if lo in levels and hi in levels:
+            return round(
+                (levels[hi]["docs_per_sec"] / levels[lo]["docs_per_sec"])
+                / (hi // lo), 3)
+        return None
+
+    any_level = next(iter(levels.values()))
     result = {
         "sf_dir": sf_dir,
         "methodology": "cpu-pinned",
-        "n_docs": levels[16]["n_docs"],
+        "n_docs": levels.get(16, any_level)["n_docs"],
         "docs_per_sec": {str(c): r["docs_per_sec"] for c, r in levels.items()},
         "wall_sec": {str(c): r["value"] for c, r in levels.items()},
-        "scaling_efficiency_N_to_4N_primary_4_to_16": round(eff_4_16, 3),
-        "scaling_efficiency_8_to_32_saturated_host": round(eff_8_32, 3),
+        "scaling_efficiency_N_to_4N_primary_4_to_16": _eff(4, 16),
+        "scaling_efficiency_8_to_32_saturated_host": _eff(8, 32),
     }
     with open(os.path.join(HERE, "scaling.json"), "w") as fh:
         json.dump(result, fh, indent=1)
+
+    eff_4_16 = _eff(4, 16)
+    eff_8_32 = _eff(8, 32)
+    if eff_4_16 is None or eff_8_32 is None:
+        # partial --levels run: keep the existing BASELINE.md (its table
+        # came from a full run) and just report the measurements
+        print(json.dumps(result))
+        return
 
     rows = "\n".join(
         f"| {c} cores (pinned) | {r['n_docs']} | {r['value']} | "

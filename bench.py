@@ -39,6 +39,8 @@ HEADLINE = [
     "dedup_minhash_sigs",
     "similarity_cosine_topk",
     "text_quality",
+    "corpus_curate",
+    "kg_edge_merge",
 ]
 
 

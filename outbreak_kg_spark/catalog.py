@@ -86,7 +86,9 @@ class Catalog:
         )
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.option("path", self._ident(name)).saveAsTable(_table_name(name))
+        w.option("path", self._ident(name)).saveAsTable(
+            _table_name(self.root, name)
+        )
 
     def read_bucketed(self, name: str) -> DataFrame:
         """Read a bucketed table THROUGH the catalog (a plain
@@ -94,11 +96,19 @@ class Catalog:
         re-shuffles on join)."""
         if self.use_iceberg:
             return self.spark.read.table(self._ident(name))
-        return self.spark.read.table(_table_name(name))
+        return self.spark.read.table(_table_name(self.root, name))
 
 
-def _table_name(name: str) -> str:
-    return "kg_bucketed_" + name.replace("/", "_").replace(".", "_")
+def _table_name(root: str, name: str) -> str:
+    """Metastore identifier scoped by the catalog ROOT, not just the
+    logical name — two Catalog instances with different roots in one
+    session must not alias the same table (the second write would silently
+    repoint it and cross-root reads would return the wrong data)."""
+    import hashlib
+
+    root_tag = hashlib.md5(root.encode()).hexdigest()[:8]
+    return ("kg_bucketed_" + root_tag + "_"
+            + name.replace("/", "_").replace(".", "_"))
 
 
 def _iceberg_available(spark: SparkSession) -> bool:

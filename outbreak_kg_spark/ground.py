@@ -108,30 +108,35 @@ def term_token_variants(s: str, max_variants: int = 16) -> set[tuple]:
     base = _term_tokens(s)
     if not base:
         return set()
-    variants = {base}
+    # insertion-ordered growth with a hard cap: the base path is ALWAYS
+    # kept and truncation is deterministic (slicing a set would be
+    # hash-order-random across driver runs — a nondeterministic trie —
+    # and could drop the literal tokenization itself)
+    variants = [base]
+    seen = {base}
+
+    def _add(alt):
+        if alt not in seen and len(variants) < max_variants:
+            seen.add(alt)
+            variants.append(alt)
+
     # greek: per-token, both directions
-    for i, tok in enumerate(base):
-        alts = set()
-        for v in variants:
+    for i in range(len(base)):
+        for v in list(variants):
             t = v[i]
             if t in GREEK_SPELLED:
-                alts.add(v[:i] + (GREEK_SPELLED[t],) + v[i + 1:])
+                _add(v[:i] + (GREEK_SPELLED[t],) + v[i + 1:])
             elif t in _SPELLED_TO_GREEK:
-                alts.add(v[:i] + (_SPELLED_TO_GREEK[t],) + v[i + 1:])
-        variants |= alts
-        if len(variants) >= max_variants:
-            return set(list(variants)[:max_variants])
+                _add(v[:i] + (_SPELLED_TO_GREEK[t],) + v[i + 1:])
     # trailing roman <-> arabic (multi-token names only)
     if len(base) >= 2:
-        alts = set()
-        for v in variants:
+        for v in list(variants):
             last = v[-1]
             if last in ROMAN_ARABIC:
-                alts.add(v[:-1] + (ROMAN_ARABIC[last],))
+                _add(v[:-1] + (ROMAN_ARABIC[last],))
             elif last in _ARABIC_ROMAN:
-                alts.add(v[:-1] + (_ARABIC_ROMAN[last],))
-        variants |= alts
-    return set(list(variants)[:max_variants])
+                _add(v[:-1] + (_ARABIC_ROMAN[last],))
+    return set(variants)
 
 
 def compile_gazetteer(rows: list[dict], ns_priority=DEFAULT_NS_PRIORITY) -> dict:
@@ -200,7 +205,10 @@ def scan_terms(text: str, trie: dict) -> list[tuple]:
     sets to scan_text are property-tested (test_fused)."""
     if not text:
         return []
-    toks = _TOKEN_RE.findall(text.lower())
+    # tokenize THEN lowercase, exactly like scan_text — lowering the whole
+    # text first changes the token stream when a character's lowercase
+    # form expands (e.g. 'İ' -> 'i' + combining dot splits under \w+)
+    toks = [t.lower() for t in _TOKEN_RE.findall(text)]
     out = []
     i, n = 0, len(toks)
     while i < n:
@@ -324,6 +332,14 @@ def ground_names(spark: SparkSession, gazetteer: DataFrame, names: list[str],
             else:
                 if node and 0 in node:
                     hits.append(node[0])
-        best = min(hits) if hits else None
+        # rank by ns_priority first (the reference's priority walk,
+        # promed_ner.py:162-176), then (ns, id) for determinism — a bare
+        # min(hits) would let a lexicographically-early namespace beat a
+        # higher-priority one when variants resolve to different entries
+        prio = {ns: i for i, ns in enumerate(ns_priority)}
+        best = (
+            min(hits, key=lambda h: (prio.get(h[0], len(prio)), h[0], h[1]))
+            if hits else None
+        )
         out[name] = f"{best[0]}:{best[1]}" if best else None
     return out

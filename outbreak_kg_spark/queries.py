@@ -112,7 +112,15 @@ def fisher_exact_greater_batch(a, b, c, d):
         lf[1:] = np.cumsum(np.log(np.arange(1, mmax + 1, dtype=np.float64)))
 
     def lchoose(n, k):
-        return lf[n] - lf[k] - lf[n - k]
+        # out-of-support (k<0, k>n, n<0) must be -inf like the scalar
+        # path's guard — indexing lf with a negative n-k would silently
+        # wrap to the wrong table entry (degenerate cells DO occur: query
+        # terms absent from the corpus vocabulary can drive d negative)
+        valid = (k >= 0) & (n >= k) & (n >= 0)
+        ns = np.where(valid, n, 0)
+        ks = np.where(valid, k, 0)
+        return np.where(valid, lf[ns] - lf[ks] - lf[ns - ks],
+                        -np.inf)
 
     kmax = np.minimum(row1, col1)
     lens = kmax - a + 1  # always >= 1: a <= row1 and a <= col1
@@ -126,7 +134,12 @@ def fisher_exact_greater_batch(a, b, c, d):
         - lchoose(m[row_idx], col1[row_idx])
     )
     p = np.zeros(a.size, dtype=np.float64)
-    np.add.at(p, row_idx, np.exp(lp))
+    # nan (from -inf - -inf on fully degenerate rows) contributes 0,
+    # matching the scalar loop's `if lp > -inf` skip
+    with np.errstate(invalid="ignore"):
+        contrib = np.where(lp > -np.inf, np.exp(lp), 0.0)
+    contrib = np.nan_to_num(contrib, nan=0.0)
+    np.add.at(p, row_idx, contrib)
     return np.minimum(p, 1.0)
 
 

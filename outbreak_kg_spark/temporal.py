@@ -123,25 +123,39 @@ def range_join(
     Output: left cols prefixed `l_`, right cols prefixed `r_`, plus
     `dt_seconds`.
     """
-    def _secs(c: str):
-        # TIMESTAMP_NTZ cannot cast straight to double; routing through
-        # TIMESTAMP first works for both flavors (the session-tz offset is a
-        # constant, which cancels in dt and merely shifts cells uniformly)
-        return F.col(c).cast("timestamp").cast("double")
+    def _secs(df: DataFrame, c: str):
+        # TIMESTAMP: cast(double) is exact epoch seconds, tz-free.
+        # TIMESTAMP_NTZ: cast-through-TIMESTAMP interprets the wall clock
+        # in the SESSION timezone, whose offset is NOT constant under DST
+        # (dt across a spring-forward reads 3600 short and cells shift
+        # non-uniformly) — so NTZ wall times are linearized with tz-free
+        # field arithmetic instead (days-since-epoch * 86400 + wall
+        # seconds-of-day, fractional seconds included).
+        col = F.col(c)
+        if dict(df.dtypes).get(c) == "timestamp_ntz":
+            return (
+                F.datediff(F.to_date(col),
+                           F.lit("1970-01-01").cast("date")).cast("double")
+                * 86400.0
+                + F.hour(col) * 3600.0
+                + F.minute(col) * 60.0
+                + F.expr(f"extract(SECOND FROM {c})").cast("double")
+            )
+        return col.cast("timestamp").cast("double")
 
-    cell_l = F.floor(_secs(left_ts) / F.lit(delta_seconds))
-    cell_r = F.floor(_secs(right_ts) / F.lit(delta_seconds))
+    cell_l = F.floor(_secs(left, left_ts) / F.lit(delta_seconds))
+    cell_r = F.floor(_secs(right, right_ts) / F.lit(delta_seconds))
 
     l = left.select(
         *key_cols,
         cell_l.alias("_cell"),
-        _secs(left_ts).alias("_lt"),
+        _secs(left, left_ts).alias("_lt"),
         *[F.col(c).alias(f"l_{c}") for c in left.columns if c not in key_cols],
     )
     r = right.select(
         *key_cols,
         F.explode(F.array(cell_r, cell_r - 1)).alias("_cell"),
-        _secs(right_ts).alias("_rt"),
+        _secs(right, right_ts).alias("_rt"),
         *[F.col(c).alias(f"r_{c}") for c in right.columns if c not in key_cols],
     )
     joined = l.join(r, [*key_cols, "_cell"]).withColumn(

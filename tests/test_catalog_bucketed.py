@@ -59,3 +59,19 @@ def test_plain_read_of_same_files_does_shuffle(spark, tmp_path, no_broadcast):
     plan = raw1.join(raw2, "k")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange hashpartitioning" in plan
+
+
+def test_two_roots_do_not_alias_one_table(spark, tmp_path):
+    """Catalogs with different roots must register distinct bucketed
+    tables — the second write must not silently repoint the first root's
+    table (round-2 review finding)."""
+    from outbreak_kg_spark.catalog import Catalog
+
+    a = Catalog(spark, str(tmp_path / "run_a"), use_iceberg=False)
+    b = Catalog(spark, str(tmp_path / "run_b"), use_iceberg=False)
+    df_a = spark.range(5).withColumnRenamed("id", "k")
+    df_b = spark.range(100, 103).withColumnRenamed("id", "k")
+    a.write_bucketed("edges", df_a, "k", n_buckets=4)
+    b.write_bucketed("edges", df_b, "k", n_buckets=4)
+    assert {r.k for r in a.read_bucketed("edges").collect()} == set(range(5))
+    assert {r.k for r in b.read_bucketed("edges").collect()} == {100, 101, 102}

@@ -122,3 +122,50 @@ def test_ground_names_driver_side(spark):
     assert out["MESH:D0105"] == "MESH:D0105"  # passthrough (kg/client.py:373)
     assert out["zzz"] is None
     assert out["Viet Nam"] == "MESH:D0308"
+
+
+def test_ground_names_honors_ns_priority_across_variants(spark):
+    """When different token-path variants of one name resolve to entries
+    in different namespaces, ns_priority decides — not lexicographic
+    namespace order (round-2 review finding)."""
+    from outbreak_kg_spark.schemas import GAZETTEER
+
+    gaz = spark.createDataFrame(
+        [
+            # 'β virus' literal -> ZZ entry; its spelled-out variant
+            # 'beta virus' -> AA entry. Priority ZZ > AA, but 'AA' < 'ZZ'
+            # lexicographically — a bare min() picks the wrong one.
+            {"ns": "ZZ", "id": "1", "entry_name": "bv", "synonym": "β virus",
+             "node_type": "disease"},
+            {"ns": "AA", "id": "2", "entry_name": "bv", "synonym": "beta virus",
+             "node_type": "disease"},
+        ],
+        GAZETTEER,
+    )
+    out = ground.ground_names(spark, gaz, ["β virus"],
+                              ns_priority=("ZZ", "AA"))
+    assert out["β virus"] == "ZZ:1"
+
+
+def test_scan_terms_tokenizes_before_lowercasing():
+    """Lowercasing whole text first splits characters whose lowercase form
+    expands ('İ' -> 'i' + combining dot under \\w+); scan_terms must see
+    the same token stream as scan_text."""
+    rows = [{"ns": "geonames", "id": "745044", "entry_name": "İstanbul",
+             "synonym": "İstanbul"}]
+    trie = ground.compile_gazetteer(rows)
+    text = "İstanbul outbreak"
+    via_text = {(m[3], m[4], m[5]) for m in ground.scan_text(text, trie)}
+    via_terms = set(ground.scan_terms(text, trie))
+    assert via_terms == via_text
+
+
+def test_term_token_variants_deterministic_and_keeps_base():
+    """The variant cap must truncate deterministically and never drop the
+    base tokenization (a sliced set is hash-order-random per process)."""
+    name = "α β γ δ ε receptor"
+    first = ground.term_token_variants(name, max_variants=8)
+    assert len(first) == 8
+    assert ("α", "β", "γ", "δ", "ε", "receptor") in first
+    for _ in range(5):
+        assert ground.term_token_variants(name, max_variants=8) == first

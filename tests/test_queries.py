@@ -261,3 +261,22 @@ def test_logsumexp_agg_distributed(spark):
     assert g == pytest.approx(
         math.log(sum(math.exp(v) for v in (-1.0, -2.5, -30.0, -7.0)))
     )
+
+
+def test_fisher_batch_degenerate_cells_match_scalar():
+    """2x2 cells with negative d (query terms absent from the corpus
+    vocabulary) must follow the scalar -inf guard, not wrap a negative
+    index into the log-factorial table (round-2 review finding)."""
+    import numpy as np
+
+    from outbreak_kg_spark.queries import (
+        fisher_exact_greater,
+        fisher_exact_greater_batch,
+    )
+
+    cells = [(1, 2, 4, -2), (3, 0, 2, 0), (0, 0, 0, 0), (5, 5, 5, 5),
+             (2, 3, 3, -1)]
+    a, b, c, d = (np.array(x) for x in zip(*cells))
+    got = fisher_exact_greater_batch(a, b, c, d)
+    want = [fisher_exact_greater(*cell) for cell in cells]
+    assert np.allclose(got, want, rtol=1e-9, atol=1e-12), (got, want)

@@ -120,3 +120,30 @@ def test_range_join_no_nested_loop(frames):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_range_join_ntz_linear_across_dst(spark):
+    """TIMESTAMP_NTZ wall times must be linearized tz-free: under a DST
+    session timezone, cast-through-TIMESTAMP reads a spring-forward pair
+    3600 s short (round-2 review finding)."""
+    from outbreak_kg_spark.temporal import range_join
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        left = spark.sql(
+            "SELECT 'k' AS k, timestamp_ntz'2026-03-08 01:30:00' AS ts, "
+            "1 AS lid"
+        )
+        right = spark.sql(
+            "SELECT 'k' AS k, timestamp_ntz'2026-03-08 03:10:00' AS ts, "
+            "2 AS rid"
+        )
+        # wall difference is 6000 s; the session-tz cast would read 2400
+        # and wrongly admit the pair at delta=3600
+        rows = range_join(left, right, ["k"], delta_seconds=3600.0).collect()
+        assert rows == []
+        rows = range_join(left, right, ["k"], delta_seconds=7200.0).collect()
+        assert len(rows) == 1 and rows[0]["dt_seconds"] == 6000.0
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
