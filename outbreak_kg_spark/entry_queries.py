@@ -2210,6 +2210,25 @@ def _sql_corpus_curate() -> str:
     """
 
 
+def q_similarity_ivf_topk(spark, sf_dir):
+    """IVF ANN with exhaustive probing: nprobe = all centroids makes the
+    index search EXACTLY equal brute-force cosine top-k, so the whole
+    index machinery (deterministic kmeans-lite build, JVM-side
+    assignment, inverted-list probe join, candidate ranking) is checkable
+    against the brute-force oracle — the normal nprobe<k path differs
+    only in which centroid lists are admitted."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx, cents = similarity.ivf_index(emb, dim=64, k=8, iters=3)
+    out = similarity.ivf_topk(idx, cents, queries, k=10, nprobe=8)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine_r"),
+        "rank",
+    )
+
+
 def q_kg_edge_merge(spark, sf_dir):
     """Incremental KG maintenance (incremental.merge_edge_counts): a
     counted edge relation built from 2/3 of the events stream merged with
@@ -2319,6 +2338,7 @@ def all_queries():
         "kg_ground_names": q_kg_ground_names,
         "corpus_curate": q_corpus_curate,
         "kg_edge_merge": q_kg_edge_merge,
+        "similarity_ivf_topk": q_similarity_ivf_topk,
     }
 
 
@@ -2395,4 +2415,6 @@ def all_oracle_sql():
         "kg_ground_names": SQL_KG_GROUND_NAMES,
         "corpus_curate": _sql_corpus_curate(),
         "kg_edge_merge": SQL_KG_EDGE_MERGE,
+        # exhaustive-probe IVF == brute force, so it shares the oracle
+        "similarity_ivf_topk": SQL_COSINE_TOPK,
     }
