@@ -56,7 +56,7 @@ class KgApi:
         self.closure = closure
         self.gazetteer = gazetteer
         self.extracted = extracted
-        self._symptom_closure = symptom_closure(edges)
+        self._symptom_closure = symptom_closure(edges, nodes)
         # materialized pair-score table (kg/realism_score.py builds this
         # dict at import; ours is a small collected map over the edges)
         self._pair_scores = {
@@ -71,7 +71,6 @@ class KgApi:
         rows = [r.asDict() for r in gazetteer.select(
             "ns", "id", "entry_name", "synonym").collect()]
         self._trie = ground.compile_gazetteer(rows)
-        self._gaz_rows = rows
 
     # -- name -> curie (kg/client.py:367-378) --------------------------------
     def get_curie(self, name: str) -> str | None:
@@ -80,10 +79,11 @@ class KgApi:
         hits = ground.scan_text(name, self._trie)
         full = [h for h in hits if h[1] == 0 and h[2] == len(name)]
         if not full:
-            # exact normalized-name lookup fallback
-            return ground.ground_names(
-                self.spark, self.gazetteer, [name]
-            )[name]
+            # exact normalized-name lookup fallback against the CACHED
+            # trie — re-collecting and recompiling the full gazetteer per
+            # request (ground_names) costs seconds of driver work on
+            # every miss
+            return ground.ground_name_in_trie(self._trie, name)
         _s, _a, _b, ns, id_, _n = full[0]
         return f"{ns}:{id_}"
 

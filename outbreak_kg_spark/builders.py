@@ -355,12 +355,25 @@ def build_indicators(
                 F.round("_v", 3).alias("value"),
             )
         )
+        # a source file can repeat a (country, series, year) cell; under
+        # Spark's default mapKeyDedupPolicy=EXCEPTION a duplicate year key
+        # would abort the whole build where the reference's per-row dict
+        # assembly tolerates it (kg/build.py:288-296, last-wins in file
+        # order). Keep the LAST entry of each year run in the (year,
+        # value)-sorted array — deterministic (max value per year) with no
+        # extra exchange.
+        arr = F.array_sort(F.collect_list(F.struct("year", "value")))
+        deduped = F.filter(
+            arr,
+            lambda s, i: (i == F.size(arr) - 1)
+            | (s["year"] != F.get(arr, (i + 1).cast("int"))["year"]),
+        )
         agg = parsed.groupBy(
             "_geo_curie", "_orig_country", "series_code", "series_name"
         ).agg(
             F.map_from_arrays(
-                F.array_sort(F.collect_list(F.struct("year", "value"))).getField("year"),
-                F.array_sort(F.collect_list(F.struct("year", "value"))).getField("value"),
+                deduped.getField("year"),
+                deduped.getField("value"),
             ).alias("years_data")
         )
         nodes = agg.select(

@@ -92,7 +92,10 @@ def transitive_closure(
             # closure is complete WITHOUT paying the fixpoint-confirming
             # extra round the count-equality test needs (that last round is
             # the full closure x closure join, the most expensive of all).
-            if stats["md"] < (1 << rnd) or stats["n"] == n_prev:
+            # md is NULL (None) on an empty closure — empty edge input
+            # must terminate cleanly, not TypeError on None < int
+            if (stats["md"] is None or stats["md"] < (1 << rnd)
+                    or stats["n"] == n_prev):
                 break
             n_prev = stats["n"]
     else:
@@ -125,7 +128,11 @@ def transitive_closure(
             .dropDuplicates()
             .select("node", F.col("node").alias("ancestor"), F.lit(0).alias("depth"))
         )
-        acc = selfs.union(acc)
+        # cyclic input discovers (n, n, k>0) rows; the depth-0 self-row
+        # supersedes them (depth = MIN hops), and keeping both would give
+        # the same (node, ancestor) pair contradictory depths. The filter
+        # is narrow — no extra exchange.
+        acc = selfs.union(acc.filter(F.col("node") != F.col("ancestor")))
     return acc
 
 

@@ -307,6 +307,31 @@ def type_dim(gazetteer: DataFrame) -> DataFrame:
     )
 
 
+def ground_name_in_trie(trie: dict, name: str,
+                        ns_priority=DEFAULT_NS_PRIORITY) -> str | None:
+    """Exact normalized-name lookup of one (':'-free) name against an
+    already-compiled trie: walk every token-path variant, rank hits by
+    ns_priority (the reference's priority walk, promed_ner.py:162-176)
+    then (ns, id) for determinism — a bare min(hits) would let a
+    lexicographically-early namespace beat a higher-priority one when
+    variants resolve to different entries."""
+    hits = []
+    for toks in sorted(term_token_variants(name)):
+        node = trie
+        for t in toks:
+            node = node.get(t)
+            if node is None:
+                break
+        else:
+            if node and 0 in node:
+                hits.append(node[0])
+    if not hits:
+        return None
+    prio = {ns: i for i, ns in enumerate(ns_priority)}
+    best = min(hits, key=lambda h: (prio.get(h[0], len(prio)), h[0], h[1]))
+    return f"{best[0]}:{best[1]}"
+
+
 def ground_names(spark: SparkSession, gazetteer: DataFrame, names: list[str],
                  ns_priority=DEFAULT_NS_PRIORITY) -> dict[str, str | None]:
     """Driver-side name -> CURIE grounding (operator N4, kg/client.py:
@@ -322,24 +347,5 @@ def ground_names(spark: SparkSession, gazetteer: DataFrame, names: list[str],
             continue
         # the query side normalizes through the same variant chain as the
         # vocabulary (kg/client.py:367-378 grounds via the same grounder)
-        hits = []
-        for toks in sorted(term_token_variants(name)):
-            node = trie
-            for t in toks:
-                node = node.get(t)
-                if node is None:
-                    break
-            else:
-                if node and 0 in node:
-                    hits.append(node[0])
-        # rank by ns_priority first (the reference's priority walk,
-        # promed_ner.py:162-176), then (ns, id) for determinism — a bare
-        # min(hits) would let a lexicographically-early namespace beat a
-        # higher-priority one when variants resolve to different entries
-        prio = {ns: i for i, ns in enumerate(ns_priority)}
-        best = (
-            min(hits, key=lambda h: (prio.get(h[0], len(prio)), h[0], h[1]))
-            if hits else None
-        )
-        out[name] = f"{best[0]}:{best[1]}" if best else None
+        out[name] = ground_name_in_trie(trie, name, ns_priority)
     return out

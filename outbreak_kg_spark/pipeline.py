@@ -97,8 +97,18 @@ def build_kg(
         )
     closure = run_stage(
         spark, root, "closure",
-        lambda: closure_mod.transitive_closure(
-            vocab_isa, "child_curie", "parent_curie"
+        # closure_with_roots, NOT bare transitive_closure: most vocabulary
+        # terms appear in no isa edge (reference: 10k MeSH isa edges vs
+        # ~32k MeSH terms), and `isa*0..` must match such an anchor itself
+        # — without its depth-0 self-row every query anchored on it would
+        # silently return empty where the reference returns the direct
+        # mentions (kg/client.py:138-166).
+        lambda: closure_mod.closure_with_roots(
+            vocab_isa,
+            gazetteer.select(
+                F.concat_ws(":", "ns", "id").alias("curie")
+            ),
+            child_col="child_curie", parent_col="parent_curie",
         ),
         force=force,
     )
@@ -117,26 +127,26 @@ def build_kg(
         alert_ids=alerts.select(F.col("archive_number").alias("doc_id")),
     ))
     add(builders.build_cooccurrence(terms, tdim))
-    add(builders.build_vocab_hierarchy(gazetteer, vocab_isa, tdim))
+    # built ONCE: the hierarchy nodes also serve the indicator and geoname
+    # builders below (rebuilding re-runs the gazetteer/type-dim joins)
+    vocab_nodes, vocab_edges = builders.build_vocab_hierarchy(
+        gazetteer, vocab_isa, tdim
+    )
+    add((vocab_nodes, vocab_edges))
     if pathogen_rels is not None and xref is not None:
         edge_parts.append(builders.build_pathogen_disease(pathogen_rels, xref))
     if phenotype_rels is not None:
         edge_parts.append(builders.build_disease_phenotype(phenotype_rels))
     if indicators_dev is not None and indicators_health is not None:
-        mesh_nodes_for_ind = builders.build_vocab_hierarchy(
-            gazetteer, vocab_isa, tdim
-        )[0]
         add(builders.build_indicators(
-            indicators_dev, indicators_health, mesh_nodes_for_ind,
+            indicators_dev, indicators_health, vocab_nodes,
             location_map if location_map is not None
             else wb_location_map_df(spark),
         ))
     if geoname_terms is not None and geoname_partof is not None \
             and geoname_grounding is not None:
         add(builders.build_geonames(
-            geoname_terms, geoname_partof,
-            builders.build_vocab_hierarchy(gazetteer, vocab_isa, tdim)[0],
-            geoname_grounding,
+            geoname_terms, geoname_partof, vocab_nodes, geoname_grounding,
         ))
 
     def _finalize():
@@ -149,13 +159,23 @@ def build_kg(
         n, e = builders.finalize_graph(nodes, edges)
         return n, e
 
+    # persist the finalized nodes: the edges stage's dangling-edge drop
+    # semi-joins against this same relation, so caching it stops the
+    # second stage write from re-executing every upstream builder join
+    # (the co-occurrence count included — previously both stage writes
+    # re-ran the whole DAG). persist() is lazy: on a resume where both
+    # stages are committed, neither build closure runs and nothing is
+    # materialized.
+    fin_nodes, fin_edges = _finalize()
+    fin_nodes = fin_nodes.persist()
     nodes = run_stage(
-        spark, root, "nodes", lambda: _finalize()[0], force=force,
+        spark, root, "nodes", lambda: fin_nodes, force=force,
     )
     edges = run_stage(
-        spark, root, "edges", lambda: _finalize()[1],
+        spark, root, "edges", lambda: fin_edges,
         partition_by=["pred"], force=force,
     )
+    fin_nodes.unpersist()
     return {
         "extracted": extracted,
         "alerts": alerts,
@@ -169,10 +189,19 @@ def build_kg(
 
 
 
-def symptom_closure(edges: DataFrame) -> DataFrame:
+def symptom_closure(edges: DataFrame,
+                    nodes: DataFrame | None = None) -> DataFrame:
     """Closure over the union of isa and has_phenotype predicates — the
-    `[:has_phenotype|isa*0..]` mixed path (kg/client.py:171-177, J8)."""
+    `[:has_phenotype|isa*0..]` mixed path (kg/client.py:171-177, J8).
+
+    Pass the KG nodes to also get depth-0 self-rows for nodes that appear
+    in NO isa/has_phenotype edge — `*0..` must match such an anchor
+    itself (same root-row issue as the main closure stage)."""
     rel = edges.filter(F.col("pred").isin("isa", "has_phenotype")).select(
         "subj", "obj"
     )
-    return closure_mod.transitive_closure(rel, "subj", "obj")
+    if nodes is None:
+        return closure_mod.transitive_closure(rel, "subj", "obj")
+    return closure_mod.closure_with_roots(
+        rel, nodes.select("curie"), child_col="subj", parent_col="obj"
+    )

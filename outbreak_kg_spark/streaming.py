@@ -58,10 +58,17 @@ def mention_rate(pages_stream: DataFrame, annotate_udf,
     streaming counterpart of the count-ordered stats artifacts
     (promed_ner.py:183-189)."""
     ex = extract.extract_pages(pages_stream).filter(F.col("valid"))
-    sections = ex.withWatermark("warc_ts", watermark).select(
-        F.col("archive_number").alias("doc_id"),
-        "warc_ts",
-        F.explode_outer("sections").alias("sec"),
+    # same re-crawl dedup as streaming_mentions: without it a page crawled
+    # 3x within a window counts its mentions 3x, where the batch stats
+    # artifact (promed_ner.py:183-189) counts each alert once
+    sections = (
+        ex.withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["archive_number"])
+        .select(
+            F.col("archive_number").alias("doc_id"),
+            "warc_ts",
+            F.explode_outer("sections").alias("sec"),
+        )
     )
     texts = sections.select(
         "doc_id", "warc_ts",
@@ -103,13 +110,38 @@ def entity_episodes(mentions_with_ts: DataFrame, gap: str = "7 days",
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_ms = _duration_ms(gap)
+    # Arrow hands warc_ts to pandas as tz-NAIVE wall time in the SESSION
+    # timezone, while state.getCurrentWatermarkMs() is true epoch — mixing
+    # them shifts timeout timing by the zone offset (and inconsistently
+    # across DST). Capture the session zone once and localize to true
+    # epoch inside the UDF; output wall times are rendered back in the
+    # same zone so the emitted timestamps read correctly downstream.
+    session_tz = mentions_with_ts.sparkSession.conf.get(
+        "spark.sql.session.timeZone"
+    )
+
+    def _epoch_ms(series: "pd.Series") -> list[int]:
+        if session_tz not in ("UTC", "Etc/UTC", "GMT"):
+            series = series.dt.tz_localize(
+                session_tz, ambiguous=True, nonexistent="shift_forward"
+            )
+        return (series.astype("int64") // 10**6).tolist()
+
+    def _wall(ms: float) -> "datetime.datetime":
+        if session_tz in ("UTC", "Etc/UTC", "GMT"):
+            return datetime.datetime.utcfromtimestamp(ms / 1e3)
+        from zoneinfo import ZoneInfo
+
+        return datetime.datetime.fromtimestamp(
+            ms / 1e3, ZoneInfo(session_tz)
+        ).replace(tzinfo=None)
 
     def _row(curie, run):
         start, end, n, docs = run
         return {
             "curie": curie,
-            "episode_start": datetime.datetime.utcfromtimestamp(start / 1e3),
-            "episode_end": datetime.datetime.utcfromtimestamp(end / 1e3),
+            "episode_start": _wall(start),
+            "episode_end": _wall(end),
             "n_mentions": n,
             "n_docs": len(set(docs.split("\x00"))),
         }
@@ -122,7 +154,7 @@ def entity_episodes(mentions_with_ts: DataFrame, gap: str = "7 days",
             yield pd.DataFrame([_row(curie, run)])
             return
         rows = pd.concat(list(pdfs)).sort_values("warc_ts")
-        ts = (rows["warc_ts"].astype("int64") // 10**6).tolist()
+        ts = _epoch_ms(rows["warc_ts"])
         ids = rows["doc_id"].astype(str).tolist()
         # sessionize WITHIN the batch: split sorted mentions into runs at
         # gaps > gap_ms (a single micro-batch can span several episodes)

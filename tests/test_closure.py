@@ -109,3 +109,41 @@ def test_connected_components_path_graph_log_rounds(spark):
     assert stats["rounds"] <= 20          # ~2*log2(512)=18 worst case
     assert set(got.values()) == {0}       # one component, min id 0
     assert len(got) == n
+
+
+def test_closure_empty_edges_no_crash(spark):
+    from outbreak_kg_spark.closure import transitive_closure
+
+    empty = spark.createDataFrame([], "subj string, obj string")
+    for method in ("doubling", "bfs"):
+        assert transitive_closure(empty, method=method).count() == 0
+
+
+def test_closure_cycle_self_pairs_stay_depth_zero(spark):
+    """Cyclic input discovers (n, n, k>0) pairs; the depth-0 self-row must
+    supersede them — one row per (node, ancestor), depth = min hops."""
+    from outbreak_kg_spark.closure import transitive_closure
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["subj", "obj"]
+    )
+    rows = transitive_closure(edges).collect()
+    per_pair = {}
+    for r in rows:
+        per_pair.setdefault((r.node, r.ancestor), []).append(r.depth)
+    assert all(len(v) == 1 for v in per_pair.values()), per_pair
+    for n in "abc":
+        assert per_pair[(n, n)] == [0]
+
+
+def test_closure_with_roots_isolated_nodes(spark):
+    from outbreak_kg_spark.closure import closure_with_roots
+
+    edges = spark.createDataFrame([("a", "b")], ["subj", "obj"])
+    nodes = spark.createDataFrame(
+        [("a",), ("b",), ("lonely",)], ["curie"]
+    )
+    rows = {(r.node, r.ancestor): r.depth
+            for r in closure_with_roots(edges, nodes).collect()}
+    assert rows[("lonely", "lonely")] == 0
+    assert rows[("a", "b")] == 1 and rows[("a", "a")] == 0

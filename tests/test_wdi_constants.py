@@ -56,3 +56,27 @@ def test_pipeline_default_is_the_wb_map(spark):
     src = inspect.getsource(pipeline.build_kg)
     assert "wb_location_map_df" in src
     assert wb_location_map_df(spark).count() == len(LOCATION_MESH_MAPPING)
+
+
+def test_build_indicators_tolerates_duplicate_year_rows(spark):
+    """A repeated (country, series) source row must not abort the build
+    with DUPLICATED_MAP_KEY (Spark's default map policy); the last entry
+    of the sorted (year, value) run wins — the reference's per-row dict
+    build was last-wins too (kg/build.py:288-296)."""
+    cols = ["Country Name", "Series Code", "Series Name", "2019 [YR2019]"]
+    health = spark.createDataFrame(
+        [("Viet Nam", "SH.XPD", "Health expenditure", "1.5"),
+         ("Viet Nam", "SH.XPD", "Health expenditure", "2.0")],
+        cols,
+    )
+    dev = spark.createDataFrame([], ", ".join(f"`{c}` string" for c in cols))
+    mesh_nodes = spark.createDataFrame(
+        [("MESH:D014744", "Vietnam", ["geoloc", "entity"], "geoloc", None)],
+        "curie string, name string, labels array<string>, node_type string, "
+        "timestamp string",
+    )
+    _nodes, edges = build_indicators(
+        dev, health, mesh_nodes, wb_location_map_df(spark)
+    )
+    got = [r.years_data for r in edges.collect()]
+    assert got and all(y["2019"] == 2.0 for y in got)
