@@ -103,7 +103,8 @@ class KgApi:
         res = queries.query_graph(
             self.nodes, self.edges, self.closure,
             symptom_closure=self._symptom_closure,
-            timestamp=timestamp, limit=int(limit) if limit else None,
+            timestamp=timestamp,
+            limit=int(limit) if limit is not None and limit != "" else None,
             **params,
         )
         return [r.asDict() for r in res.collect()]

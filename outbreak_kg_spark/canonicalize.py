@@ -76,43 +76,50 @@ def lsh_blocks_array(arr: DataFrame, id_col: str = "curie",
     )
     band_keys = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.md5(
-            F.concat_ws(
-                ",",
-                F.filter(
-                    F.transform(
-                        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-                        lambda i: F.when(
-                            i % bands == b,
-                            F.concat_ws(
-                                ":",
-                                i.cast("string"),
-                                F.element_at(F.col("_sigs"), i + F.lit(1))
-                                .cast("string"),
+        # bands beyond the signature length get a NULL bucket and are
+        # dropped below — an empty band would otherwise hash to the
+        # constant md5("") and put EVERY entity in one bucket, making
+        # candidate generation all-pairs quadratic (same guard as
+        # dedup.lsh_band_buckets)
+        lambda b: F.when(
+            b < F.lit(num_hashes),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.filter(
+                        F.transform(
+                            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                            lambda i: F.when(
+                                i % bands == b,
+                                F.concat_ws(
+                                    ":",
+                                    i.cast("string"),
+                                    F.element_at(F.col("_sigs"), i + F.lit(1))
+                                    .cast("string"),
+                                ),
                             ),
                         ),
+                        lambda x: x.isNotNull(),
                     ),
-                    lambda x: x.isNotNull(),
-                ),
-            )
+                )
+            ),
         ),
     )
     return (
         arr.filter(F.size("shingles") > 0)
         .select(id_col, sigs.alias("_sigs"))
         .select(id_col, F.posexplode(band_keys).alias("band", "bucket"))
+        .filter(F.col("bucket").isNotNull())
     )
 
 
 def candidate_pairs(blocks: DataFrame, id_col: str = "curie") -> DataFrame:
-    l = blocks.select(F.col(id_col).alias("a"), "band", "bucket")
-    r = blocks.select(F.col(id_col).alias("b"), "band", "bucket")
-    return (
-        l.join(r, ["band", "bucket"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .dropDuplicates()
-    )
+    """Candidate pairs from (id, band, bucket) — the same blocking
+    equi-join as the document path (one implementation: a future fix to
+    the bucket join lands in both)."""
+    from .dedup import _bucket_pairs
+
+    return _bucket_pairs(blocks, id_col)
 
 
 def verified_pairs(sh: DataFrame, cand: DataFrame, id_col: str = "curie",
@@ -197,8 +204,16 @@ def rewrite_graph(nodes: DataFrame, edges: DataFrame,
     row per canonical id (min name for determinism, label/type of the
     canonical member); edges rewrite both endpoints and re-dedup."""
     amap = F.broadcast(assignments)
+    # LEFT join + coalesce, like the edge path below: a partial assignment
+    # map (covering only merged curies) must not silently drop unmapped
+    # nodes while keeping their edges — unmapped nodes canonicalize to
+    # themselves
     n = (
-        nodes.join(amap, "curie")
+        nodes.join(amap, "curie", "left")
+        .withColumn(
+            "canonical_curie",
+            F.coalesce("canonical_curie", F.col("curie")),
+        )
         .withColumn(
             "_is_canon", (F.col("curie") == F.col("canonical_curie")).cast("int")
         )

@@ -1302,8 +1302,12 @@ def _sql_text_quality() -> str:
                    list_filter(string_split(lower(text), ' '), x -> x <> '')
                      AS toks,
                    length(text)
-                     - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
-                     AS n_punct
+                     - length(regexp_replace(text,
+                         '[^\\p{{L}}\\p{{N}}_\\s]', '', 'g'))
+                     AS n_punct,
+                   length(regexp_replace(text,
+                         '[^\\p{{L}}\\p{{N}}_]', '', 'g'))
+                     AS word_chars
             FROM documents),
         feat AS (
             SELECT doc_id,
@@ -1312,7 +1316,7 @@ def _sql_text_quality() -> str:
                    n_punct / greatest(n_chars, 1)::DOUBLE AS punct_ratio,
                    len(list_filter(toks, x -> list_contains([{sw}], x)))
                      / greatest(len(toks), 1)::DOUBLE AS stopword_ratio,
-                   (n_chars - n_punct) / greatest(len(toks), 1)::DOUBLE
+                   word_chars / greatest(len(toks), 1)::DOUBLE
                      AS mean_word_len
             FROM base)
         SELECT doc_id, n_chars, n_tokens,
@@ -2129,8 +2133,12 @@ def _sql_corpus_curate() -> str:
                list_filter(string_split(lower(text), ' '), x -> x <> '')
                  AS toks,
                length(text)
-                 - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
-                 AS n_punct
+                 - length(regexp_replace(text,
+                     '[^\\p{{L}}\\p{{N}}_\\s]', '', 'g'))
+                 AS n_punct,
+               length(regexp_replace(text,
+                     '[^\\p{{L}}\\p{{N}}_]', '', 'g'))
+                 AS word_chars
         FROM corpus),
     qual AS (
         SELECT doc_id,
@@ -2139,7 +2147,7 @@ def _sql_corpus_curate() -> str:
                      + (CASE WHEN n_punct / greatest(n_chars, 1)::DOUBLE
                                   <= 0.2
                              THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END)
-                     + (CASE WHEN (n_chars - n_punct)
+                     + (CASE WHEN word_chars
                                   / greatest(len(toks), 1)::DOUBLE
                                   BETWEEN 3.0 AND 12.0
                              THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END),

@@ -55,6 +55,13 @@ def fisher_exact_greater(a: int, b: int, c: int, d: int) -> float:
         return float(fisher_exact([[a, b], [c, d]], alternative="greater")[1])
     except ImportError:
         pass
+    except ValueError:  # pragma: no cover
+        # scipy rejects degenerate tables (negative cells — which DO occur
+        # when query terms are absent from the corpus vocabulary, driving
+        # d negative); the log-gamma path below handles them via the
+        # lchoose -inf guard, so behavior must not depend on whether scipy
+        # is installed
+        pass
     from math import exp, lgamma
 
     def lchoose(n, k):
@@ -216,7 +223,7 @@ def query_graph(
         )
         result = result.join(c, "alert_curie", "inner")
     result = result.dropDuplicates()
-    if limit:
+    if limit is not None:  # limit=0 means zero rows, not "no limit"
         result = result.limit(limit)
     return result
 
@@ -339,6 +346,12 @@ def cooccurrence_scores(
     kg/client.py:269-281). pair_scores: {(m1, m2): score}."""
     from itertools import combinations
 
+    if isinstance(pair_scores, pd.DataFrame):
+        # .get((m1, m2)) on a DataFrame is a COLUMN lookup and would
+        # silently return -inf for every pair; convert to the dict form
+        pair_scores = {
+            (r.m1, r.m2): r.score for r in pair_scores.itertuples()
+        }
     scores = {}
     for t1, t2 in combinations(mesh_ids, 2):
         if t1 in exclude or t2 in exclude:

@@ -33,6 +33,15 @@ def _norm(a):
     )
 
 
+def _cosine(dot, na, nb):
+    """Cosine from dot product and the two norms, null-safe: a zero-norm
+    vector (all-zero embedding) must yield NULL — ranked last and failing
+    every >= threshold — not 0/0 = NaN, which Spark's ordering treats as
+    LARGER than every real number (a single zero vector would otherwise
+    rank first for every query and pass every near-dup threshold)."""
+    return F.when((na > 0) & (nb > 0), dot / (na * nb))
+
+
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("_norm", _norm(F.col(vec_col).cast("array<double>")))
 
@@ -64,9 +73,8 @@ def cosine_topk(
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
-        (_dot(F.col("_cv"), F.col("_qv")) / (F.col("_cn") * F.col("_qn"))).alias(
-            "cosine"
-        ),
+        _cosine(_dot(F.col("_cv"), F.col("_qv")),
+                F.col("_cn"), F.col("_qn")).alias("cosine"),
     )
     from pyspark.sql import Window
 
@@ -148,9 +156,8 @@ def ann_topk(
     ).withColumn("_qn", _norm(F.col("_qv")))
     scored = cb.join(F.broadcast(qb), "bucket").select(
         "query_id", "neighbor_id",
-        (_dot(F.col("_cv"), F.col("_qv")) / (F.col("_cn") * F.col("_qn"))).alias(
-            "cosine"
-        ),
+        _cosine(_dot(F.col("_cv"), F.col("_qv")),
+                F.col("_cn"), F.col("_qn")).alias("cosine"),
     )
     from pyspark.sql import Window
 
@@ -269,15 +276,28 @@ def ivf_topk(index: DataFrame, centroids: list[list[float]],
             probe_rows.append((r.query_id, cid, list(r._qv),
                                _m.sqrt(sum(x * x for x in r._qv))))
     spark = index.sparkSession
+    # probe schema carries the QUERY frame's id type — hardcoding long
+    # would reject string ids (curies), the natural key elsewhere in the KG
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, IntegerType, StructField, StructType,
+    )
+
+    qid_type = queries.schema[query_id].dataType
     probes = spark.createDataFrame(
-        probe_rows, "query_id long, centroid_id int, _qv array<double>, _qn double"
+        probe_rows,
+        StructType([
+            StructField("query_id", qid_type),
+            StructField("centroid_id", IntegerType()),
+            StructField("_qv", ArrayType(DoubleType())),
+            StructField("_qn", DoubleType()),
+        ]),
     )
     cand = index.join(F.broadcast(probes), "centroid_id")
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        (_dot(F.col("vec"), F.col("_qv")) / (_norm(F.col("vec")) * F.col("_qn")))
-        .alias("cosine"),
+        _cosine(_dot(F.col("vec"), F.col("_qv")),
+                _norm(F.col("vec")), F.col("_qn")).alias("cosine"),
     )
     from pyspark.sql import Window
 
@@ -306,8 +326,8 @@ def cosine_near_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
         .filter(F.col("a") < F.col("b"))
         .select(
             "a", "b",
-            (_dot(F.col("_va"), F.col("_vb"))
-             / (F.col("_na") * F.col("_nb"))).alias("cosine"),
+            _cosine(_dot(F.col("_va"), F.col("_vb")),
+                    F.col("_na"), F.col("_nb")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
         .dropDuplicates(["a", "b"])

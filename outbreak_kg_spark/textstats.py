@@ -35,6 +35,14 @@ def token_counts(df: DataFrame, text_col: str = "text",
     )
 
 
+# Unicode-aware character classes (identical in Java regex and DuckDB's
+# RE2, so the SQL oracles can mirror them verbatim): "word" characters are
+# letters/digits/underscore in ANY script — plain \w is ASCII-only and
+# would count every accented letter of a French/German doc as punctuation.
+PUNCT_CLASS = r"[^\p{L}\p{N}_\s]"
+NONWORD_CLASS = r"[^\p{L}\p{N}_]"
+
+
 def quality_score_col(text_col: str = "text"):
     """The composite quality score in [0,1] as a single Column (narrow
     scalar expressions — no shuffle), for callers that only gate on the
@@ -43,10 +51,15 @@ def quality_score_col(text_col: str = "text"):
     n_toks = F.size(toks)
     n_chars = F.length(text_col)
     n_punct = n_chars - F.length(
-        F.regexp_replace(F.col(text_col), r"[^\w\s]", "")
+        F.regexp_replace(F.col(text_col), PUNCT_CLASS, "")
+    )
+    # word characters only — counting whitespace in the numerator would
+    # inflate mean word length by ~1 char per token
+    word_chars = F.length(
+        F.regexp_replace(F.col(text_col), NONWORD_CLASS, "")
     )
     punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
-    mean_word_len = (n_chars - n_punct) / F.greatest(n_toks, F.lit(1))
+    mean_word_len = word_chars / F.greatest(n_toks, F.lit(1))
     score = (
         F.when((n_toks >= 10) & (n_toks <= 100000), 0.4).otherwise(0.0)
         + F.when(punct_ratio <= 0.2, 0.3).otherwise(0.0)
@@ -66,7 +79,10 @@ def quality_scores(df: DataFrame, text_col: str = "text",
     n_toks = F.size(toks)
     n_chars = F.length(text_col)
     n_punct = n_chars - F.length(
-        F.regexp_replace(F.col(text_col), r"[^\w\s]", "")
+        F.regexp_replace(F.col(text_col), PUNCT_CLASS, "")
+    )
+    word_chars = F.length(
+        F.regexp_replace(F.col(text_col), NONWORD_CLASS, "")
     )
     sw_arr = F.array(*[F.lit(s) for s in sw])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t)))
@@ -76,7 +92,7 @@ def quality_scores(df: DataFrame, text_col: str = "text",
         n_toks.alias("n_tokens"),
         (n_punct / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
         (n_stop / F.greatest(n_toks, F.lit(1))).alias("stopword_ratio"),
-        ((n_chars - n_punct) / F.greatest(n_toks, F.lit(1))).alias("mean_word_len"),
+        (word_chars / F.greatest(n_toks, F.lit(1))).alias("mean_word_len"),
         quality_score_col(text_col).alias("quality_score"),
     )
 

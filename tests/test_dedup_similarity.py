@@ -196,16 +196,26 @@ def test_lang_id_and_quality(spark):
             {"doc_id": 1, "text": "the cat and the dog sat in the sun"},
             {"doc_id": 2, "text": "le chat et le chien dans les jardins de paris"},
             {"doc_id": 3, "text": "zzz qqq xxx"},
+            {"doc_id": 4, "text": "the quick brown fox jumps over the lazy "
+                                  "sleeping dog near the river bank today"},
         ]
     )
     langs = {r.doc_id: r.lang_pred for r in textstats.lang_id(df).collect()}
     assert langs[1] == "en" and langs[2] == "fr" and langs[3] == "und"
     q = {r.doc_id: r for r in textstats.quality_scores(df).collect()}
-    assert q[1].n_tokens == 9 and q[1].quality_score > 0.5
+    # doc 1: 9 tokens (<10), 26 word chars -> mean word len 26/9 = 2.89 < 3;
+    # only the punct component fires. The old whitespace-inflated metric
+    # ((n_chars - n_punct)/n_toks) would have counted the 8 spaces and
+    # reported 3.78 — the regression this pins down.
+    assert q[1].n_tokens == 9
+    assert abs(q[1].mean_word_len - 26 / 9) < 1e-9
+    assert abs(q[1].quality_score - 0.3) < 1e-9
+    # doc 4: 15 normal-length tokens -> all three components fire
+    assert q[4].n_tokens == 15 and q[4].quality_score > 0.5
     tc = {r.doc_id: r for r in textstats.token_counts(df).collect()}
     assert tc[1].ws_tokens == 9
     fp = {r.doc_id: r.fingerprint for r in textstats.fingerprints(df).collect()}
-    assert len(set(fp.values())) == 3
+    assert len(set(fp.values())) == 4
 
 
 def test_multimodal_features_and_frame_plan(spark):
