@@ -269,13 +269,18 @@ def main() -> None:
     n_docs = samples[0][1]
     wall = min(w for w, _ in samples)
 
-    sf = sf_dir.rstrip("/").split("sf")[-1]
+    # sf is advisory metadata — a dir name without a trailing sf<number>
+    # must not crash the run after minutes of measurement
+    try:
+        sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    except ValueError:
+        sf = None
     out = {
         "metric": "e2e_pages_to_triples_wall",
         "value": round(wall, 3),
         "unit": "sec",
         "queries": qtimes,
-        "sf": float(sf) if sf else None,
+        "sf": sf,
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / wall, 1),
         "cpus": cpus,

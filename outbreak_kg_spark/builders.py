@@ -352,7 +352,11 @@ def build_indicators(
                 F.col(ccode).alias("series_code"),
                 F.col(cser).alias("series_name"),
                 F.substring("year_col", 1, 4).alias("year"),
-                F.round("_v", 3).alias("value"),
+                # bround = half-even, matching the reference's Python
+                # round(float(val), 3) (kg/build.py:296) on tie values like
+                # 0.0625 -> 0.062; F.round (half-up) would emit 0.063 and
+                # break years_data byte-compat at the TSV boundary
+                F.bround("_v", 3).alias("value"),
             )
         )
         # a source file can repeat a (country, series, year) cell; under
@@ -426,11 +430,17 @@ def build_geonames(
     that grounds to MeSH is *not* emitted as a node (:361-363); a part_of
     parent is rewritten to its MeSH curie when groundable (:365-375,
     part_of -> isa).
+
+    A grounding is honored only when the grounded curie actually EXISTS in
+    mesh_nodes: the reference's convert_geoname_to_mesh (:400-406) filters
+    mesh_node_df by the grounded curie and returns empty — i.e. ungrounded
+    — when it is absent, so the geoname stays a geoname node / parent.
     """
+    valid_mesh = mesh_nodes.select(F.col("curie").alias("_mesh")).dropDuplicates()
     g = broadcast(
         geo_grounding.select(
             F.col("geonames_id").alias("_gid"), F.col("mesh_curie").alias("_mesh")
-        )
+        ).join(valid_mesh, "_mesh", "left_semi")
     )
     terms = geoname_terms.join(g, F.col("geonames_id") == F.col("_gid"), "left")
     nodes = (

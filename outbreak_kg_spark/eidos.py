@@ -145,9 +145,19 @@ def timex_stats(timexes: DataFrame) -> DataFrame:
                 F.array_join(
                     F.transform(
                         "intervals",
+                        # a null bound renders as Python None — a bare
+                        # cast would null the whole concat and array_join
+                        # silently DROPS null elements, collapsing
+                        # distinct timexes (reference str() rendering,
+                        # process_eidos.py:62-63)
                         lambda iv: F.concat(
-                            F.lit("("), iv["start"].cast("string"),
-                            F.lit(", "), iv["end"].cast("string"), F.lit(")"),
+                            F.lit("("),
+                            F.coalesce(iv["start"].cast("string"),
+                                       F.lit("None")),
+                            F.lit(", "),
+                            F.coalesce(iv["end"].cast("string"),
+                                       F.lit("None")),
+                            F.lit(")"),
                         ),
                     ),
                     ", ",

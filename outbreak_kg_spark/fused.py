@@ -131,16 +131,8 @@ def page_terms_to_alert_terms(page_terms: DataFrame) -> DataFrame:
 
 def fused_terms(pages: DataFrame, fused_udf) -> DataFrame:
     """pages -> (doc_id, ns, id, entry_name) distinct per doc — the same
-    relation ground.terms_by_alert produces from the modular path (minus the
-    surface-token exclusion filter, applied here on entry_name upstream if
-    needed)."""
-    x = pages.select(F.col("url"), fused_udf(F.col("text")).alias("x"))
-    return (
-        x.filter(F.col("x.valid"))
-        .select(
-            F.col("x.archive_number").alias("doc_id"),
-            F.explode("x.terms").alias("t"),
-        )
-        .select("doc_id", "t.ns", "t.id", "t.entry_name")
-        .dropDuplicates(["doc_id", "ns", "id"])
-    )
+    relation the modular path (dedup_alerts -> terms_by_alert) produces,
+    INCLUDING the first-wins archive dedup (earliest warc_ts, url tiebreak).
+    A dedup-free variant would silently union term sets across re-crawls of
+    the same archive number — a different graph than the modular path."""
+    return page_terms_to_alert_terms(fused_page_terms(pages, fused_udf))

@@ -58,13 +58,20 @@ def build_kg(
     if fused:
         from . import fused as fused_mod
 
-        fudf = fused_mod.make_fused_udf(
-            spark, gazetteer, exclude_tokens=ground.NER_EXCLUDE_TOKENS
-        )
         extracted = mentions = None
+        # the UDF build (driver-side gazetteer collect + trie compile) is
+        # inside the stage lambda so a resume over a committed stage never
+        # pays it — run_stage only calls the builder on a cache miss
         page_terms = run_stage(
             spark, root, "page_terms",
-            lambda: fused_mod.fused_page_terms(pages, fudf), force=force,
+            lambda: fused_mod.fused_page_terms(
+                pages,
+                fused_mod.make_fused_udf(
+                    spark, gazetteer,
+                    exclude_tokens=ground.NER_EXCLUDE_TOKENS,
+                ),
+            ),
+            force=force,
         )
         alerts = page_terms.select(
             F.col("doc_id").alias("archive_number")
@@ -75,7 +82,6 @@ def build_kg(
             force=force,
         )
     else:
-        annotate_udf = ground.make_annotate_udf(spark, gazetteer)
         extracted = run_stage(
             spark, root, "extracted",
             lambda: extract.extract_pages(pages), force=force,
@@ -86,8 +92,10 @@ def build_kg(
         )
         mentions = run_stage(
             spark, root, "mentions",
+            # UDF build deferred into the lambda — see the fused branch note
             lambda: ground.annotate_sections(
-                extract.explode_section_texts(alerts), annotate_udf
+                extract.explode_section_texts(alerts),
+                ground.make_annotate_udf(spark, gazetteer),
             ),
             force=force,
         )

@@ -38,11 +38,17 @@ def streaming_mentions(pages_stream: DataFrame, annotate_udf,
                        watermark: str = "1 hour") -> DataFrame:
     """pages stream -> exploded mention rows, with late-crawl dedup.
 
-    Duplicate urls within the watermark are dropped with streaming state
-    (dropDuplicatesWithinWatermark) — the streaming analog of the batch
-    first-wins dedup (extract.dedup_alerts); re-crawls older than the
-    watermark are handled by the idempotent batch sink (MERGE semantics in
-    Iceberg / dropDuplicates on append here)."""
+    Duplicate archive numbers within the watermark are dropped with
+    streaming state (dropDuplicatesWithinWatermark). NOTE the semantic
+    difference vs the batch path: streaming keeps the first-ARRIVED page
+    (emitting immediately; an already-emitted row cannot be retracted when
+    an earlier-warc_ts crawl shows up late), while extract.dedup_alerts
+    keeps the earliest-warc_ts page (url tiebreak). The two agree whenever
+    crawls arrive in event-time order — the common case — and the batch
+    pipeline over the at-rest data is the reconciliation path when they
+    don't. Re-crawls older than the watermark are handled by the
+    idempotent batch sink (MERGE semantics in Iceberg / dropDuplicates on
+    append here)."""
     ex = extract.extract_pages(pages_stream).filter(F.col("valid"))
     ex = ex.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
         ["archive_number"]
@@ -70,10 +76,14 @@ def mention_rate(pages_stream: DataFrame, annotate_udf,
             F.explode_outer("sections").alias("sec"),
         )
     )
+    # title and content are annotated as SEPARATE rows, exactly like the
+    # batch path (extract.explode_section_texts / promed_ner.py:145-150):
+    # concatenating them would let the trie match phrases spanning the
+    # title/content boundary — mentions the batch artifact cannot contain
     texts = sections.select(
         "doc_id", "warc_ts",
-        F.concat_ws("\n", "sec.title", "sec.content").alias("text"),
-    )
+        F.explode(F.array("sec.title", "sec.content")).alias("text"),
+    ).filter(F.col("text").isNotNull())
     m = texts.select(
         "warc_ts", F.explode(annotate_udf(F.col("text"))).alias("a")
     )
@@ -93,7 +103,8 @@ def mention_rate(pages_stream: DataFrame, annotate_udf,
 
 
 def entity_episodes(mentions_with_ts: DataFrame, gap: str = "7 days",
-                    watermark: str = "1 hour") -> DataFrame:
+                    watermark: str = "1 hour",
+                    max_tracked_docs: int = 50_000) -> DataFrame:
     """Custom stateful operator: merge an entity's mention stream into
     outbreak *episodes* — maximal runs of mentions with no gap larger than
     ``gap`` — via applyInPandasWithState (the engine's example of a stateful
@@ -103,7 +114,22 @@ def entity_episodes(mentions_with_ts: DataFrame, gap: str = "7 days",
     Input: (curie, warc_ts, doc_id). Output, emitted when an episode closes
     (watermark passes its end + gap): (curie, episode_start, episode_end,
     n_mentions, n_docs).
-    """
+
+    Correctness under late / out-of-order data: applyInPandasWithState does
+    NOT drop watermark-late rows for us, so this operator (a) drops input
+    rows older than the current watermark (the same policy built-in
+    stateful operators apply), (b) keeps ALL still-open runs in state — not
+    just the latest — merging them interval-wise with gap tolerance, and
+    (c) emits a run only once ``end + gap < watermark``, at which point no
+    surviving row can ever extend it. Emitting "all but the latest run"
+    immediately would mis-close episodes that a late-but-valid mention
+    (within the watermark) could still bridge.
+
+    State growth is bounded: per run, doc ids are tracked as a DISTINCT set
+    capped at ``max_tracked_docs``; beyond the cap, ids not in the tracked
+    set increment an overflow counter (n_docs becomes an upper-bound
+    approximation for pathological hot entities instead of state growing
+    without bound — the 'COVID-19' skew case)."""
     import datetime
 
     import pandas as pd
@@ -137,49 +163,83 @@ def entity_episodes(mentions_with_ts: DataFrame, gap: str = "7 days",
         ).replace(tzinfo=None)
 
     def _row(curie, run):
-        start, end, n, docs = run
+        start, end, n, docset, extra = run
         return {
             "curie": curie,
             "episode_start": _wall(start),
             "episode_end": _wall(end),
             "n_mentions": n,
-            "n_docs": len(set(docs.split("\x00"))),
+            "n_docs": len(docset) + extra,
         }
+
+    def _merge_docs(aset, aextra, bset, bextra):
+        # distinct-set union under the cap; overflow ids count into extra
+        # (sorted iteration keeps the kept-subset deterministic)
+        s, extra = set(aset), aextra + bextra
+        for d in sorted(bset):
+            if d in s:
+                continue
+            if len(s) < max_tracked_docs:
+                s.add(d)
+            else:
+                extra += 1
+        return s, extra
+
+    def _merge_runs(runs):
+        # interval merge with gap tolerance over runs sorted by start —
+        # handles late singletons that bridge two previously-separate runs
+        runs.sort(key=lambda r: (r[0], r[1]))
+        out = []
+        for r in runs:
+            if out and r[0] - out[-1][1] <= gap_ms:
+                s0, e0, n0, d0, x0 = out[-1]
+                s1, e1, n1, d1, x1 = r
+                ds, dx = _merge_docs(d0, x0, d1, x1)
+                out[-1] = (min(s0, s1), max(e0, e1), n0 + n1, ds, dx)
+            else:
+                out.append(r)
+        return out
 
     def update(key, pdfs, state: GroupState):
         (curie,) = key
-        if state.hasTimedOut:
-            run = tuple(state.get)
-            state.remove()
-            yield pd.DataFrame([_row(curie, run)])
-            return
-        rows = pd.concat(list(pdfs)).sort_values("warc_ts")
-        ts = _epoch_ms(rows["warc_ts"])
-        ids = rows["doc_id"].astype(str).tolist()
-        # sessionize WITHIN the batch: split sorted mentions into runs at
-        # gaps > gap_ms (a single micro-batch can span several episodes)
+        wm = state.getCurrentWatermarkMs()
         runs = []
-        for t, d in zip(ts, ids):
-            if runs and t - runs[-1][1] <= gap_ms:
-                s, e, n, docs = runs[-1]
-                runs[-1] = (s, max(e, t), n + 1, docs + "\x00" + d)
-            else:
-                runs.append((t, t, 1, d))
         if state.exists:
-            prev = tuple(state.get)
-            if runs and runs[0][0] - prev[1] <= gap_ms:
-                s, e, n, docs = runs[0]
-                runs[0] = (min(prev[0], s), max(prev[1], e),
-                           prev[2] + n, prev[3] + "\x00" + docs)
-            else:
-                runs.insert(0, prev)
-        # every run except the latest is definitively closed by a later run
-        closed, live = runs[:-1], runs[-1]
-        state.update(live)
-        # timeout must be strictly later than the current watermark
-        state.setTimeoutTimestamp(
-            max(live[1] + gap_ms + 1, state.getCurrentWatermarkMs() + 1)
-        )
+            starts, ends, ns, docs, extras = state.get
+            for s, e, n, d, x in zip(starts, ends, ns, docs, extras):
+                runs.append((s, e, n,
+                             set(d.split("\x00")) if d else set(), x))
+        if not state.hasTimedOut:
+            rows = pd.concat(list(pdfs))
+            for t, d in zip(_epoch_ms(rows["warc_ts"]),
+                            rows["doc_id"].astype(str).tolist()):
+                if t < wm:
+                    # watermark-late row: dropped, same policy as built-in
+                    # stateful ops (applyInPandasWithState doesn't do this
+                    # for us; keeping it could extend an already-emitted
+                    # episode)
+                    continue
+                runs.append((t, t, 1, {d}, 0))
+        runs = _merge_runs(runs)
+        # a run is closed only when NO surviving future row can extend it:
+        # every kept row has t >= wm, so end + gap < wm is the safe bound
+        closed = [r for r in runs if r[1] + gap_ms < wm]
+        live = [r for r in runs if r[1] + gap_ms >= wm]
+        if live:
+            state.update((
+                [r[0] for r in live],
+                [r[1] for r in live],
+                [r[2] for r in live],
+                ["\x00".join(sorted(r[3])) for r in live],
+                [r[4] for r in live],
+            ))
+            # wake when the earliest-closing run becomes closable; must be
+            # strictly later than the current watermark
+            state.setTimeoutTimestamp(
+                max(min(r[1] for r in live) + gap_ms + 1, wm + 1)
+            )
+        elif state.exists:
+            state.remove()
         if closed:
             yield pd.DataFrame([_row(curie, r) for r in closed])
 
@@ -192,7 +252,10 @@ def entity_episodes(mentions_with_ts: DataFrame, gap: str = "7 days",
                 "curie string, episode_start timestamp, "
                 "episode_end timestamp, n_mentions long, n_docs long"
             ),
-            stateStructType="start long, end long, n long, docs string",
+            stateStructType=(
+                "starts array<long>, ends array<long>, ns array<long>, "
+                "docs array<string>, extras array<long>"
+            ),
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )

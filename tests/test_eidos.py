@@ -31,7 +31,15 @@ def eidos_dir(spark, tmp_path_factory):
                         },
                         {
                             "timexes": [
-                                {"@type": "T", "@id": "x2", "text": "today"}
+                                {"@type": "T", "@id": "x2", "text": "today"},
+                                {"@type": "T", "@id": "x3",
+                                 "text": "since May",
+                                 "intervals": [
+                                     {"@type": "TimeInterval", "@id": "i2",
+                                      "start": 300},
+                                     {"@type": "TimeInterval", "@id": "i3",
+                                      "start": 400, "end": 500},
+                                 ]},
                             ],
                             "geolocs": [],
                         },
@@ -85,3 +93,6 @@ def test_stats_shapes(spark, eidos_dir):
     ts = {r.text: r.intervals for r in eidos.timex_stats(timexes).collect()}
     assert ts["28 Apr 2016"] == "[(100, 200)]"  # reference str([...]) layout
     assert ts["today"] == ""
+    # a null bound renders as None like the reference's str() — it must not
+    # be silently dropped from the list (distinct timexes would collapse)
+    assert ts["since May"] == "[(300, None), (400, 500)]"

@@ -18,10 +18,10 @@ def test_fused_equals_modular(spark):
     )
     want = {(r.doc_id, r.ns, r.id) for r in modular.collect()}
 
-    # fused: single UDF pass (dedup archive numbers the same way first)
-    first = alerts.select("url")
+    # fused: single UDF pass over the RAW pages — fused_terms applies the
+    # same first-wins archive dedup internally (no pre-filter needed)
     fudf = fused.make_fused_udf(spark, gaz, exclude_tokens=NER_EXCLUDE_TOKENS)
-    got_df = fused.fused_terms(pages.join(first, "url", "left_semi"), fudf)
+    got_df = fused.fused_terms(pages, fudf)
     got = {(r.doc_id, r.ns, r.id) for r in got_df.collect()}
     assert got == want
 

@@ -177,3 +177,54 @@ def test_entity_episodes_stateful(spark, tmp_path):
     eps = {(r.curie, r.n_mentions, r.n_docs) for r in got}
     # burst 1 must have closed as one episode with 5 mentions / 5 docs
     assert ("MESH:D0103", 5, 5) in eps
+
+
+def test_entity_episodes_late_data(spark, tmp_path):
+    """A late-but-within-watermark mention must extend the EARLIER run it
+    belongs to, not be swallowed into the newest run; episodes close only
+    when the watermark passes end + gap. (Pre-rewrite behavior emitted all
+    but the latest run immediately and merged any earlier-timestamped late
+    row into the live run via a negative gap difference.)"""
+    import datetime
+
+    base = datetime.datetime(2020, 1, 1)
+    d = datetime.timedelta
+    b1 = [
+        {"curie": "MESH:D1", "warc_ts": base, "doc_id": "a0"},
+        {"curie": "MESH:D1", "warc_ts": base + d(days=20), "doc_id": "c0"},
+    ]
+    # batch 2: day 5 arrives LATE (after day 20 was seen) but inside the
+    # generous watermark — it belongs to the day-0 episode (0->5 <= 7d gap),
+    # NOT to the day-20 one (5->20 > 7d). A watermark-driver row closes both.
+    b2 = [
+        {"curie": "MESH:D1", "warc_ts": base + d(days=5), "doc_id": "a1"},
+        {"curie": "MESH:D9", "warc_ts": base + d(days=365), "doc_id": "z"},
+    ]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(b1).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("curie string, warc_ts timestamp, doc_id string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    episodes = streaming.entity_episodes(
+        stream, gap="7 days", watermark="30 days"
+    )
+    q = (
+        episodes.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "out")).collect()
+    eps = {
+        (r.curie, r.episode_start, r.episode_end, r.n_mentions, r.n_docs)
+        for r in got
+    }
+    assert ("MESH:D1", base, base + d(days=5), 2, 2) in eps
+    assert ("MESH:D1", base + d(days=20), base + d(days=20), 1, 1) in eps
