@@ -50,7 +50,15 @@ class Catalog:
     def exists(self, name: str) -> bool:
         if self.use_iceberg:
             return self.spark.catalog.tableExists(self._ident(name))
-        return os.path.exists(os.path.join(self._ident(name), "_SUCCESS"))
+        # Hadoop FS, not os.path: the parquet backend must answer correctly
+        # for hdfs:// / s3a:// roots too (os.path.exists is always False
+        # there, which would make write-if-absent logic rebuild every run)
+        from .lineage import _hadoop
+
+        _jvm, _conf, jpath, fs = _hadoop(
+            self.spark, os.path.join(self._ident(name), "_SUCCESS")
+        )
+        return bool(fs.exists(jpath))
 
     def write_bucketed(self, name: str, df: DataFrame, bucket_col: str,
                        n_buckets: int = 64,

@@ -103,6 +103,19 @@ def entry_gazetteer_df(spark: SparkSession) -> DataFrame:
 _MENTIONS_CACHE: dict = {}
 
 
+def _utc(spark: SparkSession) -> None:
+    """Pin timestamp rendering to UTC for this session (entry contract).
+
+    The driver compares collected Spark rows against DuckDB reading the
+    same parquet as NAIVE timestamps, so every query that RETURNS
+    timestamps — or strings derived from them (date_format, window
+    buckets) — must render in UTC regardless of the caller session's
+    zone. Deliberately a session-level set (session.py and scripts/
+    already build UTC sessions); an app embedding these queries should
+    not share its session with zone-sensitive rendering elsewhere."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def entry_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, curie, name, node_type) distinct — documents annotated with
     the broadcast entry trie (operator N1/N3).
@@ -111,12 +124,23 @@ def entry_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     the mentions relation several times (query_graph touches it SIX times
     via nodes/edges/self-join), and without a cache boundary Catalyst
     re-evaluates the NER UDF for every occurrence — six full corpus
-    annotation passes at 100 TB. One persist makes it one pass."""
-    key = (id(spark), sf_dir)
-    if key in _MENTIONS_CACHE:
-        return _MENTIONS_CACHE[key]
+    annotation passes at 100 TB. One persist makes it one pass.
+
+    The cache holds the session OBJECT (not id(): a GC'd session's id can
+    be reused, which would hand a new session a DataFrame bound to a dead
+    one) and is keyed by sf_dir alone, so a replaced session's entry is
+    dropped — and unpersisted if its context is still alive."""
+    hit = _MENTIONS_CACHE.get(sf_dir)
+    if hit is not None:
+        cached_spark, cached_df = hit
+        if cached_spark is spark and spark.sparkContext._jsc is not None:
+            return cached_df
+        try:  # different or dead session: release the old persist
+            cached_df.unpersist()
+        except Exception:
+            pass
     df = _entry_mentions_plan(spark, sf_dir).persist()
-    _MENTIONS_CACHE[key] = df
+    _MENTIONS_CACHE[sf_dir] = (spark, df)
     return df
 
 
@@ -150,6 +174,25 @@ _SQL_MENTIONS = f"""
     JOIN (VALUES {_sql_values_gaz()}) g(curie, name, node_type)
       ON list_contains(string_split(d.text, ' '), g.name)
 """
+
+
+def _mention_pairs(m: DataFrame, with_types: bool = False,
+                   a_name: str = "a_curie", b_name: str = "b_curie",
+                   ordered: bool = True) -> DataFrame:
+    """Within-doc co-mention pairs — the ONE definition of the pair-forming
+    self-join (canonical `an < bn` NAME order, the reference's sorted-tuple
+    convention, kg/build.py:85-88). Six entry queries build on this;
+    changing the canonicalization here changes them all together with the
+    oracles' matching `a.name < b.name` condition. ordered=False returns
+    both orientations (for typed-direction rules applied downstream)."""
+    extra_a = [F.col("node_type").alias("at")] if with_types else []
+    extra_b = [F.col("node_type").alias("bt")] if with_types else []
+    a = m.select("doc_id", F.col("curie").alias(a_name),
+                 F.col("name").alias("an"), *extra_a)
+    b = m.select("doc_id", F.col("curie").alias(b_name),
+                 F.col("name").alias("bn"), *extra_b)
+    out = a.join(b, "doc_id")
+    return out.filter(F.col("an") < F.col("bn")) if ordered else out
 
 
 # ---- KG queries --------------------------------------------------------------
@@ -205,9 +248,7 @@ def q_kg_terms_per_doc(spark, sf_dir):
 def q_kg_mention_pairs(spark, sf_dir):
     """A1/A3/J5: within-doc canonical pairs + salted two-phase count."""
     m = entry_mentions(spark, sf_dir).select("doc_id", "curie", "name")
-    a = m.select("doc_id", F.col("curie").alias("a_curie"), F.col("name").alias("an"))
-    b = m.select("doc_id", F.col("curie").alias("b_curie"), F.col("name").alias("bn"))
-    pairs = a.join(b, "doc_id").filter(F.col("an") < F.col("bn"))
+    pairs = _mention_pairs(m)
     return salted_count(pairs, ["a_curie", "b_curie"], salt=16,
                         count_col="n_docs", salt_from=F.col("doc_id"))
 
@@ -242,11 +283,7 @@ def q_kg_mention_pairs_grouped(spark, sf_dir):
 def q_kg_interesting_pairs(spark, sf_dir):
     """A4: typed-pair relation-extraction rule on the pair table."""
     m = entry_mentions(spark, sf_dir)
-    a = m.select("doc_id", F.col("curie").alias("a_curie"),
-                 F.col("name").alias("an"), F.col("node_type").alias("at"))
-    b = m.select("doc_id", F.col("curie").alias("b_curie"),
-                 F.col("name").alias("bn"), F.col("node_type").alias("bt"))
-    pairs = a.join(b, "doc_id").filter(F.col("an") < F.col("bn"))
+    pairs = _mention_pairs(m, with_types=True)
     ok = pairs.filter(
         ((F.col("at") == "geoloc") & (F.col("bt") == "pathogen"))
         | ((F.col("bt") == "geoloc") & (F.col("at") == "pathogen"))
@@ -363,6 +400,7 @@ def q_kg_predicate_rename(spark, sf_dir):
     counts, has_pathogen(disease -> pathogen) co-mentions, alert timestamps —
     and emits the renamed edges (located_in / case_count_of / causes /
     occurred_on)."""
+    _utc(spark)
     from .views import predicate_rename_view
 
     m = entry_mentions(spark, sf_dir)
@@ -386,11 +424,7 @@ def q_kg_predicate_rename(spark, sf_dir):
         [(s, "isa", o, None) for s, o in ENTRY_ISA],
         "subj string, pred string, obj string, count long",
     )
-    a = m.select("doc_id", F.col("curie").alias("a_curie"),
-                 F.col("name").alias("an"), F.col("node_type").alias("at"))
-    b = m.select("doc_id", F.col("curie").alias("b_curie"),
-                 F.col("name").alias("bn"), F.col("node_type").alias("bt"))
-    co = a.join(b, "doc_id")
+    co = _mention_pairs(m, with_types=True, ordered=False)
     occurs = (
         salted_count(co.filter(F.col("an") < F.col("bn")),
                      ["a_curie", "b_curie"], salt=16, count_col="count",
@@ -462,9 +496,7 @@ SQL_KG_TOP_ALERTS = f"""
 def q_kg_first_timestamp_lookup(spark, sf_dir):
     """P10: first matching timestamp else '' (alert timestamp semantics,
     kg/build.py:165-170), over customer/orders."""
-    # timestamp RENDERING must match DuckDB's naive reading regardless of
-    # the caller's session timezone
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _utc(spark)
     cust = _tbl(spark, sf_dir, "customer")
     orders = _tbl(spark, sf_dir, "orders")
     first = orders.groupBy("o_custkey").agg(
@@ -493,9 +525,7 @@ def q_kg_cooccur_scores(spark, sf_dir):
     NER pass (round-1 flaw #4)."""
     m = entry_mentions(spark, sf_dir)
     n_docs = F.broadcast(m.agg(F.count_distinct("doc_id").alias("_nd")))
-    a = m.select("doc_id", F.col("curie").alias("a_curie"), F.col("name").alias("an"))
-    b = m.select("doc_id", F.col("curie").alias("b_curie"), F.col("name").alias("bn"))
-    pairs = a.join(b, "doc_id").filter(F.col("an") < F.col("bn"))
+    pairs = _mention_pairs(m)
     return (
         pairs.groupBy("a_curie", "b_curie")
         .agg(F.count(F.lit(1)).alias("n_co"))
@@ -523,10 +553,8 @@ def q_kg_realism_logsumexp(spark, sf_dir):
     classification (kg/client.py:269-281)."""
     m = entry_mentions(spark, sf_dir)
     n_docs = F.broadcast(m.agg(F.count_distinct("doc_id").alias("_nd")))
-    a = m.select("doc_id", F.col("curie").alias("a_curie"), F.col("name").alias("an"))
-    b = m.select("doc_id", F.col("curie").alias("b_curie"), F.col("name").alias("bn"))
     pair_scores = (
-        a.join(b, "doc_id").filter(F.col("an") < F.col("bn"))
+        _mention_pairs(m)
         .groupBy("a_curie", "b_curie")
         .agg(F.count(F.lit(1)).alias("_nc"))
         .crossJoin(n_docs)
@@ -885,7 +913,7 @@ SQL_WINDOW_FIRST = """
 def q_year_month_map(spark, sf_dir):
     """A11/P9: pivot per-user month counts into a sorted JSON map string
     (years_data semantics, kg/build.py:288-297)."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _utc(spark)
     e = _tbl(spark, sf_dir, "events")
     per = e.groupBy(
         "user_id", F.date_format("ts", "yyyy-MM").alias("month")
@@ -969,7 +997,9 @@ def q_dedup_minhash_sigs(spark, sf_dir):
 
 SQL_DEDUP_MINHASH = """
     WITH toks AS (
-        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        FROM documents
         WHERE doc_id < 40),
     sh AS (
         SELECT DISTINCT doc_id,
@@ -1022,7 +1052,9 @@ def q_ngram_jaccard(spark, sf_dir):
 
 SQL_NGRAM_JACCARD = """
     WITH toks AS (
-        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        FROM documents
         WHERE doc_id < 40),
     sh AS (
         SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS shingle
@@ -1051,7 +1083,9 @@ def q_dedup_lsh_candidates(spark, sf_dir):
 
 SQL_DEDUP_LSH_CANDIDATES = """
     WITH toks AS (
-        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        FROM documents
         WHERE doc_id < 60),
     sh AS (
         SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS shingle
@@ -1345,6 +1379,7 @@ def q_asof_join_events(spark, sf_dir):
     (user_id, ts) in the events table (asserted by the oracle's ASOF
     semantics: DuckDB errors on ambiguous matches only at runtime; the
     generator emits unique event times per user/type)."""
+    _utc(spark)
     from .temporal import asof_join
 
     ev = _tbl(spark, sf_dir, "events")
@@ -1641,6 +1676,7 @@ def q_events_rollup(spark, sf_dir):
     (streaming.windowed_event_counts). Map-side partial agg absorbs hot
     users; the bucket key is derivable from the sort order so at rest this
     rolls up partition-locally on a time-partitioned table."""
+    _utc(spark)
     ev = _tbl(spark, sf_dir, "events")
     return (
         ev.groupBy(
@@ -1667,6 +1703,7 @@ def q_events_sessionize(spark, sf_dir):
     formulation; streaming's applyInPandasWithState twin is
     streaming.sessionize_episodes). Output: one row per session with its
     bounds and size."""
+    _utc(spark)
     ev = _tbl(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = ev.select(
@@ -1920,6 +1957,7 @@ def q_kg_query_indicators(spark, sf_dir):
     derived from events (per-geo per-type monthly integer-cent totals — a
     WDI-shaped table); map values stay integers so the oracle is exact.
     The map rides through the operator and is exploded for comparison."""
+    _utc(spark)
     from .queries import query_indicators
 
     ev = _tbl(spark, sf_dir, "events")
@@ -1999,9 +2037,7 @@ def q_kg_direct_relations(spark, sf_dir):
     from .queries import direct_relations
 
     m = entry_mentions(spark, sf_dir).select("doc_id", "curie", "name")
-    a = m.select("doc_id", F.col("curie").alias("subj"), F.col("name").alias("an"))
-    b = m.select("doc_id", F.col("curie").alias("obj"), F.col("name").alias("bn"))
-    pairs = a.join(b, "doc_id").filter(F.col("an") < F.col("bn"))
+    pairs = _mention_pairs(m, a_name="subj", b_name="obj")
     edges = salted_count(
         pairs, ["subj", "obj"], salt=16, count_col="count",
         salt_from=F.col("doc_id"),
@@ -2166,7 +2202,10 @@ def _sql_corpus_curate() -> str:
     sex AS (
         SELECT b.doc_id, b.text FROM slq b JOIN ex USING (doc_id)
         WHERE b.doc_id = ex.exact_canon),
-    tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM sex),
+    tk AS (SELECT doc_id,
+                  list_filter(string_split(lower(text), ' '), x -> x <> '')
+                    AS t
+           FROM sex),
     sh AS (
         SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS shingle
         FROM tk, unnest(range(1, len(t))) u(i)),

@@ -85,13 +85,21 @@ def upsert_edges(
         r[0]
         for r in delta.select(partition_col).distinct().collect()
     ]
+    # None sorts/filters specially: isin() never matches NULL, so a
+    # null-partition delta must read the existing null partition
+    # explicitly (dynamic overwrite WILL rewrite __HIVE_DEFAULT_PARTITION__
+    # either way — without this the at-rest null rows would be destroyed)
+    touched_vals = [t for t in touched if t is not None]
+    has_null = len(touched_vals) != len(touched)
+    _sorted = lambda xs: sorted(xs, key=lambda v: (v is None, v))  # noqa: E731
     _jvm, _conf, jpath, fs = _hadoop(spark, path)
     if not fs.exists(jpath):
         delta.write.partitionBy(partition_col).parquet(path)
-        return sorted(touched)
-    existing = spark.read.parquet(path).filter(
-        F.col(partition_col).isin(touched)
-    )
+        return _sorted(touched)
+    cond = F.col(partition_col).isin(touched_vals)
+    if has_null:
+        cond = cond | F.col(partition_col).isNull()
+    existing = spark.read.parquet(path).filter(cond)
     merged = merge_edge_counts(
         existing, delta,
         keys=tuple(k for k in EDGE_KEYS if k != partition_col)
@@ -109,7 +117,7 @@ def upsert_edges(
         .partitionBy(partition_col)
         .parquet(path)
     )
-    return sorted(touched)
+    return _sorted(touched)
 
 
 # ---------------------------------------------------------------------------

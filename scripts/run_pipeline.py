@@ -47,10 +47,19 @@ def main() -> None:
 
     t0 = time.monotonic()
     if args.synth:
-        pages = synth.pages_df(spark, args.synth)
+        # ONE corpus generation for both frames (pages_df/outbreaks_df each
+        # regenerate when called separately — doubled driver CPU at 100k+)
+        from outbreak_kg_spark.schemas import PAGES
+
+        corpus = synth.generate_corpus(args.synth)
+        pages = spark.createDataFrame(corpus["pages"], PAGES)
+        outbreaks = spark.createDataFrame(
+            corpus["outbreaks"],
+            "ID long, outbreakName string, archiveNumber string, "
+            "datePublished string",
+        )
         gaz = synth.gazetteer_df(spark)
         isa = synth.vocab_isa_df(spark)
-        outbreaks = synth.outbreaks_df(spark, args.synth)
         extras = dict(
             pathogen_rels=synth.pathogen_disease_rels_df(spark),
             xref=synth.xref_df(spark),

@@ -157,3 +157,29 @@ def test_vacuum_keeps_live_and_recent(spark, tmp_path):
     got = {(r.subj, r.pred, r.obj): r["count"]
            for r in inc.read_current_edges(spark, base_root).collect()}
     assert got == {("a", "mentions", "x"): 3}
+
+
+def test_upsert_null_partition_preserved(spark, tmp_path):
+    """A delta carrying pred=NULL edges must MERGE with the existing null
+    partition, not overwrite it with delta-only rows: isin() never matches
+    NULL, but dynamic partition overwrite still rewrites
+    __HIVE_DEFAULT_PARTITION__."""
+    path = str(tmp_path / "edges")
+    base = _edges(spark, [
+        ("a", None, "b", 3, "run1"),
+        ("c", "isa", "d", 1, "run1"),
+    ])
+    touched = upsert_edges(spark, path, base)
+    assert touched == ["isa", None]  # null-safe sort, null last
+    delta = spark.createDataFrame(
+        [("a", None, "b", 2, "run2"),   # must accumulate to 5, keep run1
+         ("x", None, "y", 7, "run2")],
+        "subj string, pred string, obj string, count bigint, "
+        "provenance string",
+    )
+    upsert_edges(spark, path, delta)
+    got = {(r.subj, r.pred, r.obj): (r["count"], r.provenance)
+           for r in spark.read.parquet(path).collect()}
+    assert got[("a", None, "b")] == (5, "run1")
+    assert got[("x", None, "y")] == (7, "run2")
+    assert got[("c", "isa", "d")] == (1, "run1")
