@@ -156,6 +156,7 @@ def connected_components(
     dst_col: str = "dst",
     max_iters: int = 50,
     stats: dict | None = None,
+    driver_max_edges: int = 200_000,
 ) -> DataFrame:
     """edges(src, dst) -> assignments(node, component) via hash-min
     propagation WITH pointer jumping: each round every node adopts the
@@ -171,7 +172,15 @@ def connected_components(
     Scale: the neighborhood min is a partial+final hash agg (hot nodes absorb
     map-side); the jump is a self-equi-join on the label (labels are node
     ids, so the lookup always resolves). Two shuffles per round, log rounds.
-    stats (optional dict) records {'rounds': n} for observability.
+    stats (optional dict) records {'rounds': n, 'mode': ..., 'edges': n}.
+
+    Small graphs (<= driver_max_edges distinct undirected edges — near-dup
+    clusters are typically dimension-sized next to the corpus) take a
+    driver union-find fast path instead: one collect + one createDataFrame
+    replaces O(log n) rounds x (two shuffles + an eager checkpoint + an
+    emptiness probe) of fixed per-round latency. Same collect budget class
+    as the gazetteer / k-means-centroid collects; pass driver_max_edges=0
+    to force the distributed loop.
     """
     sym = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
@@ -180,6 +189,45 @@ def connected_components(
         .dropDuplicates()
         .localCheckpoint(eager=True)
     )
+    n_edges = sym.count()  # checkpointed: one cheap job
+    if n_edges <= driver_max_edges:
+        # union-by-min with path compression: the root of every set is its
+        # minimum node, matching the distributed hash-min result exactly
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in sym.collect():
+            a, b = r[0], r[1]
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        if stats is not None:
+            stats["rounds"] = 0
+            stats["mode"] = "driver_union_find"
+            stats["edges"] = n_edges
+        from pyspark.sql.types import StructField, StructType
+
+        node_t = sym.schema["a"].dataType
+        return edges.sparkSession.createDataFrame(
+            [(x, find(x)) for x in parent],
+            StructType([StructField("node", node_t, False),
+                        StructField("component", node_t, False)]),
+        )
+    if stats is not None:
+        stats["mode"] = "distributed_hash_min"
+        stats["edges"] = n_edges
     comp = (
         sym.select(F.col("a").alias("node"))
         .union(sym.select(F.col("b").alias("node")))

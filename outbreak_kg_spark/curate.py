@@ -75,13 +75,23 @@ def curate_corpus(
         )
         .withColumn("_lang_ok", F.col("lang_pred").isin(*langs))
         .withColumn("_qual_ok", F.col("quality_score") >= F.lit(min_quality))
+        # persist boundary: base feeds BOTH the survivor chain (exact ->
+        # near-dup, several plan branches deep) and the final attribution
+        # join. Without it Catalyst inlines the very large lang-vote +
+        # quality expression trees into every downstream subtree — the
+        # corpus-wide scoring pass re-executes per branch and each stage
+        # pays whole-stage-codegen compilation of the duplicated
+        # expressions (measured 6x wall on the curation entry). Default
+        # MEMORY_AND_DISK: at scale this is the one full-corpus
+        # materialization the stage chain is built around.
+        .persist()
     )
 
     # stage 3 input: lang+quality survivors
     s_lq = base.filter(F.col("_lang_ok") & F.col("_qual_ok"))
     ex = dedup.exact_dedup(s_lq, text_col, id_col).select(
         id_col, F.col("canonical_id").alias("_exact_canon")
-    )
+    ).persist()  # reused: survivor filter below + attribution join
 
     # stage 4 input: exact winners
     s_ex = s_lq.join(ex, id_col).filter(F.col(id_col) == F.col("_exact_canon"))

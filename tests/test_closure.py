@@ -89,9 +89,21 @@ def test_connected_components_matches_bruteforce(spark):
     nodes = [f"n{i:02d}" for i in range(30)]
     edges = [tuple(rng.sample(nodes, 2)) for _ in range(25)]
     df = spark.createDataFrame([{"src": a, "dst": b} for a, b in edges])
-    got = {r.node: r.component for r in connected_components(df).collect()}
     want = _brute_components(edges, {n for e in edges for n in e})
+    # both execution modes must agree with brute force: the driver
+    # union-find fast path (default for small graphs) and the distributed
+    # hash-min loop (forced with driver_max_edges=0)
+    stats = {}
+    got = {r.node: r.component
+           for r in connected_components(df, stats=stats).collect()}
+    assert stats["mode"] == "driver_union_find"
     assert got == want
+    stats = {}
+    got_dist = {r.node: r.component
+                for r in connected_components(
+                    df, stats=stats, driver_max_edges=0).collect()}
+    assert stats["mode"] == "distributed_hash_min"
+    assert got_dist == want
 
 
 def test_connected_components_path_graph_log_rounds(spark):
@@ -105,7 +117,8 @@ def test_connected_components_path_graph_log_rounds(spark):
     )
     stats = {}
     got = {r.node: r.component
-           for r in connected_components(df, stats=stats).collect()}
+           for r in connected_components(
+               df, stats=stats, driver_max_edges=0).collect()}
     assert stats["rounds"] <= 20          # ~2*log2(512)=18 worst case
     assert set(got.values()) == {0}       # one component, min id 0
     assert len(got) == n
