@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_minhash_sigs",
     "similarity_cosine_topk",
     "text_quality",
+    "text_repetition",
     "corpus_curate",
     "kg_edge_merge",
 ]

@@ -959,6 +959,72 @@ SQL_STATS_TOKENS = """
 """
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (textstats.repetition_stats) over a
+    corpus with injected repeated lines — the base word-soup docs are
+    single-line, so the line metrics would be vacuously zero; the injected
+    construction is identical in the DuckDB oracle."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    lined = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.substring("text", 1, 40),
+            F.substring("text", 1, 40),
+            F.substring("text", 41, 60),
+        ).alias("text"),
+    )
+    out = textstats.repetition_stats(lined)
+    return out.select(
+        "doc_id", "n_lines",
+        F.round("dup_line_ratio", 6).alias("dup_line_ratio_r"),
+        F.round("dup_line_char_ratio", 6).alias("dup_line_char_ratio_r"),
+        F.round("dup_token_ratio", 6).alias("dup_token_ratio_r"),
+        F.round("top_bigram_ratio", 6).alias("top_bigram_ratio_r"),
+    )
+
+
+SQL_TEXT_REPETITION = """
+    WITH base AS (
+        SELECT doc_id,
+               text || chr(10) || substr(text, 1, 40) || chr(10)
+                    || substr(text, 1, 40) || chr(10)
+                    || substr(text, 41, 60) AS t
+        FROM documents WHERE doc_id < 200),
+    l AS (
+        SELECT doc_id,
+               list_filter(string_split(t, chr(10)), x -> x <> '') AS lines,
+               list_filter(
+                   string_split(lower(replace(t, chr(10), ' ')), ' '),
+                   x -> x <> '') AS toks
+        FROM base),
+    lu AS (SELECT doc_id, unnest(lines) AS line FROM l),
+    lc AS (SELECT doc_id, line, count(*) AS c FROM lu GROUP BY 1, 2),
+    cr AS (SELECT doc_id,
+                  sum((c - 1) * length(line)) AS dup,
+                  sum(c * length(line)) AS tot
+           FROM lc GROUP BY 1),
+    bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bigram
+           FROM l, unnest(range(1, len(toks))) u(i)),
+    bgc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+    bgr AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM bgc GROUP BY 1)
+    SELECT l.doc_id,
+           len(lines)::INT AS n_lines,
+           round((len(lines) - len(list_distinct(lines)))
+                 / greatest(len(lines), 1)::DOUBLE, 6) AS dup_line_ratio_r,
+           round(coalesce(cr.dup, 0)
+                 / greatest(coalesce(cr.tot, 0), 1)::DOUBLE, 6)
+             AS dup_line_char_ratio_r,
+           round((len(toks) - len(list_distinct(toks)))
+                 / greatest(len(toks), 1)::DOUBLE, 6) AS dup_token_ratio_r,
+           round(coalesce(bgr.mx, 0)
+                 / greatest(coalesce(bgr.tot, 0), 1)::DOUBLE, 6)
+             AS top_bigram_ratio_r
+    FROM l LEFT JOIN cr USING (doc_id) LEFT JOIN bgr USING (doc_id)
+"""
+
+
 def q_json_extract_props(spark, sf_dir):
     """P12/S4: nested-JSON field extraction with explicit schema."""
     e = _tbl(spark, sf_dir, "events")
@@ -2366,6 +2432,7 @@ def all_queries():
         "text_token_counts": q_text_token_counts,
         "text_fingerprints": q_text_fingerprints,
         "text_quality": q_text_quality,
+        "text_repetition": q_text_repetition,
         "asof_join_events": q_asof_join_events,
         "range_join_events": q_range_join_events,
         "join_name_coalesce": q_join_name_coalesce,
@@ -2433,6 +2500,7 @@ def all_oracle_sql():
         "text_token_counts": SQL_TEXT_TOKEN_COUNTS,
         "text_fingerprints": SQL_TEXT_FINGERPRINTS,
         "text_quality": _sql_text_quality(),
+        "text_repetition": SQL_TEXT_REPETITION,
         "asof_join_events": SQL_ASOF_JOIN_EVENTS,
         "range_join_events": SQL_RANGE_JOIN_EVENTS,
         "join_name_coalesce": SQL_JOIN_NAME_COALESCE,

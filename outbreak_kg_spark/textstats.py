@@ -170,3 +170,91 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .agg(F.count(F.lit(1)).alias("count"))
         .orderBy(F.desc("count"), F.asc("token"))
     )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher/C4-style repetition signals per doc, as pure array
+    expressions — zero shuffle, zero Python (beyond-reference
+    training-data operator set; the standard pre-training drop signals
+    for boilerplate / spam / degenerate repetition):
+
+    - ``n_lines``            non-empty newline-delimited lines
+    - ``dup_line_ratio``     lines that repeat an earlier line / lines
+    - ``dup_line_char_ratio`` characters inside repeated line
+      occurrences (beyond each line's first) / total line characters
+    - ``dup_token_ratio``    tokens repeating an earlier token / tokens
+    - ``top_bigram_ratio``   occurrences of the most frequent word
+      bigram / total bigrams
+
+    The duplicate-mass and mode computations sort the per-doc array and
+    fold it with one ``F.aggregate`` pass (equal elements are adjacent
+    after the sort), so nothing leaves its input partition — at 100 TB
+    this is a narrow map like the rest of the quality scorers.
+    """
+    lines = F.filter(F.split(F.col(text_col), r"\n"), lambda x: x != "")
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda t: t != "")
+    n_lines = F.size(lines)
+    n_toks = F.size(toks)
+
+    # char-weighted duplicate-line mass: in sorted order every occurrence
+    # equal to its predecessor is a repeat beyond the first
+    line_acc = F.aggregate(
+        F.array_sort(lines),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("dup"),
+            F.lit(0).cast("long").alias("tot"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            (acc["dup"]
+             + F.when(x == acc["prev"], F.length(x)).otherwise(F.lit(0))
+             ).alias("dup"),
+            (acc["tot"] + F.length(x)).alias("tot"),
+        ),
+    )
+
+    bigrams = F.when(
+        n_toks >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n_toks - 2),
+            lambda i: F.array_join(F.slice(toks, i + F.lit(1), F.lit(2)),
+                                   " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    # mode frequency = longest run in the sorted bigram array
+    bg_acc = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("maxrun"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["maxrun"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("maxrun"),
+        ),
+    )
+
+    return df.select(
+        id_col,
+        n_lines.alias("n_lines"),
+        ((n_lines - F.size(F.array_distinct(lines)))
+         / F.greatest(n_lines, F.lit(1)).cast("double"))
+        .alias("dup_line_ratio"),
+        (line_acc["dup"] / F.greatest(line_acc["tot"], F.lit(1))
+         .cast("double")).alias("dup_line_char_ratio"),
+        ((n_toks - F.size(F.array_distinct(toks)))
+         / F.greatest(n_toks, F.lit(1)).cast("double"))
+        .alias("dup_token_ratio"),
+        (bg_acc["maxrun"] / F.greatest(F.size(bigrams), F.lit(1))
+         .cast("double")).alias("top_bigram_ratio"),
+    )

@@ -348,3 +348,27 @@ def test_lsh_narrow_handles_bands_exceeding_hashes(docs):
             bands=16).collect()
     }
     assert narrow_pairs == long_pairs
+
+
+def test_repetition_stats(spark):
+    """Gopher-style repetition signals: hand-computed expectations on
+    crafted docs (duplicate lines, degenerate bigram loops, empty text)."""
+    df = spark.createDataFrame([
+        {"doc_id": 1, "text": "aa bb\ncc dd\naa bb\nee"},
+        {"doc_id": 2, "text": "x y x y x y"},
+        {"doc_id": 3, "text": ""},
+    ])
+    r = {x.doc_id: x for x in textstats.repetition_stats(df).collect()}
+    # doc 1: 4 lines, "aa bb" repeated once -> 1/4 dup lines; dup char
+    # mass 5 of 17 line chars; tokens 7 distinct 5; top bigram "aa bb" x2
+    # of 6 (bigrams cross line boundaries, like the token stream)
+    assert r[1].n_lines == 4
+    assert abs(r[1].dup_line_ratio - 0.25) < 1e-9
+    assert abs(r[1].dup_line_char_ratio - 5 / 17) < 1e-9
+    assert abs(r[1].dup_token_ratio - 2 / 7) < 1e-9
+    assert abs(r[1].top_bigram_ratio - 2 / 6) < 1e-9
+    # doc 2: "x y" is 3 of 5 bigrams; 6 tokens, 2 distinct
+    assert abs(r[2].top_bigram_ratio - 0.6) < 1e-9
+    assert abs(r[2].dup_token_ratio - 4 / 6) < 1e-9
+    # empty text: all zeros, no division blowups
+    assert r[3].n_lines == 0 and r[3].top_bigram_ratio == 0.0
