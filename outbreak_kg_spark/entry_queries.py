@@ -1025,6 +1025,53 @@ SQL_TEXT_REPETITION = """
 """
 
 
+def q_text_pii(spark, sf_dir):
+    """PII scrub (textstats.redact_pii) over a corpus with deterministic
+    injected PII (the word-soup base has none); identical construction and
+    RE2-compatible patterns in the DuckDB oracle."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.1."),
+            F.pmod("doc_id", F.lit(256)).cast("string"),
+            F.lit(".7 call 555-123-4567"),
+        ).alias("text"),
+    )
+    return textstats.redact_pii(seeded).select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", "redacted_text"
+    )
+
+
+SQL_TEXT_PII = """
+    WITH base AS (
+        SELECT doc_id,
+               text || ' contact u' || doc_id || '@example.com from 10.1.'
+                    || (doc_id % 256) || '.7 call 555-123-4567' AS t
+        FROM documents WHERE doc_id < 200)
+    SELECT doc_id,
+           len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::INT
+             AS n_email,
+           len(regexp_extract_all(t, '\\+?\\d{3}[- ]\\d{3}[- ]\\d{4}'))::INT
+             AS n_phone,
+           len(regexp_extract_all(t,
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::INT
+             AS n_ipv4,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   '\\+?\\d{3}[- ]\\d{3}[- ]\\d{4}', '<PHONE>', 'g'),
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+               '<IP>', 'g') AS redacted_text
+    FROM base
+"""
+
+
 def q_json_extract_props(spark, sf_dir):
     """P12/S4: nested-JSON field extraction with explicit schema."""
     e = _tbl(spark, sf_dir, "events")
@@ -2433,6 +2480,7 @@ def all_queries():
         "text_fingerprints": q_text_fingerprints,
         "text_quality": q_text_quality,
         "text_repetition": q_text_repetition,
+        "text_pii": q_text_pii,
         "asof_join_events": q_asof_join_events,
         "range_join_events": q_range_join_events,
         "join_name_coalesce": q_join_name_coalesce,
@@ -2501,6 +2549,7 @@ def all_oracle_sql():
         "text_fingerprints": SQL_TEXT_FINGERPRINTS,
         "text_quality": _sql_text_quality(),
         "text_repetition": SQL_TEXT_REPETITION,
+        "text_pii": SQL_TEXT_PII,
         "asof_join_events": SQL_ASOF_JOIN_EVENTS,
         "range_join_events": SQL_RANGE_JOIN_EVENTS,
         "join_name_coalesce": SQL_JOIN_NAME_COALESCE,

@@ -258,3 +258,34 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
         (bg_acc["maxrun"] / F.greatest(F.size(bigrams), F.lit(1))
          .cast("double")).alias("top_bigram_ratio"),
     )
+
+
+# PII patterns valid in BOTH Java regex (Spark) and RE2 (DuckDB oracles):
+# character classes, bounded repetition and \b only — no lookaround.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?\d{3}[- ]\d{3}[- ]\d{4}", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """C4-style PII scrub: per-doc match counts + the redacted text, with
+    each PII class replaced by a typed token (<EMAIL>/<PHONE>/<IP>).
+
+    Pure regexp expressions — narrow map, zero shuffle, zero Python; the
+    counts come from the ORIGINAL text so they survive redaction-order
+    interactions. Replacement applies in PII_PATTERNS order (emails first:
+    an address can embed digit runs a later pattern would chew up).
+    """
+    cols = [id_col]
+    for name, pat, _tok in PII_PATTERNS:
+        cols.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0))
+            .alias(f"n_{name}")
+        )
+    out_text = F.col(text_col)
+    for _name, pat, tok in PII_PATTERNS:
+        out_text = F.regexp_replace(out_text, pat, tok)
+    return df.select(*cols, out_text.alias("redacted_text"))

@@ -372,3 +372,20 @@ def test_repetition_stats(spark):
     assert abs(r[2].dup_token_ratio - 4 / 6) < 1e-9
     # empty text: all zeros, no division blowups
     assert r[3].n_lines == 0 and r[3].top_bigram_ratio == 0.0
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame([
+        {"doc_id": 1,
+         "text": "mail a.b+c@ex-1.org or b@c.io, ip 192.168.0.1, "
+                 "call 555-123-4567 or +001 234 5678"},
+        {"doc_id": 2, "text": "no pii here, just 1.2 floats and a.b dots"},
+    ])
+    r = {x.doc_id: x for x in textstats.redact_pii(df).collect()}
+    assert (r[1].n_email, r[1].n_phone, r[1].n_ipv4) == (2, 2, 1)
+    assert r[1].redacted_text == (
+        "mail <EMAIL> or <EMAIL>, ip <IP>, call <PHONE> or <PHONE>"
+    )
+    # near-miss shapes must NOT match: short dotted numbers, bare domains
+    assert (r[2].n_email, r[2].n_phone, r[2].n_ipv4) == (0, 0, 0)
+    assert r[2].redacted_text == r[2].redacted_text  # unchanged
