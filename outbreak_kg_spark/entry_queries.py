@@ -1072,6 +1072,36 @@ SQL_TEXT_PII = """
 """
 
 
+def q_text_surprisal(spark, sf_dir):
+    """CCNet-style unigram surprisal (textstats.unigram_surprisal): mean
+    and max -log2 p(token) per doc under the corpus's own unigram
+    distribution."""
+    out = textstats.unigram_surprisal(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_tokens",
+        F.round("mean_surprisal", 6).alias("mean_surprisal_r"),
+        F.round("max_surprisal", 6).alias("max_surprisal_r"),
+    )
+
+
+SQL_TEXT_SURPRISAL = """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS token
+        FROM documents),
+    freq AS (SELECT token, count(*) AS tf FROM toks GROUP BY 1),
+    tot AS (SELECT sum(tf) AS t FROM freq)
+    SELECT doc_id, count(*)::INT AS n_tokens,
+           round(avg(-log2(tf / (SELECT t FROM tot))), 6)
+             AS mean_surprisal_r,
+           round(max(-log2(tf / (SELECT t FROM tot))), 6)
+             AS max_surprisal_r
+    FROM toks JOIN freq USING (token)
+    GROUP BY doc_id
+"""
+
+
 def q_json_extract_props(spark, sf_dir):
     """P12/S4: nested-JSON field extraction with explicit schema."""
     e = _tbl(spark, sf_dir, "events")
@@ -2481,6 +2511,7 @@ def all_queries():
         "text_quality": q_text_quality,
         "text_repetition": q_text_repetition,
         "text_pii": q_text_pii,
+        "text_surprisal": q_text_surprisal,
         "asof_join_events": q_asof_join_events,
         "range_join_events": q_range_join_events,
         "join_name_coalesce": q_join_name_coalesce,
@@ -2550,6 +2581,7 @@ def all_oracle_sql():
         "text_quality": _sql_text_quality(),
         "text_repetition": SQL_TEXT_REPETITION,
         "text_pii": SQL_TEXT_PII,
+        "text_surprisal": SQL_TEXT_SURPRISAL,
         "asof_join_events": SQL_ASOF_JOIN_EVENTS,
         "range_join_events": SQL_RANGE_JOIN_EVENTS,
         "join_name_coalesce": SQL_JOIN_NAME_COALESCE,

@@ -289,3 +289,37 @@ def redact_pii(df: DataFrame, text_col: str = "text",
     for _name, pat, tok in PII_PATTERNS:
         out_text = F.regexp_replace(out_text, pat, tok)
     return df.select(*cols, out_text.alias("redacted_text"))
+
+
+def unigram_surprisal(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style quality proxy: per-doc mean/max token surprisal
+    -log2 p(token) under the corpus's OWN unigram distribution. Natural
+    prose scores low (common words dominate); rare-token soup, boilerplate
+    IDs and mojibake score high — the cheap stand-in for the LM-perplexity
+    filter in pre-training pipelines.
+
+    Two passes: (1) corpus token counts — partial+final hash agg, the
+    zipfian hot tokens ('the') absorbed map-side; (2) token->frequency
+    join + per-doc mean. The frequency table is vocabulary-sized (sublinear
+    in the corpus); Spark broadcasts it when it fits under the broadcast
+    threshold, else AQE's skew-join handles the zipfian join keys.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda t: t != "")
+    exploded = df.select(id_col, F.explode(toks).alias("token"))
+    freq = exploded.groupBy("token").agg(F.count(F.lit(1)).alias("_tf"))
+    total = freq.agg(F.sum("_tf").alias("_tot"))
+    scored = (
+        exploded.join(freq, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            (-F.log2(F.col("_tf") / F.col("_tot"))).alias("_s"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg("_s").alias("mean_surprisal"),
+        F.max("_s").alias("max_surprisal"),
+    )

@@ -389,3 +389,20 @@ def test_redact_pii(spark):
     # near-miss shapes must NOT match: short dotted numbers, bare domains
     assert (r[2].n_email, r[2].n_phone, r[2].n_ipv4) == (0, 0, 0)
     assert r[2].redacted_text == r[2].redacted_text  # unchanged
+
+
+def test_unigram_surprisal(spark):
+    """Hand-computed surprisal on a 3-doc corpus: 'common' appears 6 of 8
+    tokens -> low surprisal; singletons get -log2(1/8) = 3 bits."""
+    df = spark.createDataFrame([
+        {"doc_id": 1, "text": "common common common"},
+        {"doc_id": 2, "text": "common common common"},
+        {"doc_id": 3, "text": "rare unique"},
+    ])
+    r = {x.doc_id: x for x in textstats.unigram_surprisal(df).collect()}
+    common_s = -math.log2(6 / 8)
+    assert r[1].n_tokens == 3
+    assert r[1].mean_surprisal == pytest.approx(common_s)
+    assert r[3].mean_surprisal == pytest.approx(3.0)   # two 1/8 singletons
+    assert r[3].max_surprisal == pytest.approx(3.0)
+    assert r[1].mean_surprisal < r[3].mean_surprisal   # the filter signal
