@@ -14,9 +14,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
+from pyspark.sql.types import DoubleType
 
 from .ground import BUILD_EXCLUDE_NAMES
 from .skew import grouped_pair_counts
+
+
+@F.pandas_udf(DoubleType())  # DataType instance: no session needed at import
+def _python_round3(v):
+    """Exact CPython round(x, 3) — correctly-rounded decimal conversion of
+    the BINARY double, which no built-in Spark rounding reproduces (see
+    build_indicators). Arrow-batched; applied only to dimension-sized
+    indicator tables."""
+    return v.map(lambda x: None if x is None else round(x, 3))
 
 # Typed-pair patterns that make a co-mention "interesting" (kg/build.py:
 # 64-68) — the reference's relation-extraction rule (SURVEY.md A4).
@@ -352,11 +362,15 @@ def build_indicators(
                 F.col(ccode).alias("series_code"),
                 F.col(cser).alias("series_name"),
                 F.substring("year_col", 1, 4).alias("year"),
-                # bround = half-even, matching the reference's Python
-                # round(float(val), 3) (kg/build.py:296) on tie values like
-                # 0.0625 -> 0.062; F.round (half-up) would emit 0.063 and
-                # break years_data byte-compat at the TSV boundary
-                F.bround("_v", 3).alias("value"),
+                # EXACT Python round(float(val), 3) (kg/build.py:296):
+                # neither F.round (half-up) nor F.bround matches — bround
+                # rounds the SHORTEST DECIMAL repr via BigDecimal, so a
+                # cell like '0.1235' (binary 0.12349999...) becomes 0.124
+                # where Python rounds the exact binary value to 0.123.
+                # Indicator tables are dimension-sized (countries x
+                # series), so a per-row Python round is not a hot path;
+                # years_data byte-compat at the TSV boundary requires it.
+                _python_round3(F.col("_v")).alias("value"),
             )
         )
         # a source file can repeat a (country, series, year) cell; under

@@ -189,7 +189,9 @@ def connected_components(
         .dropDuplicates()
         .localCheckpoint(eager=True)
     )
-    n_edges = sym.count()  # checkpointed: one cheap job
+    # sym holds BOTH orientations (self-loops once); undirected edge count
+    # is what driver_max_edges is specified against
+    n_edges = (sym.count() + 1) // 2
     if n_edges <= driver_max_edges:
         # union-by-min with path compression: the root of every set is its
         # minimum node, matching the distributed hash-min result exactly

@@ -124,4 +124,13 @@ def curate_corpus(
         .withColumn("keep", F.col("drop_stage").isNull())
         .select(id_col, "lang_pred", "quality_score", "drop_stage", "keep")
     )
+    # Own the persist lifecycle: the output is eagerly checkpointed (one
+    # small row per doc — no text) so base/ex can be released HERE instead
+    # of leaking two cached corpus-sized frames per call for the session
+    # lifetime. The CC loop has already executed the heavy upstream, so
+    # this materialization only runs the cheap attribution joins over
+    # cached inputs.
+    out = out.localCheckpoint(eager=True)
+    base.unpersist()
+    ex.unpersist()
     return out

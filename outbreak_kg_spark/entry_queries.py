@@ -100,7 +100,9 @@ def entry_gazetteer_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, GAZETTEER)
 
 
-_MENTIONS_CACHE: dict = {}
+import weakref
+
+_MENTIONS_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _utc(spark: SparkSession) -> None:
@@ -126,21 +128,20 @@ def entry_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-evaluates the NER UDF for every occurrence — six full corpus
     annotation passes at 100 TB. One persist makes it one pass.
 
-    The cache holds the session OBJECT (not id(): a GC'd session's id can
-    be reused, which would hand a new session a DataFrame bound to a dead
-    one) and is keyed by sf_dir alone, so a replaced session's entry is
-    dropped — and unpersisted if its context is still alive."""
-    hit = _MENTIONS_CACHE.get(sf_dir)
-    if hit is not None:
-        cached_spark, cached_df = hit
-        if cached_spark is spark and spark.sparkContext._jsc is not None:
-            return cached_df
-        try:  # different or dead session: release the old persist
-            cached_df.unpersist()
-        except Exception:
-            pass
-    df = _entry_mentions_plan(spark, sf_dir).persist()
-    _MENTIONS_CACHE[sf_dir] = (spark, df)
+    The cache is a WeakKeyDictionary keyed by the session OBJECT (never
+    id(): a GC'd session's id can be reused, handing a new session a
+    DataFrame bound to a dead one), with a per-session sf_dir map inside.
+    Concurrent live sessions each keep their own persisted copy — no
+    cross-session unpersist/thrash — and a garbage-collected session's
+    entry vanishes with it (its cached blocks die with its context)."""
+    per_session = _MENTIONS_CACHE.get(spark)
+    if per_session is None:
+        per_session = {}
+        _MENTIONS_CACHE[spark] = per_session
+    df = per_session.get(sf_dir)
+    if df is None:
+        df = _entry_mentions_plan(spark, sf_dir).persist()
+        per_session[sf_dir] = df
     return df
 
 

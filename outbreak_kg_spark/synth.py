@@ -215,17 +215,30 @@ def generate_corpus(n_docs: int, seed: int = 42) -> dict[str, list]:
 
 # ---- Spark-side constructors ------------------------------------------------
 
-def pages_df(spark: SparkSession, n_docs: int, seed: int = 42) -> DataFrame:
+OUTBREAKS_DDL = ("ID long, outbreakName string, archiveNumber string, "
+                 "datePublished string")
+
+
+def frames_from_corpus(spark: SparkSession,
+                       corpus: dict) -> tuple[DataFrame, DataFrame]:
+    """(pages, outbreaks) frames from ONE generate_corpus() result — the
+    schema lives here only, and callers needing both frames pay the
+    corpus generation once (pages_df + outbreaks_df separately would
+    render every doc twice on the driver)."""
     from .schemas import PAGES
 
-    return spark.createDataFrame(generate_corpus(n_docs, seed)["pages"], PAGES)
+    return (
+        spark.createDataFrame(corpus["pages"], PAGES),
+        spark.createDataFrame(corpus["outbreaks"], OUTBREAKS_DDL),
+    )
+
+
+def pages_df(spark: SparkSession, n_docs: int, seed: int = 42) -> DataFrame:
+    return frames_from_corpus(spark, generate_corpus(n_docs, seed))[0]
 
 
 def outbreaks_df(spark: SparkSession, n_docs: int, seed: int = 42) -> DataFrame:
-    rows = generate_corpus(n_docs, seed)["outbreaks"]
-    return spark.createDataFrame(
-        rows, "ID long, outbreakName string, archiveNumber string, datePublished string"
-    )
+    return frames_from_corpus(spark, generate_corpus(n_docs, seed))[1]
 
 
 def gazetteer_df(spark: SparkSession) -> DataFrame:

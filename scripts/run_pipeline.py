@@ -49,14 +49,8 @@ def main() -> None:
     if args.synth:
         # ONE corpus generation for both frames (pages_df/outbreaks_df each
         # regenerate when called separately — doubled driver CPU at 100k+)
-        from outbreak_kg_spark.schemas import PAGES
-
-        corpus = synth.generate_corpus(args.synth)
-        pages = spark.createDataFrame(corpus["pages"], PAGES)
-        outbreaks = spark.createDataFrame(
-            corpus["outbreaks"],
-            "ID long, outbreakName string, archiveNumber string, "
-            "datePublished string",
+        pages, outbreaks = synth.frames_from_corpus(
+            spark, synth.generate_corpus(args.synth)
         )
         gaz = synth.gazetteer_df(spark)
         isa = synth.vocab_isa_df(spark)

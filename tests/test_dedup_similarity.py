@@ -388,7 +388,7 @@ def test_redact_pii(spark):
     )
     # near-miss shapes must NOT match: short dotted numbers, bare domains
     assert (r[2].n_email, r[2].n_phone, r[2].n_ipv4) == (0, 0, 0)
-    assert r[2].redacted_text == r[2].redacted_text  # unchanged
+    assert r[2].redacted_text == "no pii here, just 1.2 floats and a.b dots"
 
 
 def test_unigram_surprisal(spark):
