@@ -377,3 +377,45 @@ def hamming_near_dups(fps: DataFrame, id_col: str = "doc_id",
         .filter(F.col("hamming") <= max_distance)
         .dropDuplicates(["a", "b"])
     )
+
+
+def contamination_flags(docs: DataFrame, benchmark: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 13) -> DataFrame:
+    """GPT-3-style training-set decontamination: flag corpus docs sharing
+    any word n-gram with a benchmark/eval set (the published protocol uses
+    13-grams). Output: one row per corpus doc — (id, n_contaminated
+    distinct overlapping shingles, contaminated flag).
+
+    Scale shape: the benchmark side is EVAL-set sized — thousands of
+    documents against a 10^12-doc corpus — so its distinct shingle set is
+    broadcast and the corpus side is a narrow shingle expansion + one
+    broadcast join + one per-doc agg. No corpus self-join, no shuffle of
+    corpus text; the only exchange carries (doc_id, hit) pairs, bounded by
+    actual contamination."""
+    bench_sh = (
+        shingle_array(
+            benchmark.select(F.lit(0).alias(id_col), F.col(text_col)),
+            text_col, id_col, n,
+        )
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    doc_sh = (
+        shingle_array(docs, text_col, id_col, n)
+        .select(id_col, F.explode("shingles").alias("shingle"))
+    )
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -1103,6 +1103,41 @@ SQL_TEXT_SURPRISAL = """
 """
 
 
+def q_dedup_contamination(spark, sf_dir):
+    """GPT-3-style benchmark decontamination (dedup.contamination_flags):
+    docs 0-4 act as the 'eval set'; every corpus doc is flagged with its
+    distinct trigram overlap count. n=3 instead of the protocol's 13
+    because the word-soup corpus needs plausible collision rates."""
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") < 5).select("text")
+    return dedup.contamination_flags(d, bench, n=3)
+
+
+SQL_DEDUP_CONTAMINATION = """
+    WITH bt AS (
+        SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        FROM documents WHERE doc_id < 5),
+    bsh AS (
+        SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM bt, unnest(range(1, len(t) - 1)) u(i)),
+    dt AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        FROM documents),
+    dsh AS (
+        SELECT DISTINCT doc_id,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM dt, unnest(range(1, len(t) - 1)) u(i)),
+    hits AS (
+        SELECT doc_id, count(*) AS n
+        FROM dsh JOIN bsh USING (shingle) GROUP BY 1)
+    SELECT d.doc_id,
+           coalesce(h.n, 0)::BIGINT AS n_contaminated,
+           coalesce(h.n, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
 def q_json_extract_props(spark, sf_dir):
     """P12/S4: nested-JSON field extraction with explicit schema."""
     e = _tbl(spark, sf_dir, "events")
@@ -2501,6 +2536,7 @@ def all_queries():
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
         "dedup_simhash": q_dedup_simhash,
         "dedup_lsh_candidates": q_dedup_lsh_candidates,
+        "dedup_contamination": q_dedup_contamination,
         "graph_components": q_graph_components,
         "ngram_jaccard": q_ngram_jaccard,
         "similarity_cosine_topk": q_similarity_cosine_topk,
@@ -2571,6 +2607,7 @@ def all_oracle_sql():
         "dedup_minhash_sigs": SQL_DEDUP_MINHASH,
         "dedup_simhash": _sql_simhash(16),
         "dedup_lsh_candidates": SQL_DEDUP_LSH_CANDIDATES,
+        "dedup_contamination": SQL_DEDUP_CONTAMINATION,
         "graph_components": SQL_GRAPH_COMPONENTS,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "similarity_cosine_topk": SQL_COSINE_TOPK,

@@ -406,3 +406,19 @@ def test_unigram_surprisal(spark):
     assert r[3].mean_surprisal == pytest.approx(3.0)   # two 1/8 singletons
     assert r[3].max_surprisal == pytest.approx(3.0)
     assert r[1].mean_surprisal < r[3].mean_surprisal   # the filter signal
+
+
+def test_contamination_flags(spark):
+    """Decontamination: doc sharing a benchmark trigram is flagged with its
+    DISTINCT overlap count; clean docs get 0/false rows (left join)."""
+    docs = spark.createDataFrame([
+        {"doc_id": 1, "text": "alpha beta gamma delta"},   # 2 shared trigrams
+        {"doc_id": 2, "text": "zz yy xx ww"},              # clean
+        {"doc_id": 3, "text": "alpha beta gamma alpha beta gamma"},  # dup hit
+    ])
+    bench = spark.createDataFrame([{"text": "alpha beta gamma delta epsilon"}])
+    r = {x.doc_id: (x.n_contaminated, x.contaminated)
+         for x in dedup.contamination_flags(docs, bench, n=3).collect()}
+    assert r[1] == (2, True)    # 'alpha beta gamma', 'beta gamma delta'
+    assert r[2] == (0, False)
+    assert r[3] == (1, True)    # repeated hit counts once (distinct shingles)
