@@ -36,10 +36,15 @@ HEADLINE = [
     "agg_pricing_summary",
     "join_star_topk",
     "window_first_event",
-    "dedup_minhash_sigs",
+    # r3: registry consolidation renamed these legs — dedup_lsh_candidates
+    # computes the minhash signatures in-plan (superset of the old
+    # dedup_minhash_sigs leg); text_signals covers text_quality's scan
+    # plus lang-ID/tokens/fingerprints; text_filters covers
+    # text_repetition plus PII + surprisal.
+    "dedup_lsh_candidates",
     "similarity_cosine_topk",
-    "text_quality",
-    "text_repetition",
+    "text_signals",
+    "text_filters",
     "corpus_curate",
     "kg_edge_merge",
 ]

@@ -57,12 +57,14 @@ class KgApi:
         self.gazetteer = gazetteer
         self.extracted = extracted
         self._symptom_closure = symptom_closure(edges, nodes)
-        # materialized pair-score table (kg/realism_score.py builds this
-        # dict at import; ours is a small collected map over the edges)
-        self._pair_scores = {
-            (r.m1, r.m2): r.score
-            for r in queries.pair_score_table(edges).collect()
-        }
+        # materialized pair-score table (kg/realism_score.py builds this as
+        # a driver dict at import — a driver OOM at corpus scale, where the
+        # observed co-mention pair table is millions-to-billions of rows).
+        # Kept as a DataFrame: text_relations broadcast-joins each query's
+        # <= (45 choose 2) pairs against it in-plan and never collects the
+        # table. In production this is a catalog table written once by the
+        # build; here it is the same plan, persisted for request reuse.
+        self._pair_score_df = queries.pair_score_table(edges).persist()
         self._mesh_types = {
             r.curie[5:]: r.node_type
             for r in nodes.filter(F.col("curie").startswith("MESH:"))
@@ -143,8 +145,8 @@ class KgApi:
         alerts = [r.asDict() for r in
                   queries.co_mention_alerts(self.edges, curies, top_n).collect()]
         mesh_ids = [c[5:] for c in curies if c.startswith("MESH:")]
-        scores, score_sum, cls = queries.cooccurrence_scores(
-            self._pair_scores, self._mesh_types, mesh_ids
+        scores, score_sum, cls = queries.cooccurrence_scores_df(
+            self._pair_score_df, self._mesh_types, mesh_ids
         )
         return {
             "annotations": annotations,
@@ -179,8 +181,11 @@ class KgApi:
 
     # -- /autocomplete/* --------------------------------------------------------
     def autocomplete(self, label: str, prefix: str, top_n: int = 100) -> list:
-        res = queries.autocomplete(self.nodes, label, prefix, top_n)
-        return [[r.name, r.name, r.curie, ""] for r in res.collect()]
+        res = queries.autocomplete(self.nodes, label, prefix, top_n,
+                                   gazetteer=self.gazetteer)
+        # reference tuple shape (get_lookups.py:25-30,46-49):
+        # (matched surface — the synonym, canonical name, curie, definition)
+        return [[r.matched, r.name, r.curie, ""] for r in res.collect()]
 
     # -- /v1/alerts/<id> ---------------------------------------------------------
     def get_alert_text(self, alert_id: str) -> str | None:

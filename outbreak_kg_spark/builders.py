@@ -339,6 +339,12 @@ def build_indicators(
 
     def prep(df: DataFrame, tag: str) -> DataFrame:
         year_cols = [c for c in df.columns if c not in id_cols]
+        # file-order ordinal, captured BEFORE the joins/unpivot can reorder
+        # rows: the reference's per-row dict build is last-wins in FILE
+        # order for a repeated (country, series, year) cell (kg/build.py:
+        # 288-296), so the dedup below must break year ties on input
+        # position, not on value.
+        df = df.withColumn("_ord", F.monotonically_increasing_id())
         mapped = (
             df.join(lm, F.col(cname) == F.col("_lm_src"), "left")
             .withColumn("_country", F.coalesce("_lm_dst", F.col(cname)))
@@ -350,7 +356,8 @@ def build_indicators(
         # reference's per-row dict build — merging them would also collide
         # year keys in one map.
         long = mapped.unpivot(
-            ["_geo_curie", F.col(cname).alias("_orig_country"), ccode, cser],
+            ["_geo_curie", F.col(cname).alias("_orig_country"), ccode, cser,
+             "_ord"],
             year_cols, "year_col", "val",
         )
         parsed = (
@@ -371,16 +378,17 @@ def build_indicators(
                 # series), so a per-row Python round is not a hot path;
                 # years_data byte-compat at the TSV boundary requires it.
                 _python_round3(F.col("_v")).alias("value"),
+                "_ord",
             )
         )
         # a source file can repeat a (country, series, year) cell; under
         # Spark's default mapKeyDedupPolicy=EXCEPTION a duplicate year key
         # would abort the whole build where the reference's per-row dict
         # assembly tolerates it (kg/build.py:288-296, last-wins in file
-        # order). Keep the LAST entry of each year run in the (year,
-        # value)-sorted array — deterministic (max value per year) with no
-        # extra exchange.
-        arr = F.array_sort(F.collect_list(F.struct("year", "value")))
+        # order). Sort each group's cells by (year, input ordinal) and keep
+        # the LAST entry of each year run — the file-order last row wins,
+        # exactly the reference's dict overwrite, with no extra exchange.
+        arr = F.array_sort(F.collect_list(F.struct("year", "_ord", "value")))
         deduped = F.filter(
             arr,
             lambda s, i: (i == F.size(arr) - 1)

@@ -104,7 +104,26 @@ class Catalog:
         re-shuffles on join)."""
         if self.use_iceberg:
             return self.spark.read.table(self._ident(name))
-        return self.spark.read.table(_table_name(self.root, name))
+        ident = _table_name(self.root, name)
+        if not self.spark.catalog.tableExists(ident):
+            # migration fallback: tables registered before the root-tag
+            # was added to the identifier (kg_bucketed_<name>) stay
+            # readable from a persistent metastore — but only if the
+            # legacy entry actually points at THIS root (otherwise the
+            # cross-root aliasing the root-tag fix exists for would
+            # silently return another catalog's data).
+            legacy = "kg_bucketed_" + name.replace("/", "_").replace(".", "_")
+            if self.spark.catalog.tableExists(legacy):
+                loc = (
+                    self.spark.sql(f"DESCRIBE FORMATTED {legacy}")
+                    .filter("col_name = 'Location'")
+                    .collect()
+                )
+                if loc and loc[0]["data_type"].rstrip("/").endswith(
+                    self._ident(name).rstrip("/").lstrip("file:")
+                ):
+                    return self.spark.read.table(legacy)
+        return self.spark.read.table(ident)
 
 
 def _table_name(root: str, name: str) -> str:

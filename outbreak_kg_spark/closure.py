@@ -172,7 +172,9 @@ def connected_components(
     Scale: the neighborhood min is a partial+final hash agg (hot nodes absorb
     map-side); the jump is a self-equi-join on the label (labels are node
     ids, so the lookup always resolves). Two shuffles per round, log rounds.
-    stats (optional dict) records {'rounds': n, 'mode': ..., 'edges': n}.
+    stats (optional dict) records {'rounds': n, 'mode': ..., 'edges': n} —
+    'edges' is exact on the driver path, min(true, cap) on the distributed
+    path, None when driver_max_edges<=0 (no size-probe job runs then).
 
     Small graphs (<= driver_max_edges distinct undirected edges — near-dup
     clusters are typically dimension-sized next to the corpus) take a
@@ -190,9 +192,18 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     # sym holds BOTH orientations (self-loops once); undirected edge count
-    # is what driver_max_edges is specified against
-    n_edges = (sym.count() + 1) // 2
-    if n_edges <= driver_max_edges:
+    # is what driver_max_edges is specified against. The size probe is
+    # BOUNDED by the threshold (count over a limit stops scanning once the
+    # cap is reached), so callers of the distributed path never pay a
+    # full count for the routing decision; with driver_max_edges<=0 no
+    # probe job runs at all. stats['edges'] is therefore a floor
+    # (min(true, cap)) on the distributed path, exact on the driver path.
+    if driver_max_edges > 0:
+        cap = 2 * driver_max_edges + 1
+        n_edges = (sym.limit(cap).count() + 1) // 2
+    else:
+        n_edges = None
+    if n_edges is not None and n_edges <= driver_max_edges:
         # union-by-min with path compression: the root of every set is its
         # minimum node, matching the distributed hash-min result exactly
         parent: dict = {}

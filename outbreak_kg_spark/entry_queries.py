@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import dedup, similarity, textstats
+from . import dedup, eidos, similarity, textstats
 from .closure import transitive_closure
 from .extract import extract_pages
 from .ground import make_annotate_udf
@@ -1547,6 +1547,170 @@ def _sql_text_quality() -> str:
     """
 
 
+def q_text_signals(spark, sf_dir):
+    """One-pass per-doc text signals (textstats.signals): language ID,
+    token counts, fingerprints, quality features — a single projection
+    over a single scan (zero shuffle, zero Python). Consolidates the
+    former text_lang_id / text_token_counts / text_fingerprints /
+    text_quality driver gates: every column of each is still computed and
+    value-hashed here, from the same operator code paths."""
+    out = textstats.signals(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "lang_pred", "lang_votes", "ws_tokens", "bpe_tokens",
+        "fingerprint", "fingerprint60", "n_chars", "n_tokens",
+        F.round("punct_ratio", 6).alias("punct_ratio_r"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio_r"),
+        F.round("mean_word_len", 6).alias("mean_word_len_r"),
+        "quality_score",
+    )
+
+
+def _sql_text_signals() -> str:
+    return f"""
+        WITH lid AS ({_sql_lang_id()}),
+        tc AS ({SQL_TEXT_TOKEN_COUNTS}),
+        fp AS ({SQL_TEXT_FINGERPRINTS}),
+        q AS ({_sql_text_quality()})
+        SELECT lid.doc_id, lang_pred, lang_votes, ws_tokens, bpe_tokens,
+               fingerprint, fingerprint60, n_chars, n_tokens,
+               punct_ratio_r, stopword_ratio_r, mean_word_len_r,
+               quality_score
+        FROM lid
+        JOIN tc USING (doc_id)
+        JOIN fp USING (doc_id)
+        JOIN q USING (doc_id)
+    """
+
+
+def q_text_filters(spark, sf_dir):
+    """Corpus-filter signals composite: Gopher-style repetition + PII
+    scrub + unigram surprisal, joined per doc. Consolidates the former
+    text_repetition / text_pii / text_surprisal driver gates — each
+    operator's full output is still computed by its own code path and
+    value-hashed. The repetition/PII legs run on the doc_id<200 slice
+    with injected lines/PII (the word-soup base has neither); surprisal
+    keeps its corpus-wide unigram distribution and is restricted to the
+    same slice by the join."""
+    rep = q_text_repetition(spark, sf_dir)
+    pii = q_text_pii(spark, sf_dir)
+    sur = q_text_surprisal(spark, sf_dir)
+    return rep.join(pii, "doc_id").join(sur, "doc_id")
+
+
+def _sql_text_filters() -> str:
+    return f"""
+        WITH r AS ({SQL_TEXT_REPETITION}),
+        p AS ({SQL_TEXT_PII}),
+        s AS ({SQL_TEXT_SURPRISAL})
+        SELECT r.doc_id, r.n_lines, r.dup_line_ratio_r,
+               r.dup_line_char_ratio_r, r.dup_token_ratio_r,
+               r.top_bigram_ratio_r,
+               p.n_email, p.n_phone, p.n_ipv4, p.redacted_text,
+               s.n_tokens, s.mean_surprisal_r, s.max_surprisal_r
+        FROM r JOIN p USING (doc_id) JOIN s USING (doc_id)
+    """
+
+
+def q_set_ops(spark, sf_dir):
+    """U1/U2/A10/J6 set-operation composite in long form: anti-join
+    (customers with no orders), semi-join (parts with a 2000+ shipment),
+    union-distinct (error∪signup users), tagged by an `op` column.
+    Consolidates the former anti_join_customers / semi_join_parts /
+    union_distinct_users gates at full row-level evidence."""
+    a = q_anti_join_customers(spark, sf_dir).select(
+        F.lit("anti").alias("op"),
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+    )
+    s = q_semi_join_parts(spark, sf_dir).select(
+        F.lit("semi").alias("op"),
+        F.col("p_partkey").alias("key"),
+        F.col("p_name").alias("name"),
+    )
+    u = q_union_distinct_users(spark, sf_dir).select(
+        F.lit("union").alias("op"),
+        F.col("user_id").alias("key"),
+        F.lit(None).cast("string").alias("name"),
+    )
+    return a.unionByName(s).unionByName(u)
+
+
+SQL_SET_OPS = f"""
+    SELECT 'anti' AS op, c_custkey AS key, c_name AS name
+    FROM ({SQL_ANTI_JOIN})
+    UNION ALL
+    SELECT 'semi' AS op, p_partkey AS key, p_name AS name
+    FROM ({SQL_SEMI_JOIN})
+    UNION ALL
+    SELECT 'union' AS op, user_id AS key, NULL::VARCHAR AS name
+    FROM ({SQL_UNION_DISTINCT})
+"""
+
+
+def q_eidos_context(spark, sf_dir):
+    """S6/P12/K4 gate: an Eidos-JSON-LD-shaped nested payload is derived
+    deterministically from the documents table (two sentences per doc:
+    one with a timex carrying an interval + a geoloc, one with an
+    empty-interval timex + a second geoloc), parsed with the explicit
+    EIDOS_SCHEMA via from_json (schema projection IS the @type/@id key
+    filter), exploded by eidos.eidos_context, and aggregated by
+    eidos.geoloc_stats / eidos.timex_stats — returned long-form with a
+    `kind` tag. Gates the same explode/projection/stats machinery that
+    read_eidos_dir feeds from real *.jsonld files."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    did = F.col("doc_id").cast("string")
+    payload = F.concat(
+        F.lit('{"documents":[{"sentences":['),
+        F.lit('{"timexes":[{"text":"T'), did,
+        F.lit('","intervals":[{"start":'), did,
+        F.lit(',"end":'), (F.col("doc_id") + 5).cast("string"),
+        F.lit('}]}],"geolocs":[{"text":"G'),
+        F.pmod("doc_id", F.lit(7)).cast("string"),
+        F.lit('","geoID":"geo:'),
+        F.pmod("doc_id", F.lit(7)).cast("string"),
+        F.lit('"}]},'),
+        F.lit('{"timexes":[{"text":"E","intervals":[]}],'),
+        F.lit('"geolocs":[{"text":"G'),
+        F.pmod("doc_id", F.lit(3)).cast("string"),
+        F.lit('","geoID":"geo:'),
+        F.pmod("doc_id", F.lit(3)).cast("string"),
+        F.lit('"}]}]}]}'),
+    )
+    parsed = d.select(
+        did.alias("archive_number"),
+        F.from_json(payload, eidos.EIDOS_SCHEMA).alias("j"),
+    )
+    geolocs, timexes = eidos.eidos_context(parsed)
+    g = eidos.geoloc_stats(geolocs).select(
+        F.lit("geoloc").alias("kind"), "text",
+        F.col("geoid").alias("meta"), F.col("count").alias("n"),
+    )
+    t = eidos.timex_stats(timexes).select(
+        F.lit("timex").alias("kind"), "text",
+        F.col("intervals").alias("meta"), F.col("count").alias("n"),
+    )
+    return g.unionByName(t)
+
+
+SQL_EIDOS_CONTEXT = """
+    WITH base AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+    g AS (
+        SELECT 'G' || (doc_id % 7) AS text, 'geo:' || (doc_id % 7) AS meta
+        FROM base
+        UNION ALL
+        SELECT 'G' || (doc_id % 3), 'geo:' || (doc_id % 3) FROM base),
+    t AS (
+        SELECT 'T' || doc_id AS text,
+               '[(' || doc_id || ', ' || (doc_id + 5) || ')]' AS meta
+        FROM base
+        UNION ALL
+        SELECT 'E', '' FROM base)
+    SELECT 'geoloc' AS kind, text, meta, count(*) AS n FROM g GROUP BY 2, 3
+    UNION ALL
+    SELECT 'timex' AS kind, text, meta, count(*) AS n FROM t GROUP BY 2, 3
+"""
+
+
 # ---- registry ----------------------------------------------------------------
 
 # ---- temporal alignment (asof/range joins — operators the reference lacks) --
@@ -2505,70 +2669,89 @@ SQL_KG_EDGE_MERGE = """
 
 
 def all_queries():
+    """Exactly 50 entries — the driver tests the first 50 keys, so every
+    registered operator gets a hard CORRECTNESS row. Round-3 consolidation
+    (each removed gate's operator is still computed inside a retained green
+    entry's plan, and keeps its own pytest coverage):
+
+    - text_lang_id/text_token_counts/text_fingerprints/text_quality
+      -> text_signals (one-pass textstats.signals; all columns hashed)
+    - text_repetition/text_pii/text_surprisal -> text_filters (join)
+    - anti_join_customers/semi_join_parts/union_distinct_users
+      -> set_ops (long-form union, full row-level evidence)
+    - json_extract_props -> eidos_context (from_json with explicit nested
+      schema + explode + stats: strictly more of P12/S6/K4 than the old
+      get_json_object entry)
+    - kg_mention_pairs_grouped dropped (byte-identical oracle to
+      kg_mention_pairs; grouped path gated by tests/test_skew.py)
+    - similarity_neardup (brute) dropped (oracle twin of
+      similarity_neardup_lsh, which stays)
+    - kg_coverage_metrics dropped (contingency legs inside
+      kg_literature_contingency/pvalues; pytest keeps the metrics shape)
+    - kg_literature_candidates dropped (candidate counting is the first
+      CTE of kg_literature_contingency's plan and oracle)
+    - kg_cooccur_scores dropped (score formula recomputed inside
+      kg_realism_logsumexp's plan and oracle)
+    - dedup_minhash_sigs dropped (signatures computed in-plan by
+      dedup_lsh_candidates; sig values gated by tests/test_dedup.py)
+    """
     return {
+        # KG pipeline spine + the 13 entries the round-2 driver never
+        # reached (positions 50-62 then; first now)
         "kg_extract_text": q_kg_extract_text,
         "kg_ner_mentions": q_kg_ner_mentions,
+        "kg_ground_names": q_kg_ground_names,
+        "kg_tsv_node_rows": q_kg_tsv_node_rows,
+        "kg_query_indicators": q_kg_query_indicators,
+        "kg_direct_relations": q_kg_direct_relations,
+        "canonicalize_assignments": q_canonicalize_assignments,
+        "corpus_curate": q_corpus_curate,
+        "kg_edge_merge": q_kg_edge_merge,
+        "similarity_ivf_topk": q_similarity_ivf_topk,
+        "similarity_neardup_lsh": q_similarity_neardup_lsh,
+        "events_rollup": q_events_rollup,
+        "events_sessionize": q_events_sessionize,
+        "multimodal_frame_plan": q_multimodal_frame_plan,
+        "multimodal_image_bytes": q_multimodal_image_bytes,
+        # KG core
         "kg_terms_per_doc": q_kg_terms_per_doc,
         "kg_mention_pairs": q_kg_mention_pairs,
-        "kg_mention_pairs_grouped": q_kg_mention_pairs_grouped,
         "kg_interesting_pairs": q_kg_interesting_pairs,
         "kg_isa_closure": q_kg_isa_closure,
         "kg_query_graph": q_kg_query_graph,
         "kg_predicate_rename": q_kg_predicate_rename,
         "kg_top_alerts": q_kg_top_alerts,
         "kg_first_timestamp_lookup": q_kg_first_timestamp_lookup,
-        "kg_cooccur_scores": q_kg_cooccur_scores,
         "kg_realism_logsumexp": q_kg_realism_logsumexp,
-        "kg_literature_candidates": q_kg_literature_candidates,
         "kg_literature_contingency": q_kg_literature_contingency,
         "kg_literature_pvalues": q_kg_literature_pvalues,
         "kg_autocomplete": q_kg_autocomplete,
+        "kg_xref_join": q_kg_xref_join,
+        "kg_mixed_path": q_kg_mixed_path,
+        "kg_typed_subtree": q_kg_typed_subtree,
+        # relational operator families
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_star_topk": q_join_star_topk,
-        "anti_join_customers": q_anti_join_customers,
-        "semi_join_parts": q_semi_join_parts,
-        "union_distinct_users": q_union_distinct_users,
+        "set_ops": q_set_ops,
         "window_first_event": q_window_first_event,
         "year_month_map": q_year_month_map,
         "stats_token_counts": q_stats_token_counts,
-        "json_extract_props": q_json_extract_props,
+        "eidos_context": q_eidos_context,
+        # dedup / similarity / text
         "dedup_exact": q_dedup_exact,
-        "dedup_minhash_sigs": q_dedup_minhash_sigs,
         "dedup_simhash": q_dedup_simhash,
         "dedup_lsh_candidates": q_dedup_lsh_candidates,
         "dedup_contamination": q_dedup_contamination,
         "graph_components": q_graph_components,
         "ngram_jaccard": q_ngram_jaccard,
         "similarity_cosine_topk": q_similarity_cosine_topk,
-        "similarity_neardup": q_similarity_neardup,
         "similarity_ann_topk": q_similarity_ann_topk,
-        "text_lang_id": q_text_lang_id,
-        "text_token_counts": q_text_token_counts,
-        "text_fingerprints": q_text_fingerprints,
-        "text_quality": q_text_quality,
-        "text_repetition": q_text_repetition,
-        "text_pii": q_text_pii,
-        "text_surprisal": q_text_surprisal,
+        "text_signals": q_text_signals,
+        "text_filters": q_text_filters,
+        # temporal
         "asof_join_events": q_asof_join_events,
         "range_join_events": q_range_join_events,
         "join_name_coalesce": q_join_name_coalesce,
-        "kg_xref_join": q_kg_xref_join,
-        "kg_mixed_path": q_kg_mixed_path,
-        "kg_coverage_metrics": q_kg_coverage_metrics,
-        "kg_typed_subtree": q_kg_typed_subtree,
-        "kg_tsv_node_rows": q_kg_tsv_node_rows,
-        "events_rollup": q_events_rollup,
-        "events_sessionize": q_events_sessionize,
-        "similarity_neardup_lsh": q_similarity_neardup_lsh,
-        "multimodal_frame_plan": q_multimodal_frame_plan,
-        "multimodal_image_bytes": q_multimodal_image_bytes,
-        "canonicalize_assignments": q_canonicalize_assignments,
-        "kg_query_indicators": q_kg_query_indicators,
-        "kg_direct_relations": q_kg_direct_relations,
-        "kg_ground_names": q_kg_ground_names,
-        "corpus_curate": q_corpus_curate,
-        "kg_edge_merge": q_kg_edge_merge,
-        "similarity_ivf_topk": q_similarity_ivf_topk,
     }
 
 
@@ -2576,79 +2759,64 @@ def all_oracle_sql():
     return {
         "kg_extract_text": SQL_KG_EXTRACT_TEXT,
         "kg_ner_mentions": _SQL_MENTIONS,
+        "kg_ground_names": SQL_KG_GROUND_NAMES,
+        "kg_tsv_node_rows": SQL_KG_TSV_NODE_ROWS.format(
+            mentions=_SQL_MENTIONS
+        ),
+        "kg_query_indicators": SQL_KG_QUERY_INDICATORS.format(
+            closure=_sql_values_closure(),
+            gaz=", ".join(f"('{c}', '{t}')" for c, t, _ty in ENTRY_GAZ),
+        ),
+        "kg_direct_relations": SQL_KG_DIRECT_RELATIONS,
+        "canonicalize_assignments": SQL_CANONICALIZE,
+        "corpus_curate": _sql_corpus_curate(),
+        "kg_edge_merge": SQL_KG_EDGE_MERGE,
+        # exhaustive-probe IVF == brute force, so it shares the oracle
+        "similarity_ivf_topk": SQL_COSINE_TOPK,
+        "similarity_neardup_lsh": _sql_neardup_lsh(),
+        "events_rollup": SQL_EVENTS_ROLLUP,
+        "events_sessionize": SQL_EVENTS_SESSIONIZE,
+        "multimodal_frame_plan": SQL_MULTIMODAL_FRAME_PLAN,
+        "multimodal_image_bytes": SQL_MULTIMODAL_IMAGE_BYTES,
         "kg_terms_per_doc": f"""
             WITH m AS ({_SQL_MENTIONS})
             SELECT doc_id, count(DISTINCT curie) AS n_terms FROM m GROUP BY 1
         """,
         "kg_mention_pairs": SQL_KG_MENTION_PAIRS,
-        "kg_mention_pairs_grouped": SQL_KG_MENTION_PAIRS,
         "kg_interesting_pairs": SQL_KG_INTERESTING_PAIRS,
         "kg_isa_closure": SQL_KG_ISA_CLOSURE,
         "kg_query_graph": SQL_KG_QUERY_GRAPH,
         "kg_predicate_rename": SQL_KG_PREDICATE_RENAME,
         "kg_top_alerts": SQL_KG_TOP_ALERTS,
         "kg_first_timestamp_lookup": SQL_KG_FIRST_TIMESTAMP,
-        "kg_cooccur_scores": SQL_KG_COOCCUR_SCORES,
         "kg_realism_logsumexp": SQL_KG_REALISM_LSE,
-        "kg_literature_candidates": SQL_KG_LIT_CANDIDATES,
         "kg_literature_contingency": SQL_KG_LIT_CONTINGENCY,
         "kg_literature_pvalues": _sql_lit_pvalues(),
         "kg_autocomplete": SQL_KG_AUTOCOMPLETE,
+        "kg_xref_join": SQL_KG_XREF_JOIN.format(mentions=_SQL_MENTIONS),
+        "kg_mixed_path": _sql_mixed_path(),
+        "kg_typed_subtree": SQL_KG_TYPED_SUBTREE.format(
+            isa_edges=", ".join(f"('{s}', '{o}')" for s, o in ENTRY_ISA),
+            gaz=_sql_values_gaz(),
+        ),
         "agg_pricing_summary": SQL_AGG_PRICING,
         "join_star_topk": SQL_JOIN_STAR_TOPK,
-        "anti_join_customers": SQL_ANTI_JOIN,
-        "semi_join_parts": SQL_SEMI_JOIN,
-        "union_distinct_users": SQL_UNION_DISTINCT,
+        "set_ops": SQL_SET_OPS,
         "window_first_event": SQL_WINDOW_FIRST,
         "year_month_map": SQL_YEAR_MONTH_MAP,
         "stats_token_counts": SQL_STATS_TOKENS,
-        "json_extract_props": SQL_JSON_EXTRACT,
+        "eidos_context": SQL_EIDOS_CONTEXT,
         "dedup_exact": SQL_DEDUP_EXACT,
-        "dedup_minhash_sigs": SQL_DEDUP_MINHASH,
         "dedup_simhash": _sql_simhash(16),
         "dedup_lsh_candidates": SQL_DEDUP_LSH_CANDIDATES,
         "dedup_contamination": SQL_DEDUP_CONTAMINATION,
         "graph_components": SQL_GRAPH_COMPONENTS,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "similarity_cosine_topk": SQL_COSINE_TOPK,
-        "similarity_neardup": SQL_SIM_NEARDUP,
         "similarity_ann_topk": _sql_ann_topk(),
-        "text_lang_id": _sql_lang_id(),
-        "text_token_counts": SQL_TEXT_TOKEN_COUNTS,
-        "text_fingerprints": SQL_TEXT_FINGERPRINTS,
-        "text_quality": _sql_text_quality(),
-        "text_repetition": SQL_TEXT_REPETITION,
-        "text_pii": SQL_TEXT_PII,
-        "text_surprisal": SQL_TEXT_SURPRISAL,
+        "text_signals": _sql_text_signals(),
+        "text_filters": _sql_text_filters(),
         "asof_join_events": SQL_ASOF_JOIN_EVENTS,
         "range_join_events": SQL_RANGE_JOIN_EVENTS,
         "join_name_coalesce": SQL_JOIN_NAME_COALESCE,
-        "kg_xref_join": SQL_KG_XREF_JOIN.format(mentions=_SQL_MENTIONS),
-        "kg_mixed_path": _sql_mixed_path(),
-        "kg_coverage_metrics": SQL_KG_COVERAGE_METRICS.format(
-            mentions=_SQL_MENTIONS
-        ),
-        "kg_typed_subtree": SQL_KG_TYPED_SUBTREE.format(
-            isa_edges=", ".join(f"('{s}', '{o}')" for s, o in ENTRY_ISA),
-            gaz=_sql_values_gaz(),
-        ),
-        "kg_tsv_node_rows": SQL_KG_TSV_NODE_ROWS.format(
-            mentions=_SQL_MENTIONS
-        ),
-        "events_rollup": SQL_EVENTS_ROLLUP,
-        "events_sessionize": SQL_EVENTS_SESSIONIZE,
-        "similarity_neardup_lsh": _sql_neardup_lsh(),
-        "multimodal_frame_plan": SQL_MULTIMODAL_FRAME_PLAN,
-        "multimodal_image_bytes": SQL_MULTIMODAL_IMAGE_BYTES,
-        "canonicalize_assignments": SQL_CANONICALIZE,
-        "kg_query_indicators": SQL_KG_QUERY_INDICATORS.format(
-            closure=_sql_values_closure(),
-            gaz=", ".join(f"('{c}', '{t}')" for c, t, _ty in ENTRY_GAZ),
-        ),
-        "kg_direct_relations": SQL_KG_DIRECT_RELATIONS,
-        "kg_ground_names": SQL_KG_GROUND_NAMES,
-        "corpus_curate": _sql_corpus_curate(),
-        "kg_edge_merge": SQL_KG_EDGE_MERGE,
-        # exhaustive-probe IVF == brute force, so it shares the oracle
-        "similarity_ivf_topk": SQL_COSINE_TOPK,
     }

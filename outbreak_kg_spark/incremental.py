@@ -94,7 +94,18 @@ def upsert_edges(
     _sorted = lambda xs: sorted(xs, key=lambda v: (v is None, v))  # noqa: E731
     _jvm, _conf, jpath, fs = _hadoop(spark, path)
     if not fs.exists(jpath):
-        delta.write.partitionBy(partition_col).parquet(path)
+        # bootstrap through the SAME per-key aggregation later increments
+        # get: a delta carrying duplicate edge keys must land as one
+        # summed row on the first write too, not as duplicate at-rest rows
+        # that a later increment would then collapse (inconsistent at-rest
+        # semantics depending on table existence).
+        boot = merge_edge_counts(
+            delta.limit(0), delta,
+            keys=tuple(k for k in EDGE_KEYS if k != partition_col)
+            + (partition_col,),
+            count_col=count_col,
+        )
+        boot.write.partitionBy(partition_col).parquet(path)
         return _sorted(touched)
     cond = F.col(partition_col).isin(touched_vals)
     if has_null:

@@ -94,22 +94,95 @@ def run_stage(
     partition_by: list[str] | None = None,
     force: bool = False,
     run_id: str | None = None,
+    bucket_by: tuple[str, int] | None = None,
 ) -> DataFrame:
     """Materialize ``build() -> DataFrame`` at <root>/<name> unless already
     committed; return a reader DataFrame either way (so downstream stages
-    always consume the at-rest copy — deterministic resume)."""
+    always consume the at-rest copy — deterministic resume).
+
+    bucket_by=(col, n): persist hash-bucketed (and sorted) by the stage's
+    join key — the write-once/shuffle-never device for the recurring kg_*
+    joins (SURVEY.md §1.4; catalog.write_bucketed is the standalone form).
+    The reader then comes back THROUGH the session catalog so the bucket
+    spec survives into downstream plans (a plain parquet read of the same
+    files loses it and re-shuffles on join). A resume in a NEW session
+    (fresh in-memory metastore) re-registers the external table over the
+    committed files — same files, no rewrite. On Iceberg the equivalent is
+    a bucket(n, col) partition transform and this branch disappears."""
     out = f"{root}/{name}"
     if force or not stage_done(root, name, spark):
         t0 = time.monotonic()
         df = build()
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(out)
+        if bucket_by is not None:
+            col, n = bucket_by
+            tbl = _stage_table_name(root, name)
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            writer = (
+                df.write.mode("overwrite").format("parquet")
+                .bucketBy(n, col).sortBy(col)
+            )
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.option("path", out).saveAsTable(tbl)
+        else:
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(out)
         wall_ms = int((time.monotonic() - t0) * 1000)
         _append_lineage(spark, root, name, out, wall_ms,
                         run_id or uuid.uuid4().hex[:12])
+    if bucket_by is not None:
+        return _read_bucketed_stage(spark, root, name, out,
+                                    bucket_by, partition_by)
     return spark.read.parquet(out)
+
+
+def _stage_table_name(root: str, name: str) -> str:
+    """Session-catalog identifier scoped by the stage ROOT (same rationale
+    as catalog._table_name: two roots must not alias one table)."""
+    import hashlib
+
+    tag = hashlib.md5(root.encode()).hexdigest()[:8]
+    return f"kg_stage_{tag}_{name}"
+
+
+def _read_bucketed_stage(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    out: str,
+    bucket_by: tuple[str, int],
+    partition_by: list[str] | None,
+) -> DataFrame:
+    """Catalog-backed reader for a bucketed stage; re-registers the
+    external table when the session metastore doesn't know it (resume in
+    a fresh session over committed files)."""
+    tbl = _stage_table_name(root, name)
+    if not spark.catalog.tableExists(tbl):
+        col, n = bucket_by
+        parts = list(partition_by or [])
+        schema = spark.read.parquet(out).schema
+        data_cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in schema.fields if f.name not in parts
+        )
+        part_cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in schema.fields if f.name in parts
+        )
+        ddl = (
+            f"CREATE TABLE {tbl} ({data_cols}"
+            + (f", {part_cols}" if part_cols else "")
+            + ") USING parquet "
+            + (f"PARTITIONED BY ({', '.join(parts)}) " if parts else "")
+            + f"CLUSTERED BY (`{col}`) SORTED BY (`{col}`) "
+            + f"INTO {n} BUCKETS LOCATION '{out}'"
+        )
+        spark.sql(ddl)
+        if parts:
+            spark.sql(f"MSCK REPAIR TABLE {tbl}")
+    return spark.read.table(tbl)
 
 
 def _append_lineage(spark, root, name, out, wall_ms, run_id):

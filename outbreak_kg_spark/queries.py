@@ -167,15 +167,25 @@ def _typed_mention_constraint(
     reach = broadcast(
         closure.filter(F.col("ancestor") == anchor_curie).select("node")
     )
+    # distinct-(alert, entity) via collect_set keyed on alert_curie ALONE,
+    # not dropDuplicates over all three columns: the dedup's exchange then
+    # has the SAME partitioning as the downstream join on alert_curie (one
+    # exchange serves both), and over subj-bucketed at-rest edges
+    # (pipeline.build_kg edge_buckets) the scan already satisfies it —
+    # zero exchange for the whole constraint. The set is bounded by the
+    # typed vocabulary entities one alert can mention (dozens), not by the
+    # corpus. (r2->r3 flagship-entry fix: the old 3-column dropDuplicates
+    # added a second, unshared exchange per constraint.)
     return (
         mentions.join(typed, mentions["obj"] == typed["curie"], "inner")
         .join(reach, mentions["obj"] == reach["node"], "inner")
+        .groupBy(F.col("subj").alias("alert_curie"))
+        .agg(F.collect_set("obj").alias("_objs"))
         .select(
-            F.col("subj").alias("alert_curie"),
-            F.col("obj").alias(f"{out_prefix}"),
+            "alert_curie",
+            F.explode("_objs").alias(f"{out_prefix}"),
             F.lit(anchor_curie).alias(f"{out_prefix}_isa"),
         )
-        .dropDuplicates()
     )
 
 
@@ -366,6 +376,47 @@ def cooccurrence_scores(
     return scores, score_sum, cls
 
 
+def cooccurrence_scores_df(
+    pair_score_df: DataFrame,
+    mesh_types: dict,
+    mesh_ids: list[str],
+    exclude: set = QUERY_EXCLUDE_MESH,
+) -> tuple[dict, float, str]:
+    """In-plan variant of cooccurrence_scores: the query's <= (45 choose 2)
+    pairs are broadcast-joined against the MATERIALIZED pair-score table —
+    the table itself is never collected (at web scale the observed
+    co-mention pair table is millions-to-billions of rows; the reference
+    collects it into a dict at import, kg/realism_score.py:98-99, which is
+    a driver OOM at corpus scale). The only collect is the join result,
+    bounded by the query's own pair count — which is the response payload
+    anyway. score_sum over those <= 990 floats uses the same stable
+    logsumexp as the distributed logsumexp_agg (A6); a query-sized driver
+    fold of an already-query-sized frame, not a table-sized job."""
+    from itertools import combinations
+
+    keys = []
+    for t1, t2 in combinations(mesh_ids, 2):
+        if t1 in exclude or t2 in exclude:
+            continue
+        if t1 not in mesh_types or t2 not in mesh_types:
+            continue
+        keys.append(tuple(sorted((t1, t2))))
+    if not keys:
+        return {}, float("-inf"), "low"
+    spark = pair_score_df.sparkSession
+    q = spark.createDataFrame(keys, "m1 string, m2 string")
+    found = {
+        (r.m1, r.m2): r.score
+        for r in pair_score_df.join(broadcast(q), ["m1", "m2"])
+        .select("m1", "m2", "score").collect()
+    }
+    scores = {k: found.get(k, float("-inf")) for k in keys}
+    score_sum = _logsumexp(list(scores.values()))
+    cls = ("high" if score_sum > REALISM_HIGH
+           else "medium" if score_sum > REALISM_MEDIUM else "low")
+    return scores, score_sum, cls
+
+
 def _logsumexp(vals: list[float]) -> float:
     finite = [v for v in vals if v != float("-inf")]
     if not finite:
@@ -503,14 +554,23 @@ def literature_pvalues(
 # ---- autocomplete (kg/nodes_trie.py, kg/autocomplete_blueprint.py) ----------
 
 def autocomplete(nodes: DataFrame, label: str, prefix: str,
-                 top_n: int = 100) -> DataFrame:
-    """Case-insensitive prefix search over node names, capped at 100
-    (kg/nodes_trie.py:23-39; caps kg/autocomplete_blueprint.py:18). The
-    reference builds per-label pytrie indexes; relationally this is a
-    pushed-down startswith filter + TakeOrderedAndProject. A prefix
-    containing ':' returns nothing (autocomplete_blueprint.py:16-17)."""
+                 top_n: int = 100,
+                 gazetteer: DataFrame | None = None) -> DataFrame:
+    """Case-insensitive prefix search over node names AND synonyms, capped
+    at 100 (kg/nodes_trie.py:23-39; caps kg/autocomplete_blueprint.py:18;
+    synonym indexing kg/get_lookups.py:46-59 — a user typing 'bird flu'
+    must reach Influenza, Avian). The reference builds per-label pytrie
+    indexes with one entry per synonym; relationally this is a broadcast
+    join of the dimension-sized gazetteer synonyms onto the label-filtered
+    nodes, a pushed-down startswith filter on the matched surface, and
+    TakeOrderedAndProject. Output carries `matched` (the surface that hit
+    — the synonym) next to the canonical `name`, like the reference's
+    (syn_name, name, curie, definition) tuples. A prefix containing ':'
+    returns nothing (autocomplete_blueprint.py:16-17)."""
     if ":" in prefix:
-        return nodes.filter(F.lit(False)).select("curie", "name", "node_type")
+        return nodes.filter(F.lit(False)).select(
+            "curie", "name", "node_type", F.col("name").alias("matched")
+        )
     top_n = min(top_n, 100)
     lab = label
     if label == "geoloc_alerts":
@@ -521,9 +581,25 @@ def autocomplete(nodes: DataFrame, label: str, prefix: str,
         out = nodes.filter(F.col("node_type") == "geoloc")
     else:
         out = nodes.filter(F.col("node_type") == lab)
+    cands = out.select(
+        "curie", "name", "node_type", F.col("name").alias("matched")
+    )
+    if gazetteer is not None:
+        syn = gazetteer.select(
+            F.concat_ws(":", "ns", "id").alias("curie"),
+            F.col("synonym").alias("matched"),
+        )
+        # gazetteer is dimension-sized -> broadcast build side; the join
+        # also restricts synonyms to nodes actually in the graph (the
+        # reference indexes node_mapping, not the raw vocabulary)
+        syn_rows = out.select("curie", "name", "node_type").join(
+            broadcast(syn), "curie"
+        )
+        cands = cands.unionByName(
+            syn_rows.select("curie", "name", "node_type", "matched")
+        ).dropDuplicates(["curie", "matched"])
     return (
-        out.filter(F.lower("name").startswith(prefix.lower()))
-        .select("curie", "name", "node_type")
-        .orderBy(F.lower("name"), "curie")
+        cands.filter(F.lower("matched").startswith(prefix.lower()))
+        .orderBy(F.lower("matched"), "curie")
         .limit(top_n)
     )

@@ -139,7 +139,13 @@ def range_join(
                 * 86400.0
                 + F.hour(col) * 3600.0
                 + F.minute(col) * 60.0
-                + F.expr(f"extract(SECOND FROM {c})").cast("double")
+                # backtick-quote the identifier: a ts column named with
+                # dots/spaces/hyphens must not be re-parsed as an
+                # expression (every other reference here goes through
+                # F.col, which quotes implicitly)
+                + F.expr(
+                    "extract(SECOND FROM `" + c.replace("`", "``") + "`)"
+                ).cast("double")
             )
         return col.cast("timestamp").cast("double")
 

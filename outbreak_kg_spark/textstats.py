@@ -155,6 +155,53 @@ def fingerprints(df: DataFrame, text_col: str = "text",
     )
 
 
+def signals(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id",
+            stopwords: list[str] | None = None) -> DataFrame:
+    """All per-doc text signals in ONE projection over ONE scan: language
+    ID, whitespace/BPE-ish token counts, content fingerprints, and the
+    quality features + composite score.
+
+    This is the shape a 100-TB curation pass actually runs: every column
+    is a narrow JVM expression (no shuffle, no Python), so the whole thing
+    is a single whole-stage-codegen map over the corpus — versus calling
+    lang_id/token_counts/fingerprints/quality_scores separately, which
+    would cost four scans (or three joins) for the same signals."""
+    sw = stopwords if stopwords is not None else LANG_STOPWORDS["en"]
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    n_toks = F.size(toks)
+    n_chars = F.length(text_col)
+    n_punct = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), PUNCT_CLASS, "")
+    )
+    word_chars = F.length(
+        F.regexp_replace(F.col(text_col), NONWORD_CLASS, "")
+    )
+    sw_arr = F.array(*[F.lit(s) for s in sw])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t)))
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    lp, lv = lang_pred_cols(text_col)
+    return df.select(
+        id_col,
+        lp.alias("lang_pred"),
+        lv.alias("lang_votes"),
+        F.size(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+        ).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0))
+        .alias("bpe_tokens"),
+        F.md5(norm).alias("fingerprint"),
+        F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long")
+        .alias("fingerprint60"),
+        n_chars.alias("n_chars"),
+        n_toks.alias("n_tokens"),
+        (n_punct / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
+        (n_stop / F.greatest(n_toks, F.lit(1))).alias("stopword_ratio"),
+        (word_chars / F.greatest(n_toks, F.lit(1))).alias("mean_word_len"),
+        quality_score_col(text_col).alias("quality_score"),
+    )
+
+
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus-wide token frequency table, count-desc — the engine's version
     of the reference's extraction-stats artifacts (promed_ner.py:183-189,
@@ -292,7 +339,9 @@ def redact_pii(df: DataFrame, text_col: str = "text",
 
 
 def unigram_surprisal(df: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      vocab_fits_broadcast: bool = True,
+                      salt_buckets: int = 16) -> DataFrame:
     """CCNet-style quality proxy: per-doc mean/max token surprisal
     -log2 p(token) under the corpus's OWN unigram distribution. Natural
     prose scores low (common words dominate); rare-token soup, boilerplate
@@ -301,22 +350,37 @@ def unigram_surprisal(df: DataFrame, text_col: str = "text",
 
     Two passes: (1) corpus token counts — partial+final hash agg, the
     zipfian hot tokens ('the') absorbed map-side; (2) token->frequency
-    join + per-doc mean. The frequency table is vocabulary-sized (sublinear
-    in the corpus); Spark broadcasts it when it fits under the broadcast
-    threshold, else AQE's skew-join handles the zipfian join keys.
+    join + per-doc mean. The frequency table is vocabulary-sized
+    (sublinear in the corpus — Heaps' law), so the join is EXPLICITLY
+    broadcast by default rather than left to Catalyst's size estimate:
+    a zipfian fact side with a shuffled join would put every occurrence
+    of 'the' in one reducer. When the vocabulary itself is unbounded
+    (ID-soup corpora) pass vocab_fits_broadcast=False for the salted
+    shuffle fallback: the exploded side salts each token by a
+    deterministic hash of the doc id into salt_buckets sub-keys and the
+    frequency side replicates each token row across all buckets, so a hot
+    token's rows spread over salt_buckets reducers instead of one
+    (plan-tested in tests/test_plans.py on a zipfian corpus).
     """
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
                     lambda t: t != "")
     exploded = df.select(id_col, F.explode(toks).alias("token"))
     freq = exploded.groupBy("token").agg(F.count(F.lit(1)).alias("_tf"))
     total = freq.agg(F.sum("_tf").alias("_tot"))
-    scored = (
-        exploded.join(freq, "token")
-        .crossJoin(F.broadcast(total))
-        .select(
-            id_col,
-            (-F.log2(F.col("_tf") / F.col("_tot"))).alias("_s"),
+    if vocab_fits_broadcast:
+        joined = exploded.join(F.broadcast(freq), "token")
+    else:
+        salted = exploded.withColumn(
+            "_salt", F.pmod(F.hash(F.col(id_col)), F.lit(salt_buckets))
         )
+        freq_rep = freq.withColumn(
+            "_salt",
+            F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+        )
+        joined = salted.join(freq_rep, ["token", "_salt"])
+    scored = joined.crossJoin(F.broadcast(total)).select(
+        id_col,
+        (-F.log2(F.col("_tf") / F.col("_tot"))).alias("_s"),
     )
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),

@@ -110,3 +110,110 @@ def test_find_literature_endpoint(app, spark):
 
     with _pytest.raises(NotImplementedError):
         get_pubmed_meta(res, limit=2)
+
+
+def test_text_relations_scoring_is_in_plan(app, monkeypatch):
+    """Round-2 verdict ('What's wrong' #1): realism scoring must not
+    collect the pair-score table — at corpus scale it is millions-to-
+    billions of rows. Every driver collect during a text_relations request
+    must be bounded by the request itself (<= (45 choose 2) = 990 pairs,
+    plus the annotation/direct/alert payloads, all top-n-capped), and the
+    scoring join must broadcast the query side, not the table side."""
+    # PySpark 4 splits the API class from the concrete one — patch the
+    # class whose collect actually runs (classic, not the abstract base)
+    try:
+        import pyspark.sql.classic.dataframe as dfmod
+    except ImportError:  # pyspark < 4
+        import pyspark.sql.dataframe as dfmod
+
+    sizes = []
+    orig = dfmod.DataFrame.collect
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(dfmod.DataFrame, "collect", spy)
+    res = app.text_relations("ebola cases reported in Guinea and Bulgaria")
+    assert res["realism_score"]["classification"] in {"high", "medium", "low"}
+    assert sizes and max(sizes) <= 990 + 500  # pair bound + top_n alerts
+
+    # plan probe: the query pairs (tiny) are the broadcast side of the
+    # scoring join against the materialized table
+    from pyspark.sql import functions as FF
+
+    from outbreak_kg_spark.queries import broadcast as q_broadcast
+    q = app.spark.createDataFrame([("D0103", "D0303")], "m1 string, m2 string")
+    plan = (
+        app._pair_score_df.join(q_broadcast(q), ["m1", "m2"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def _get(app_wsgi, path, query=""):
+    """Drive the WSGI callable directly (contract test, no server)."""
+    captured = {}
+
+    def start_response(status, headers):
+        captured["status"] = status
+        captured["headers"] = dict(headers)
+
+    body = b"".join(app_wsgi({
+        "REQUEST_METHOD": "GET",
+        "PATH_INFO": path,
+        "QUERY_STRING": query,
+    }, start_response))
+    return captured["status"], captured["headers"], body
+
+
+def test_http_surface_endpoint_contracts(app):
+    """/v1 + /autocomplete parity through the WSGI layer (reference
+    kg/api.py routes + status codes, kg/autocomplete_blueprint.py)."""
+    import json as _json
+
+    from outbreak_kg_spark.http_api import make_wsgi_app
+
+    wsgi = make_wsgi_app(app)
+    st, hdrs, body = _get(wsgi, "/v1/healthcheck")
+    assert st == "200 OK" and body == b"OK"
+    assert hdrs["Access-Control-Allow-Origin"] == "*"
+
+    st, _h, body = _get(wsgi, "/v1/alerts",
+                        "disease=Virus%20Diseases&geolocation=Africa")
+    rows = _json.loads(body)
+    assert st == "200 OK" and rows
+    assert all(r["disease_isa"] == "MESH:D0101" for r in rows)
+
+    st, _h, body = _get(wsgi, "/v1/indicators")
+    assert st == "400 Bad Request" and body == b"Country not specified"
+    st, _h, body = _get(wsgi, "/v1/indicators",
+                        "geolocation=Guinea&indicator_filter=HIV")
+    assert st == "200 OK"
+    assert all("HIV" in r["indicator_name"] for r in _json.loads(body))
+
+    st, _h, body = _get(wsgi, "/v1/text_relations",
+                        "text=ebola%20in%20Guinea")
+    res = _json.loads(body)
+    assert st == "200 OK" and {a["curie"] for a in res["annotations"]} >= {
+        "MESH:D0103", "MESH:D0303"}
+    assert res["realism_score"]["classification"] in {"high", "medium", "low"}
+
+    some = app.extracted.filter("valid").first()
+    st, _h, body = _get(wsgi, f"/v1/alerts/{some.archive_number}")
+    assert st == "200 OK" and body.decode() == some.extracted_text
+    st, _h, _b = _get(wsgi, "/v1/alerts/nope")
+    assert st == "404 Not Found"
+
+    st, _h, body = _get(wsgi, "/autocomplete/diseases", "prefix=bird")
+    hits = _json.loads(body)
+    assert st == "200 OK" and ["bird flu", "Influenza, Avian",
+                               "MESH:D0105", ""] in hits
+    st, _h, body = _get(wsgi, "/autocomplete/diseases", "prefix=has%3Acolon")
+    assert _json.loads(body) == []
+
+    st, _h, _b = _get(wsgi, "/v1/find_literature", "mesh_ids=MESH:D0103")
+    assert st == "503 Service Unavailable"
+    st, _h, _b = _get(wsgi, "/no/such/route")
+    assert st == "404 Not Found"

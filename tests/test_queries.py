@@ -153,6 +153,36 @@ def test_autocomplete(spark, kg):
     assert {r.name for r in geo.collect()} == {"Africa", "Guinea"}
 
 
+def test_autocomplete_synonyms(spark):
+    """Synonym indexing parity (kg/get_lookups.py:46-59): a user typing
+    'bird flu' must reach Influenza, Avian through the gazetteer synonym;
+    the matched surface rides along next to the canonical name; without a
+    gazetteer the synonym prefix finds nothing; synonyms of vocabulary
+    entries NOT in the graph stay invisible."""
+    from outbreak_kg_spark import synth
+
+    nodes = spark.createDataFrame(
+        [("MESH:D0105", "Influenza, Avian", ["disease", "entity"],
+          "disease", None),
+         ("MESH:D0111", "Fever", ["disease", "entity"], "disease", None)],
+        "curie string, name string, labels array<string>, node_type string, "
+        "timestamp string",
+    )
+    gaz = synth.gazetteer_df(spark)
+    res = queries.autocomplete(nodes, "disease", "bird", gazetteer=gaz)
+    assert [(r.matched, r.name, r.curie) for r in res.collect()] == [
+        ("bird flu", "Influenza, Avian", "MESH:D0105")
+    ]
+    assert queries.autocomplete(nodes, "disease", "bird").count() == 0
+    # "ebola" is a synonym of MESH:D0103, which is NOT a node here
+    assert queries.autocomplete(
+        nodes, "disease", "ebola", gazetteer=gaz).count() == 0
+    # canonical-name prefixes still work with the gazetteer attached, and
+    # a name that is also its own synonym is not duplicated
+    fev = queries.autocomplete(nodes, "disease", "f", gazetteer=gaz)
+    assert [r.name for r in fev.collect()] == ["Fever"]
+
+
 def test_literature_pvalues_ordering(spark):
     rows = []
     # pmid 1: all three query terms + nothing else (tight overlap)
