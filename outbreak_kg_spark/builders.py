@@ -28,6 +28,38 @@ def _python_round3(v):
     indicator tables."""
     return v.map(lambda x: None if x is None else round(x, 3))
 
+def _file_order_ordinal(df: DataFrame):
+    """Orderable struct that follows INPUT-FILE row order for file-based
+    sources. monotonically_increasing_id alone is NOT file order on
+    multi-split reads: Spark packs splits into partitions by size
+    (descending), so the partition-index high bits can invert two splits
+    of one file. The hidden ``_metadata`` column fixes the split:
+    (file_path, file_block_start) orders splits by file then byte offset,
+    and the id's low 33 bits (the per-partition record counter) increase
+    in row order WITHIN a split — cross-split counter values never
+    compare because the block-start field differs first. In-memory frames
+    (createDataFrame — no _metadata) fall back to the raw id, which does
+    follow element order there (parallelize assigns partition indexes in
+    sequence)."""
+    ctr = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+    try:
+        # analysis-time availability probe (metadata cols are hidden —
+        # absent from df.schema, resolvable only against a file relation)
+        df.select(F.col("_metadata.file_path"),
+                  F.col("_metadata.file_block_start"))
+        return F.struct(
+            F.col("_metadata.file_path").alias("f"),
+            F.col("_metadata.file_block_start").alias("b"),
+            ctr.alias("i"),
+        )
+    except Exception:  # AnalysisException: not a file source
+        return F.struct(
+            F.lit("").alias("f"),
+            F.lit(0).cast("long").alias("b"),
+            F.monotonically_increasing_id().alias("i"),
+        )
+
+
 # Typed-pair patterns that make a co-mention "interesting" (kg/build.py:
 # 64-68) — the reference's relation-extraction rule (SURVEY.md A4).
 INTERESTING_TYPE_PAIRS = [
@@ -344,7 +376,7 @@ def build_indicators(
         # order for a repeated (country, series, year) cell (kg/build.py:
         # 288-296), so the dedup below must break year ties on input
         # position, not on value.
-        df = df.withColumn("_ord", F.monotonically_increasing_id())
+        df = df.withColumn("_ord", _file_order_ordinal(df))
         mapped = (
             df.join(lm, F.col(cname) == F.col("_lm_src"), "left")
             .withColumn("_country", F.coalesce("_lm_dst", F.col(cname)))

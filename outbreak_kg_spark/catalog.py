@@ -119,11 +119,28 @@ class Catalog:
                     .filter("col_name = 'Location'")
                     .collect()
                 )
-                if loc and loc[0]["data_type"].rstrip("/").endswith(
-                    self._ident(name).rstrip("/").lstrip("file:")
-                ):
+                if loc and _norm_location(loc[0]["data_type"]) == \
+                        _norm_location(self._ident(name)):
                     return self.spark.read.table(legacy)
         return self.spark.read.table(ident)
+
+
+def _norm_location(p: str) -> str:
+    """Canonical absolute path of a storage location for EQUALITY
+    comparison (the legacy-table migration guard): parse off the URI
+    scheme properly — a suffix match, or lstrip('file:') (a CHAR-SET
+    strip that would eat the leading 'l' of 'lake/...'), can equate two
+    different roots whose paths merely share a tail."""
+    import os
+    from urllib.parse import urlparse
+
+    parsed = urlparse(p)
+    path = parsed.path if parsed.scheme else p
+    if not path.startswith("/"):
+        path = os.path.abspath(path)
+    # keep the authority (hdfs://namenode, s3a://bucket): equal paths on
+    # two different filesystems are NOT the same location
+    return (parsed.netloc or "") + path.rstrip("/")
 
 
 def _table_name(root: str, name: str) -> str:

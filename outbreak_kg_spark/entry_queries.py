@@ -2820,3 +2820,48 @@ def all_oracle_sql():
         "range_join_events": SQL_RANGE_JOIN_EVENTS,
         "join_name_coalesce": SQL_JOIN_NAME_COALESCE,
     }
+
+
+def extra_queries():
+    """Oracle-gated entries BEYOND the driver's 50-entry window.
+
+    The round-3 registry consolidation moved these out of all_queries()
+    (the driver hashes only its first 50 keys); each remains a live,
+    independently-verified operator gate — tests/test_entry_oracles.py
+    parametrizes over all_queries() ∪ extra_queries() and runs the
+    IDENTICAL Spark-vs-DuckDB contract on both. Kept separate so the
+    driver window stays exactly the 50 consolidated families while the
+    finer-grained twins (per-signal text entries, the brute-force oracle
+    twins of the LSH/IVF scale paths, the coverage/candidate legs) retain
+    hard correctness evidence rather than rotting as dead code."""
+    return {
+        "kg_mention_pairs_grouped": q_kg_mention_pairs_grouped,
+        "kg_cooccur_scores": q_kg_cooccur_scores,
+        "kg_literature_candidates": q_kg_literature_candidates,
+        "kg_coverage_metrics": q_kg_coverage_metrics,
+        "json_extract_props": q_json_extract_props,
+        "dedup_minhash_sigs": q_dedup_minhash_sigs,
+        "similarity_neardup": q_similarity_neardup,
+        "text_lang_id": q_text_lang_id,
+        "text_token_counts": q_text_token_counts,
+        "text_fingerprints": q_text_fingerprints,
+        "text_quality": q_text_quality,
+    }
+
+
+def extra_oracle_sql():
+    return {
+        "kg_mention_pairs_grouped": SQL_KG_MENTION_PAIRS,
+        "kg_cooccur_scores": SQL_KG_COOCCUR_SCORES,
+        "kg_literature_candidates": SQL_KG_LIT_CANDIDATES,
+        "kg_coverage_metrics": SQL_KG_COVERAGE_METRICS.format(
+            mentions=_SQL_MENTIONS
+        ),
+        "json_extract_props": SQL_JSON_EXTRACT,
+        "dedup_minhash_sigs": SQL_DEDUP_MINHASH,
+        "similarity_neardup": SQL_SIM_NEARDUP,
+        "text_lang_id": _sql_lang_id(),
+        "text_token_counts": SQL_TEXT_TOKEN_COUNTS,
+        "text_fingerprints": SQL_TEXT_FINGERPRINTS,
+        "text_quality": _sql_text_quality(),
+    }

@@ -33,6 +33,19 @@ _AUTOCOMPLETE_LABELS = {
 }
 
 
+def _int_arg(q: dict, name: str, default):
+    """Flask request.args.get(name, default, type=int) semantics: a
+    malformed value degrades to the default instead of escaping as a
+    ValueError -> 500 out of the WSGI app."""
+    raw = q.get(name)
+    if raw is None:
+        return default
+    try:
+        return int(raw)
+    except ValueError:
+        return default
+
+
 def make_wsgi_app(api, mesh_pmids=None, meta_fetcher=None):
     """WSGI callable over a KgApi. mesh_pmids (the literature co-annotation
     DataFrame) and meta_fetcher (PubMed metadata seam, api.get_pubmed_meta)
@@ -67,7 +80,7 @@ def make_wsgi_app(api, mesh_pmids=None, meta_fetcher=None):
                 pathogen=q.get("pathogen"),
                 timestamp=q.get("timestamp"),
                 symptom=q.get("symptom"),
-                limit=q.get("limit"),
+                limit=_int_arg(q, "limit", None),
             ))
 
         if path.startswith("/v1/alerts/"):
@@ -95,7 +108,7 @@ def make_wsgi_app(api, mesh_pmids=None, meta_fetcher=None):
                 return respond(start_response, "503 Service Unavailable",
                                "literature index not loaded", "text/plain")
             mesh_ids = (q.get("mesh_ids") or "").split(",")
-            limit = int(q.get("limit", 20))
+            limit = _int_arg(q, "limit", 20)
             return respond(start_response, "200 OK", api.find_literature(
                 mesh_pmids, mesh_ids, limit=limit,
                 include_meta=meta_fetcher is not None,
@@ -106,7 +119,7 @@ def make_wsgi_app(api, mesh_pmids=None, meta_fetcher=None):
             label = _AUTOCOMPLETE_LABELS.get(path[len("/autocomplete/"):])
             if label is not None:
                 prefix = q.get("prefix") or ""
-                top_n = min(int(q.get("top_n", 100)), 100)
+                top_n = min(_int_arg(q, "top_n", 100), 100)
                 return respond(start_response, "200 OK",
                                api.autocomplete(label, prefix, top_n))
 

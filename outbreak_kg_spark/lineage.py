@@ -124,6 +124,7 @@ def run_stage(
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
             writer.option("path", out).saveAsTable(tbl)
+            _write_bucket_marker(spark, out, col, n)
         else:
             writer = df.write.mode("overwrite")
             if partition_by:
@@ -147,6 +148,47 @@ def _stage_table_name(root: str, name: str) -> str:
     return f"kg_stage_{tag}_{name}"
 
 
+_BUCKET_MARKER = "_kg_bucket_spec.json"
+
+
+def _write_bucket_marker(spark: SparkSession, out: str, col: str,
+                         n: int) -> None:
+    """Record the bucket spec the files were ACTUALLY written with, next to
+    them (leading underscore: invisible to parquet scans). Registering
+    CLUSTERED BY DDL over files that were not bucket-written — or were
+    written with a different bucket count — either throws
+    [INVALID_BUCKET_FILE] or, worse, plans exchange-free joins that
+    silently drop matching rows; the resume path therefore only trusts a
+    spec it can read back from this marker."""
+    import json
+
+    _jvm, _conf, jpath, fs = _hadoop(spark, f"{out}/{_BUCKET_MARKER}")
+    stream = fs.create(jpath, True)
+    try:
+        stream.write(bytearray(json.dumps({"col": col, "n": n}).encode()))
+    finally:
+        stream.close()
+
+
+def _read_bucket_marker(spark: SparkSession, out: str) -> dict | None:
+    import json
+
+    jvm, _conf, jpath, fs = _hadoop(spark, f"{out}/{_BUCKET_MARKER}")
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        raw = str(jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"))
+    finally:
+        stream.close()
+    try:
+        spec = json.loads(raw)
+        return spec if {"col", "n"} <= set(spec) else None
+    except ValueError:
+        return None
+
+
 def _read_bucketed_stage(
     spark: SparkSession,
     root: str,
@@ -157,10 +199,18 @@ def _read_bucketed_stage(
 ) -> DataFrame:
     """Catalog-backed reader for a bucketed stage; re-registers the
     external table when the session metastore doesn't know it (resume in
-    a fresh session over committed files)."""
+    a fresh session over committed files). The registered spec is the one
+    in the at-rest marker, NOT the caller's request: files committed by a
+    pre-bucketing run (no marker) are read as plain parquet (correct,
+    just shuffles), and a caller whose bucket count drifted from the
+    committed files' gets the committed spec (the files' hash layout is
+    the truth)."""
     tbl = _stage_table_name(root, name)
     if not spark.catalog.tableExists(tbl):
-        col, n = bucket_by
+        spec = _read_bucket_marker(spark, out)
+        if spec is None:
+            return spark.read.parquet(out)
+        col, n = spec["col"], int(spec["n"])
         parts = list(partition_by or [])
         schema = spark.read.parquet(out).schema
         data_cols = ", ".join(

@@ -595,9 +595,26 @@ def autocomplete(nodes: DataFrame, label: str, prefix: str,
         syn_rows = out.select("curie", "name", "node_type").join(
             broadcast(syn), "curie"
         )
-        cands = cands.unionByName(
-            syn_rows.select("curie", "name", "node_type", "matched")
-        ).dropDuplicates(["curie", "matched"])
+        # case-INSENSITIVE concept dedup, name row preferred: the
+        # reference's lower-cased pytrie keys store one entry per
+        # (concept, lower(surface)) — a synonym differing from the node
+        # name only in case must not yield the same concept twice (nor
+        # burn a second slot in the 100-row cap)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("curie", F.lower("matched")).orderBy(
+            "_pri", "matched"
+        )
+        cands = (
+            cands.withColumn("_pri", F.lit(0))
+            .unionByName(
+                syn_rows.select("curie", "name", "node_type", "matched")
+                .withColumn("_pri", F.lit(1))
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_pri", "_rn")
+        )
     return (
         cands.filter(F.lower("matched").startswith(prefix.lower()))
         .orderBy(F.lower("matched"), "curie")

@@ -217,3 +217,19 @@ def test_http_surface_endpoint_contracts(app):
     assert st == "503 Service Unavailable"
     st, _h, _b = _get(wsgi, "/no/such/route")
     assert st == "404 Not Found"
+
+
+def test_http_malformed_int_params_degrade(app):
+    """Flask's request.args.get(type=int) degrades malformed ints to the
+    default; the WSGI surface must not 500 on ?limit=abc / ?top_n=abc."""
+    import json as _json
+
+    from outbreak_kg_spark.http_api import make_wsgi_app
+
+    wsgi = make_wsgi_app(app)
+    st, _h, body = _get(wsgi, "/v1/alerts",
+                        "disease=Virus%20Diseases&limit=abc")
+    assert st == "200 OK" and _json.loads(body)
+    st, _h, body = _get(wsgi, "/autocomplete/diseases",
+                        "prefix=e&top_n=abc")
+    assert st == "200 OK" and _json.loads(body)

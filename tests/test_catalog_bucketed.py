@@ -75,3 +75,24 @@ def test_two_roots_do_not_alias_one_table(spark, tmp_path):
     b.write_bucketed("edges", df_b, "k", n_buckets=4)
     assert {r.k for r in a.read_bucketed("edges").collect()} == set(range(5))
     assert {r.k for r in b.read_bucketed("edges").collect()} == {100, 101, 102}
+
+
+def test_legacy_location_guard_rejects_other_roots():
+    """The migration fallback must only accept a legacy table whose
+    location IS this catalog's path — not one that merely ends with it
+    ('/b/a/kg/edges' vs root '/a/kg'), and scheme stripping must not eat
+    path characters ('lake/...' is not 'ake/...')."""
+    from outbreak_kg_spark.catalog import _norm_location
+
+    assert _norm_location("file:/a/kg/edges") == "/a/kg/edges"
+    assert _norm_location("/a/kg/edges/") == "/a/kg/edges"
+    assert _norm_location("file:/b/a/kg/edges") != \
+        _norm_location("/a/kg/edges")
+    # relative local root resolves absolute, not char-stripped
+    import os
+
+    assert _norm_location("lake/edges") == \
+        os.path.abspath("lake/edges")
+    # different authorities are different locations
+    assert _norm_location("hdfs://nn1:8020/kg/e") != \
+        _norm_location("hdfs://nn2:8020/kg/e")

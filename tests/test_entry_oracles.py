@@ -44,16 +44,22 @@ def _rowset(cols, rows):
     return out
 
 
-NAMES = sorted(entry_mod.queries().keys())
+from outbreak_kg_spark import entry_queries as _eq
+
+# driver window (first 50 = all of queries()) PLUS the finer-grained
+# entries consolidated out of it in round 3 — identical contract for both
+_ALL_Q = {**entry_mod.queries(), **_eq.extra_queries()}
+_ALL_SQL = {**entry_mod.oracle_sql(), **_eq.extra_oracle_sql()}
+NAMES = sorted(_ALL_Q.keys())
 
 
 @pytest.mark.parametrize("name", NAMES)
 def test_query_matches_oracle(spark, ddb, name):
-    q = entry_mod.queries()[name]
+    q = _ALL_Q[name]
     sdf = q(spark, SF_DIR)
     srows = [tuple(r) for r in sdf.collect()]
     scols = list(sdf.columns)
-    oracle = entry_mod.oracle_sql().get(name)
+    oracle = _ALL_SQL.get(name)
     if oracle is None:
         assert len(srows) >= 0  # rows-only contract
         return

@@ -248,3 +248,40 @@ def test_bucketed_stages_join_without_scan_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert {tuple(r) for r in e2.collect()} == \
         {tuple(r) for r in m.collect()}
+
+
+def test_bucketed_resume_over_plain_parquet_files(spark, tmp_path):
+    """A stage committed by a PRE-bucketing run (plain parquet, no bucket
+    marker) must resume cleanly when the caller now requests bucket_by:
+    registering CLUSTERED BY DDL over non-bucket-written files throws
+    [INVALID_BUCKET_FILE] on scan (or silently drops join rows if the
+    file-name bucket ids happen to parse) — the marker-gated reader falls
+    back to a plain read instead."""
+    from outbreak_kg_spark.lineage import _stage_table_name
+
+    root = str(tmp_path / "kg")
+    df = spark.range(100).withColumnRenamed("id", "subj")
+
+    # round-2-style commit: plain parquet, no marker
+    first = run_stage(spark, root, "edges", lambda: df)
+    assert first.count() == 100
+    tbl = _stage_table_name(root, "edges")
+    assert not spark.catalog.tableExists(tbl)
+
+    # round-3 caller requests bucketing on the already-committed stage
+    resumed = run_stage(spark, root, "edges", lambda: df,
+                        bucket_by=("subj", 4))
+    assert resumed.count() == 100  # plain fallback, not INVALID_BUCKET_FILE
+    assert not spark.catalog.tableExists(tbl)  # no bucket DDL was claimed
+
+    # force-rebuild writes bucketed + marker; a caller with a DRIFTED
+    # bucket count then gets the COMMITTED files' spec, not its request
+    run_stage(spark, root, "edges", lambda: df, bucket_by=("subj", 4),
+              force=True)
+    spark.sql(f"DROP TABLE {tbl}")  # fresh-session metastore
+    drifted = run_stage(spark, root, "edges", lambda: df,
+                        bucket_by=("subj", 16))
+    assert drifted.count() == 100
+    desc = spark.sql(f"DESCRIBE FORMATTED {tbl}").collect()
+    n_buckets = [r.data_type for r in desc if r.col_name == "Num Buckets"]
+    assert n_buckets == ["4"]

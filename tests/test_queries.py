@@ -310,3 +310,25 @@ def test_fisher_batch_degenerate_cells_match_scalar():
     got = fisher_exact_greater_batch(a, b, c, d)
     want = [fisher_exact_greater(*cell) for cell in cells]
     assert np.allclose(got, want, rtol=1e-9, atol=1e-12), (got, want)
+
+
+def test_autocomplete_case_insensitive_concept_dedup(spark):
+    """A synonym differing from the node name only in case collapses to
+    ONE entry per concept (the reference's lower-cased pytrie keys), with
+    the canonical-name row preferred as the matched surface."""
+    nodes = spark.createDataFrame(
+        [("MESH:D0105", "Influenza, Avian", ["disease", "entity"],
+          "disease", None)],
+        "curie string, name string, labels array<string>, node_type string, "
+        "timestamp string",
+    )
+    gaz = spark.createDataFrame(
+        [("MESH", "D0105", "Influenza, Avian", "influenza, avian",
+          "disease")],
+        "ns string, id string, entry_name string, synonym string, "
+        "node_type string",
+    )
+    res = queries.autocomplete(nodes, "disease", "influenza", gazetteer=gaz)
+    assert [(r.matched, r.curie) for r in res.collect()] == [
+        ("Influenza, Avian", "MESH:D0105")
+    ]

@@ -80,3 +80,48 @@ def test_build_indicators_tolerates_duplicate_year_rows(spark):
     )
     got = [r.years_data for r in edges.collect()]
     assert got and all(y["2019"] == 2.0 for y in got)
+
+
+def test_duplicate_year_last_wins_from_csv_file(spark, tmp_path):
+    """File-source variant of the duplicate-(country,series,year) dedup:
+    the ordinal must come from the _metadata column (file path + block
+    offset + in-split counter), because monotonically_increasing_id's
+    partition high bits do NOT follow file order on multi-split reads.
+    The LAST row of the file wins, like the reference's dict overwrite."""
+    cols = ["Country Name", "Series Code", "Series Name", "2019 [YR2019]"]
+    p = tmp_path / "health.csv"
+    p.write_text(
+        '"Country Name","Series Code","Series Name","2019 [YR2019]"\n'
+        '"Viet Nam","SH.XPD","Health expenditure","9.9"\n'
+        '"Viet Nam","SH.XPD","Health expenditure","2.0"\n'
+    )
+    health = spark.read.option("header", True).csv(str(p))
+    dev = spark.createDataFrame([], ", ".join(f"`{c}` string" for c in cols))
+    mesh_nodes = spark.createDataFrame(
+        [("MESH:D014744", "Vietnam", ["geoloc", "entity"], "geoloc", None)],
+        "curie string, name string, labels array<string>, node_type string, "
+        "timestamp string",
+    )
+    _nodes, edges = build_indicators(
+        dev, health, mesh_nodes, wb_location_map_df(spark)
+    )
+    got = [r.years_data for r in edges.collect()]
+    assert got and all(y["2019"] == 2.0 for y in got)
+
+
+def test_file_order_ordinal_follows_file_rows(spark, tmp_path):
+    """_file_order_ordinal sorts file-source rows by (path, block, row)
+    and falls back to monotonically_increasing_id for in-memory frames."""
+    from outbreak_kg_spark.builders import _file_order_ordinal
+
+    a = tmp_path / "a.csv"
+    a.write_text("v\n" + "\n".join(f"r{i}" for i in range(50)) + "\n")
+    df = spark.read.option("header", True).csv(str(a))
+    ordered = [
+        r.v for r in df.withColumn("_ord", _file_order_ordinal(df))
+        .orderBy("_ord").collect()
+    ]
+    assert ordered == [f"r{i}" for i in range(50)]
+
+    mem = spark.createDataFrame([(i,) for i in range(10)], "v int")
+    assert mem.withColumn("_ord", _file_order_ordinal(mem)).count() == 10
