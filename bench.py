@@ -257,10 +257,37 @@ def main() -> None:
         # FIRST timed query absorbs the whole JVM/worker cold start and
         # reads several seconds slow regardless of its own plan
         _force(qs[HEADLINE[0]](spark, sf_dir))
+        # best-of-2 per query: this host's wall times are bimodal (see
+        # host_calibration) — a single sample taken inside a degraded
+        # window reads 3-7x slow and fabricates a per-query regression.
+        # Two samples of the same warm plan make the min a stable reading
+        # while still charging any real plan cost both times.
+        # kg_ner_mentions is the query that MATERIALIZES the memoized
+        # mentions persist (entry_queries.entry_mentions) — without a
+        # reset its second sample would time a cache scan, not the NER
+        # pass. Resetting before each sample keeps both samples honest;
+        # the final sample leaves the persist warm for the queries that
+        # legitimately consume it at rest (same regime as round 2, where
+        # every mentions consumer after the first ran against the memo).
+        from outbreak_kg_spark.entry_queries import _MENTIONS_CACHE
+
+        def _reset_mentions():
+            per_session = _MENTIONS_CACHE.get(spark)
+            if per_session:
+                for cached in per_session.values():
+                    cached.unpersist()
+                per_session.clear()
+
         for name in HEADLINE:
-            t0 = time.monotonic()
-            _force(qs[name](spark, sf_dir))
-            qtimes[name] = round(time.monotonic() - t0, 3)
+            best = None
+            for _ in range(2):
+                if name == "kg_ner_mentions":
+                    _reset_mentions()
+                t0 = time.monotonic()
+                _force(qs[name](spark, sf_dir))
+                dt = time.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+            qtimes[name] = round(best, 3)
 
     # warm-up (JVM JIT/codegen/python workers), then best-of-3 measured runs
     # in the warm JVM — this host's wall times are bimodal (single samples
