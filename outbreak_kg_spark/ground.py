@@ -210,12 +210,21 @@ def scan_terms(text: str, trie: dict) -> list[tuple]:
     # form expands (e.g. 'İ' -> 'i' + combining dot splits under \w+)
     toks = [t.lower() for t in _TOKEN_RE.findall(text)]
     out = []
-    i, n = 0, len(toks)
-    while i < n:
-        node = trie
-        match_end = -1
-        match_val = None
-        j = i
+    n = len(toks)
+    # `tok in trie` head test + enumerate replaces the original
+    # while-i/trie.get descent for the overwhelmingly common miss case
+    # (vocabulary head tokens are a tiny fraction of corpus tokens): one
+    # dict membership per token instead of a get/None-check/bookkeeping
+    # round. `skip` preserves the greedy non-overlap semantics — tokens
+    # consumed by a match cannot start a new one.
+    skip = 0
+    for i, tok in enumerate(toks):
+        if i < skip or tok not in trie:
+            continue
+        node = trie[tok]
+        match_end = i if 0 in node else -1
+        match_val = node[0] if 0 in node else None
+        j = i + 1
         while j < n:
             node = node.get(toks[j])
             if node is None:
@@ -225,9 +234,7 @@ def scan_terms(text: str, trie: dict) -> list[tuple]:
             j += 1
         if match_val is not None:
             out.append(match_val)
-            i = match_end + 1
-        else:
-            i += 1
+            skip = match_end + 1
     return out
 
 
