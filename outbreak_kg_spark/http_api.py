@@ -36,14 +36,33 @@ _AUTOCOMPLETE_LABELS = {
 def _int_arg(q: dict, name: str, default):
     """Flask request.args.get(name, default, type=int) semantics: a
     malformed value degrades to the default instead of escaping as a
-    ValueError -> 500 out of the WSGI app."""
+    ValueError -> 500 out of the WSGI app. Negative values degrade too —
+    they would reach DataFrame.limit(), which (unlike pandas .head)
+    raises INVALID_LIMIT_LIKE_EXPRESSION on negatives."""
     raw = q.get(name)
     if raw is None:
         return default
     try:
-        return int(raw)
+        val = int(raw)
     except ValueError:
         return default
+    return default if val < 0 else val
+
+
+def _json_safe(obj):
+    """Replace non-finite floats (the realism scorer emits -inf when fewer
+    than two MeSH terms ground) with None: json.dumps would otherwise emit
+    bare -Infinity, which is not JSON and breaks strict clients."""
+    if isinstance(obj, float):
+        return obj if obj == obj and obj not in (_INF, -_INF) else None
+    if isinstance(obj, dict):
+        return {k: _json_safe(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_json_safe(v) for v in obj]
+    return obj
+
+
+_INF = float("inf")
 
 
 def make_wsgi_app(api, mesh_pmids=None, meta_fetcher=None):
@@ -53,7 +72,8 @@ def make_wsgi_app(api, mesh_pmids=None, meta_fetcher=None):
     503 rather than pretending the corpus is empty."""
 
     def respond(start_response, status, payload, ctype="application/json"):
-        body = (json.dumps(payload) if ctype == "application/json"
+        body = (json.dumps(_json_safe(payload))
+                if ctype == "application/json"
                 else payload).encode("utf-8")
         start_response(status, [
             ("Content-Type", f"{ctype}; charset=utf-8"),

@@ -57,10 +57,24 @@ def merge_edge_counts(
         *keys, count_col, *payload, F.lit(0).alias("_src")
     ).unionByName(delta.select(*keys, count_col, *payload,
                                F.lit(1).alias("_src")))
+
+    def _first_wins(c):
+        # first-wins: existing (_src=0) beats delta (_src=1). Orderable
+        # payloads ride a struct-min (ties broken by the value itself, so
+        # duplicate delta keys resolve deterministically). Map-typed
+        # payloads (years_data) are unorderable under struct comparison —
+        # Spark rejects min(struct(_src, map)) statically — so they take
+        # min_by with a (src, to_json) ordering key: same winner, same
+        # determinism, value type unconstrained.
+        dt = tagged.schema[c].dataType.simpleString()
+        if "map<" in dt:
+            return F.min_by(
+                c, F.struct(F.col("_src"), F.to_json(c))
+            ).alias(c)
+        return F.min(F.struct("_src", c))[c].alias(c)
+
     aggs = [F.sum(count_col).alias(count_col)] + [
-        # first-wins: existing (_src=0) beats delta (_src=1); struct
-        # min orders by _src first, so the winning payload rides along
-        F.min(F.struct("_src", c))[c].alias(c) for c in payload
+        _first_wins(c) for c in payload
     ]
     return tagged.groupBy(*keys).agg(*aggs)
 

@@ -124,8 +124,15 @@ def run_stage(
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
             writer.option("path", out).saveAsTable(tbl)
-            _write_bucket_marker(spark, out, col, n)
+            _write_bucket_marker(spark, out, col, n, partition_by)
         else:
+            # a bucketed run may have registered a stage table over this
+            # path earlier in the session; the plain overwrite deletes the
+            # bucket marker but not the catalog entry, and a later
+            # bucketed resume would then serve CLUSTERED BY metadata over
+            # non-bucketed files
+            spark.sql(
+                f"DROP TABLE IF EXISTS {_stage_table_name(root, name)}")
             writer = df.write.mode("overwrite")
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
@@ -152,7 +159,8 @@ _BUCKET_MARKER = "_kg_bucket_spec.json"
 
 
 def _write_bucket_marker(spark: SparkSession, out: str, col: str,
-                         n: int) -> None:
+                         n: int,
+                         partition_by: list[str] | None = None) -> None:
     """Record the bucket spec the files were ACTUALLY written with, next to
     them (leading underscore: invisible to parquet scans). Registering
     CLUSTERED BY DDL over files that were not bucket-written — or were
@@ -165,7 +173,9 @@ def _write_bucket_marker(spark: SparkSession, out: str, col: str,
     _jvm, _conf, jpath, fs = _hadoop(spark, f"{out}/{_BUCKET_MARKER}")
     stream = fs.create(jpath, True)
     try:
-        stream.write(bytearray(json.dumps({"col": col, "n": n}).encode()))
+        stream.write(bytearray(json.dumps(
+            {"col": col, "n": n, "parts": list(partition_by or [])}
+        ).encode()))
     finally:
         stream.close()
 
@@ -211,7 +221,15 @@ def _read_bucketed_stage(
         if spec is None:
             return spark.read.parquet(out)
         col, n = spec["col"], int(spec["n"])
-        parts = list(partition_by or [])
+        # partition spec also comes from the marker (same at-rest-truth
+        # rule as the bucket spec): a caller whose partition_by drifted
+        # from the committed layout would otherwise register PARTITIONED
+        # BY DDL over files with no partition directories, which MSCK
+        # resolves to zero partitions — a silently empty table. Markers
+        # written before "parts" existed fall back to the caller's list.
+        parts = list(spec.get("parts")
+                     if spec.get("parts") is not None
+                     else (partition_by or []))
         schema = spark.read.parquet(out).schema
         data_cols = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}"

@@ -32,6 +32,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _q(c: str):
+    """Column reference by LITERAL name: F.col parses unquoted dots as
+    struct-field access, so names are backtick-quoted before resolution."""
+    return F.col("`" + c.replace("`", "``") + "`")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -63,27 +69,27 @@ def asof_join(
 
     lu = left.select(
         *key_cols,
-        F.col(left_ts).alias("_t"),
+        _q(left_ts).alias("_t"),
         l_tag.alias("_side"),
-        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+        F.struct(*[_q(c) for c in left.columns]).alias("_l"),
         F.lit(None).cast(
             right.select(
                 F.struct(
-                    F.col(right_ts).alias("_rt"), *right_value_cols
+                    _q(right_ts).alias("_rt"), *[_q(c) for c in right_value_cols]
                 ).alias("s")
             ).schema["s"].dataType
         ).alias("_r"),
     )
     ru = right.select(
         *key_cols,
-        F.col(right_ts).alias("_t"),
+        _q(right_ts).alias("_t"),
         r_tag.alias("_side"),
         F.lit(None).cast(
             left.select(
-                F.struct(*[F.col(c) for c in left.columns]).alias("s")
+                F.struct(*[_q(c) for c in left.columns]).alias("s")
             ).schema["s"].dataType
         ).alias("_l"),
-        F.struct(F.col(right_ts).alias("_rt"), *right_value_cols).alias("_r"),
+        F.struct(_q(right_ts).alias("_rt"), *[_q(c) for c in right_value_cols]).alias("_r"),
     )
     w = (
         Window.partitionBy(*key_cols)
@@ -96,9 +102,9 @@ def asof_join(
         .filter(F.col("_l").isNotNull())
     )
     return matched.select(
-        *[F.col(f"_l.{c}").alias(c) for c in left.columns],
-        F.col(f"_m._rt").alias(f"{right_ts}{suffix}"),
-        *[F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in right_value_cols],
+        *[F.col("_l").getField(c).alias(c) for c in left.columns],
+        F.col("_m").getField("_rt").alias(f"{right_ts}{suffix}"),
+        *[F.col("_m").getField(c).alias(f"{c}{suffix}") for c in right_value_cols],
     )
 
 
@@ -131,7 +137,11 @@ def range_join(
         # non-uniformly) — so NTZ wall times are linearized with tz-free
         # field arithmetic instead (days-since-epoch * 86400 + wall
         # seconds-of-day, fractional seconds included).
-        col = F.col(c)
+        # backtick-quote the identifier everywhere it is referenced: both
+        # F.expr AND F.col parse dotted names as nested-field access, so a
+        # ts column literally named "event.ts" needs `event.ts` in each
+        quoted = "`" + c.replace("`", "``") + "`"
+        col = F.col(quoted)
         if dict(df.dtypes).get(c) == "timestamp_ntz":
             return (
                 F.datediff(F.to_date(col),
@@ -139,12 +149,8 @@ def range_join(
                 * 86400.0
                 + F.hour(col) * 3600.0
                 + F.minute(col) * 60.0
-                # backtick-quote the identifier: a ts column named with
-                # dots/spaces/hyphens must not be re-parsed as an
-                # expression (every other reference here goes through
-                # F.col, which quotes implicitly)
                 + F.expr(
-                    "extract(SECOND FROM `" + c.replace("`", "``") + "`)"
+                    f"extract(SECOND FROM {quoted})"
                 ).cast("double")
             )
         return col.cast("timestamp").cast("double")
@@ -156,13 +162,13 @@ def range_join(
         *key_cols,
         cell_l.alias("_cell"),
         _secs(left, left_ts).alias("_lt"),
-        *[F.col(c).alias(f"l_{c}") for c in left.columns if c not in key_cols],
+        *[_q(c).alias(f"l_{c}") for c in left.columns if c not in key_cols],
     )
     r = right.select(
         *key_cols,
         F.explode(F.array(cell_r, cell_r - 1)).alias("_cell"),
         _secs(right, right_ts).alias("_rt"),
-        *[F.col(c).alias(f"r_{c}") for c in right.columns if c not in key_cols],
+        *[_q(c).alias(f"r_{c}") for c in right.columns if c not in key_cols],
     )
     joined = l.join(r, [*key_cols, "_cell"]).withColumn(
         "dt_seconds", F.col("_rt") - F.col("_lt")

@@ -340,7 +340,7 @@ def redact_pii(df: DataFrame, text_col: str = "text",
 
 def unigram_surprisal(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id",
-                      vocab_fits_broadcast: bool = True,
+                      vocab_fits_broadcast: bool | None = True,
                       salt_buckets: int = 16) -> DataFrame:
     """CCNet-style quality proxy: per-doc mean/max token surprisal
     -log2 p(token) under the corpus's OWN unigram distribution. Natural
@@ -360,14 +360,21 @@ def unigram_surprisal(df: DataFrame, text_col: str = "text",
     deterministic hash of the doc id into salt_buckets sub-keys and the
     frequency side replicates each token row across all buckets, so a hot
     token's rows spread over salt_buckets reducers instead of one
-    (plan-tested in tests/test_plans.py on a zipfian corpus).
+    (plan-tested in tests/test_plans.py on a zipfian corpus). Forcing the
+    broadcast bypasses autoBroadcastJoinThreshold — a deliberately hinted
+    table that turns out huge fails the job — so when the vocabulary's
+    boundedness is UNKNOWN, pass vocab_fits_broadcast=None: the join is
+    left unhinted and Catalyst's size estimate + AQE skew splitting decide
+    (degrades to a live shuffle instead of a dead driver).
     """
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
                     lambda t: t != "")
     exploded = df.select(id_col, F.explode(toks).alias("token"))
     freq = exploded.groupBy("token").agg(F.count(F.lit(1)).alias("_tf"))
     total = freq.agg(F.sum("_tf").alias("_tot"))
-    if vocab_fits_broadcast:
+    if vocab_fits_broadcast is None:
+        joined = exploded.join(freq, "token")
+    elif vocab_fits_broadcast:
         joined = exploded.join(F.broadcast(freq), "token")
     else:
         salted = exploded.withColumn(

@@ -233,3 +233,36 @@ def test_http_malformed_int_params_degrade(app):
     st, _h, body = _get(wsgi, "/autocomplete/diseases",
                         "prefix=e&top_n=abc")
     assert st == "200 OK" and _json.loads(body)
+
+
+def test_http_negative_int_params_degrade(app):
+    """Negative limit/top_n would reach DataFrame.limit(), which raises
+    INVALID_LIMIT_LIKE_EXPRESSION on negatives (unlike pandas .head) —
+    the WSGI layer must degrade them to the default, not 500."""
+    import json as _json
+
+    from outbreak_kg_spark.http_api import make_wsgi_app
+
+    wsgi = make_wsgi_app(app)
+    st, _h, body = _get(wsgi, "/v1/alerts",
+                        "disease=Virus%20Diseases&limit=-1")
+    assert st == "200 OK" and _json.loads(body)
+    st, _h, body = _get(wsgi, "/autocomplete/diseases",
+                        "prefix=e&top_n=-1")
+    assert st == "200 OK" and _json.loads(body)
+
+
+def test_http_text_relations_json_is_strict(app):
+    """A one-annotation text yields -inf realism internals; the response
+    must still be STRICT JSON (json.dumps would emit bare -Infinity,
+    which JSON.parse rejects) — non-finite floats serialize as null."""
+    import json as _json
+
+    from outbreak_kg_spark.http_api import make_wsgi_app
+
+    wsgi = make_wsgi_app(app)
+    st, _h, body = _get(wsgi, "/v1/text_relations", "text=ebola")
+    assert st == "200 OK"
+    text = body.decode()
+    assert "Infinity" not in text and "NaN" not in text
+    _json.loads(text)  # strict parse must succeed

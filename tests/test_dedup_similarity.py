@@ -422,3 +422,20 @@ def test_contamination_flags(spark):
     assert r[1] == (2, True)    # 'alpha beta gamma', 'beta gamma delta'
     assert r[2] == (0, False)
     assert r[3] == (1, True)    # repeated hit counts once (distinct shingles)
+
+
+def test_unigram_surprisal_estimate_gated_mode(spark):
+    """vocab_fits_broadcast=None leaves the token->freq join unhinted
+    (Catalyst estimate + AQE decide) — same values as the hinted path."""
+    from outbreak_kg_spark import textstats
+
+    df = spark.createDataFrame(
+        [{"doc_id": i, "text": ("the common " * 10) + f"rare{i}"}
+         for i in range(20)]
+    )
+    a = {r.doc_id: (r.n_tokens, round(r.mean_surprisal, 9))
+         for r in textstats.unigram_surprisal(df).collect()}
+    b = {r.doc_id: (r.n_tokens, round(r.mean_surprisal, 9))
+         for r in textstats.unigram_surprisal(
+             df, vocab_fits_broadcast=None).collect()}
+    assert a == b

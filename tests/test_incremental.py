@@ -183,3 +183,34 @@ def test_upsert_null_partition_preserved(spark, tmp_path):
     assert got[("a", None, "b")] == (5, "run1")
     assert got[("x", None, "y")] == (7, "run2")
     assert got[("c", "isa", "d")] == (1, "run1")
+
+
+def test_merge_counts_map_payload(spark):
+    """years_data-shaped (map-typed) payload columns: struct-min ordering
+    rejects maps statically, so first-wins routes them through min_by —
+    both the merge and the fresh-table bootstrap must accept them."""
+    schema = "subj string, pred string, obj string, count int, years_data map<string,double>"
+    existing = spark.createDataFrame(
+        [("a", "p", "b", 1, {"2020": 1.0})], schema)
+    delta = spark.createDataFrame(
+        [("a", "p", "b", 2, {"2021": 9.0}),
+         ("x", "p", "y", 5, {"2022": 2.0})], schema)
+    got = {(r.subj, r.obj): (r["count"], dict(r.years_data))
+           for r in merge_edge_counts(existing, delta).collect()}
+    assert got[("a", "b")] == (3, {"2020": 1.0})      # existing wins
+    assert got[("x", "y")] == (5, {"2022": 2.0})
+
+
+def test_upsert_bootstrap_map_payload_aggregates(spark, tmp_path):
+    """Fresh-table bootstrap with a map payload AND duplicate delta keys:
+    must land as one summed row (same at-rest semantics as later
+    increments), not throw on struct-min(map) or write raw duplicates."""
+    path = os.path.join(str(tmp_path), "edges")
+    schema = "subj string, pred string, obj string, count int, years_data map<string,double>"
+    delta = spark.createDataFrame(
+        [("a", "p", "b", 1, {"2020": 1.0}),
+         ("a", "p", "b", 2, {"2020": 1.0})], schema)
+    upsert_edges(spark, path, delta)
+    rows = spark.read.parquet(path).collect()
+    assert len(rows) == 1
+    assert rows[0]["count"] == 3

@@ -285,3 +285,48 @@ def test_bucketed_resume_over_plain_parquet_files(spark, tmp_path):
     desc = spark.sql(f"DESCRIBE FORMATTED {tbl}").collect()
     n_buckets = [r.data_type for r in desc if r.col_name == "Num Buckets"]
     assert n_buckets == ["4"]
+
+
+def test_plain_force_rewrite_drops_stale_bucket_table(spark, tmp_path):
+    """A bucketed run registers a stage table; a later plain-parquet
+    force-rewrite of the same stage deletes the bucket marker but (before
+    the fix) left the catalog entry, so a subsequent bucketed resume in
+    the SAME session served CLUSTERED BY metadata over non-bucketed
+    files. The plain branch must drop the stale table."""
+    from outbreak_kg_spark.lineage import _stage_table_name
+
+    root = str(tmp_path / "kg")
+    df = spark.range(50).withColumnRenamed("id", "subj")
+    tbl = _stage_table_name(root, "edges")
+
+    run_stage(spark, root, "edges", lambda: df, bucket_by=("subj", 4))
+    assert spark.catalog.tableExists(tbl)
+
+    run_stage(spark, root, "edges", lambda: df, force=True)  # plain
+    assert not spark.catalog.tableExists(tbl)
+
+    # bucketed read over the now-plain files: marker is gone, falls back
+    resumed = run_stage(spark, root, "edges", lambda: df,
+                        bucket_by=("subj", 4))
+    assert resumed.count() == 50
+
+
+def test_bucketed_resume_partition_spec_from_marker(spark, tmp_path):
+    """Resume trusts the at-rest partition spec, not the caller's: a
+    stage committed WITHOUT partition_by must not be re-registered
+    PARTITIONED BY in a fresh session (MSCK over files with no partition
+    dirs resolves zero partitions -> silently empty table)."""
+    from outbreak_kg_spark.lineage import _stage_table_name
+
+    root = str(tmp_path / "kg")
+    df = (spark.range(40).withColumnRenamed("id", "subj")
+          .withColumn("pred", (F.col("subj") % 2).cast("string")))
+
+    run_stage(spark, root, "edges", lambda: df, bucket_by=("subj", 4))
+    tbl = _stage_table_name(root, "edges")
+    spark.sql(f"DROP TABLE {tbl}")  # simulate fresh-session metastore
+
+    # drifted caller now passes partition_by that the files don't have
+    resumed = run_stage(spark, root, "edges", lambda: df,
+                        partition_by=["pred"], bucket_by=("subj", 4))
+    assert resumed.count() == 40  # not silently empty

@@ -147,3 +147,21 @@ def test_range_join_ntz_linear_across_dst(spark):
         assert len(rows) == 1 and rows[0]["dt_seconds"] == 6000.0
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_range_join_ntz_dotted_column_name(spark):
+    """A ts column literally named with a dot must resolve as the column,
+    not as struct-field access: F.col AND F.expr both parse dotted names,
+    so every reference in the NTZ arithmetic needs backtick quoting
+    (round-3 review finding)."""
+    left = spark.sql(
+        "SELECT 'k' AS k, timestamp_ntz'2026-01-01 00:00:10.5' AS `event.ts`, "
+        "1 AS lid"
+    )
+    right = spark.sql(
+        "SELECT 'k' AS k, timestamp_ntz'2026-01-01 00:00:40.25' AS `event.ts`, "
+        "2 AS rid"
+    )
+    rows = range_join(left, right, ["k"], left_ts="event.ts",
+                      right_ts="event.ts", delta_seconds=60.0).collect()
+    assert len(rows) == 1 and rows[0]["dt_seconds"] == 29.75
