@@ -43,6 +43,11 @@ def _file_order_ordinal(df: DataFrame):
     sequence)."""
     ctr = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
     try:
+        # cheap pre-gate: in-memory frames (createDataFrame) have no input
+        # files at all — skip the probe entirely so the analyzer doesn't
+        # log its (caught) UNRESOLVED_COLUMN as an ERROR on every synth run
+        if not df.inputFiles():
+            raise ValueError("no file inputs")
         # analysis-time availability probe (metadata cols are hidden —
         # absent from df.schema, resolvable only against a file relation)
         df.select(F.col("_metadata.file_path"),
