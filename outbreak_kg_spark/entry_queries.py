@@ -2078,8 +2078,8 @@ SQL_EVENTS_SESSIONIZE = """
         FROM events
     ), s AS (
         SELECT user_id, ts,
-               sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING) AS session_id
+               (sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
         FROM flagged
     )
     SELECT user_id, session_id, min(ts) AS session_start,
@@ -2354,7 +2354,7 @@ SQL_KG_QUERY_INDICATORS = f"""
         FROM events),
     agg AS (
         SELECT geo_curie, indicator_curie, indicator_name, ym,
-               sum(cents) AS cents
+               sum(cents)::BIGINT AS cents
         FROM ev GROUP BY 1, 2, 3, 4),
     cl(node, ancestor) AS (VALUES {{closure}}),
     related AS (

@@ -534,11 +534,12 @@ def literature_pvalues(
         "pmid string, n_target long, n_overlap long, overlap array<string>, "
         "overlap_coverage long, overlap_coverage_relevant long, pval double"
     )
-    with_p = (
-        per_pmid.withColumn("pmid", F.col("pmid").cast("string"))
-        .withColumn("_g", F.spark_partition_id())
-        .groupBy("_g")
-        .applyInPandas(lambda pdf: fisher_batch(pdf.drop(columns=["_g"])), schema)
+    # mapInPandas keeps the vectorized Fisher batch narrow: the p-value is
+    # per-row, so no re-grouping exchange is needed between the per-PMID agg
+    # and this stage (a groupBy(spark_partition_id()).applyInPandas spelling
+    # would pay one artificial shuffle over the 339M-row-scale candidates).
+    with_p = per_pmid.withColumn("pmid", F.col("pmid").cast("string")).mapInPandas(
+        lambda it: (fisher_batch(pdf) for pdf in it), schema
     )
     return (
         with_p.orderBy(

@@ -75,6 +75,46 @@ def test_query_matches_oracle(spark, ddb, name):
     assert a == b, f"{name}: value mismatch, e.g. {[(a[i], b[i]) for i in mism]}"
 
 
+def _dtype_class(dtype) -> str:
+    """Collapse a pandas dtype to the class the driver's value-hash is
+    sensitive to: int-vs-float is the one that bit us in round 3 (DuckDB
+    HUGEINT -> float64 renders 123.0 where Spark renders 123)."""
+    k = getattr(dtype, "kind", "O")
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "ts"
+    return "obj"
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_oracle_dtype_parity(spark, ddb, name):
+    """Driver-faithful type gate: the driver hashes pandas frames, so a
+    Spark int64 vs oracle float64 mismatch flips the hash even when the
+    canonicalized values compare equal in test_query_matches_oracle
+    (round-3 postmortem: DuckDB sum() returns HUGEINT -> pandas float64).
+    Assert the pandas dtype class of every column matches between the
+    Spark result and the DuckDB oracle result."""
+    oracle = _ALL_SQL.get(name)
+    if oracle is None:
+        pytest.skip("rows-only contract")
+    spdf = _ALL_Q[name](spark, SF_DIR).toPandas()
+    odf = ddb.sql(oracle).df()
+    assert sorted(spdf.columns) == sorted(odf.columns)
+    mism = []
+    for c in spdf.columns:
+        s_cls, o_cls = _dtype_class(spdf[c].dtype), _dtype_class(odf[c].dtype)
+        # A column that is all-NULL on one side legitimately degrades to
+        # float64/object in pandas; only flag mismatches on non-empty data.
+        if s_cls != o_cls and not (spdf[c].isna().all() or odf[c].isna().all()):
+            mism.append((c, s_cls, o_cls))
+    assert not mism, f"{name}: dtype class mismatch (spark vs oracle): {mism}"
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()

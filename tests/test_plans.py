@@ -135,3 +135,30 @@ def test_surprisal_zipfian_join_broadcast_and_salted(spark):
     b = {r.doc_id: (r.n_tokens, round(r.mean_surprisal, 9),
                     round(r.max_surprisal, 9)) for r in salted.collect()}
     assert a == b
+
+
+def test_literature_pvalues_fisher_stage_adds_no_exchange(spark):
+    """Round-3 verdict Next #3: the vectorized Fisher batch is per-row, so
+    it must ride mapInPandas directly over the per-PMID aggregate — a
+    groupBy(spark_partition_id()).applyInPandas spelling would pay one
+    artificial shuffle over the 339M-row-scale candidate relation."""
+    from outbreak_kg_spark.entry_queries import q_kg_literature_pvalues
+
+    df = q_kg_literature_pvalues(spark, SF)
+    simple = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "FlatMapGroupsInPandas" not in simple
+    assert "spark_partition_id" not in simple
+    lines = simple.splitlines()
+    mip = next(i for i, l in enumerate(lines) if "MapInPandas" in l)
+    # the p-value stage consumes the final per-PMID aggregate with no
+    # repartitioning exchange in between (the cross-join BroadcastExchange
+    # for the scalar total_terms is allowed)
+    agg = next(
+        i for i, l in enumerate(lines[mip:], start=mip)
+        if "Aggregate(key" in l and "pmid" in l
+    )
+    between = "\n".join(lines[mip:agg])
+    assert "Exchange hashpartitioning" not in between
+    assert "Exchange SinglePartition" not in between
