@@ -269,14 +269,10 @@ def main() -> None:
         # the final sample leaves the persist warm for the queries that
         # legitimately consume it at rest (same regime as round 2, where
         # every mentions consumer after the first ran against the memo).
-        from outbreak_kg_spark.entry_queries import _MENTIONS_CACHE
+        from outbreak_kg_spark.entry_queries import reset_mentions_cache
 
         def _reset_mentions():
-            per_session = _MENTIONS_CACHE.get(spark)
-            if per_session:
-                for cached in per_session.values():
-                    cached.unpersist()
-                per_session.clear()
+            reset_mentions_cache(spark)
 
         for name in HEADLINE:
             best = None

@@ -11,6 +11,7 @@ or salted (hot entity pairs).
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -57,7 +58,7 @@ def _file_order_ordinal(df: DataFrame):
             F.col("_metadata.file_block_start").alias("b"),
             ctr.alias("i"),
         )
-    except Exception:  # AnalysisException: not a file source
+    except (ValueError, AnalysisException):  # not a file source
         return F.struct(
             F.lit("").alias("f"),
             F.lit(0).cast("long").alias("b"),

@@ -138,9 +138,13 @@ def _norm_location(p: str) -> str:
     path = parsed.path if parsed.scheme else p
     if not path.startswith("/"):
         path = os.path.abspath(path)
-    # keep the authority (hdfs://namenode, s3a://bucket): equal paths on
-    # two different filesystems are NOT the same location
-    return (parsed.netloc or "") + path.rstrip("/")
+    # keep the scheme AND authority (hdfs://namenode, s3a://bucket): equal
+    # paths on two different filesystems are NOT the same location, even
+    # when the authority string coincides (s3a://x/kg vs hdfs://x/kg).
+    # Local paths stay scheme-less so 'file:/p' and '/p' compare equal.
+    scheme = parsed.scheme.lower()
+    prefix = "" if scheme in ("", "file") else scheme + "://"
+    return prefix + (parsed.netloc or "") + path.rstrip("/")
 
 
 def _table_name(root: str, name: str) -> str:

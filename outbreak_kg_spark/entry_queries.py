@@ -105,6 +105,20 @@ import weakref
 _MENTIONS_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
+def reset_mentions_cache(spark: SparkSession) -> None:
+    """Unpersist and drop this session's memoized mentions frames.
+
+    Public seam for benchmarks/tests that need the NER pass to re-run
+    (bench.py times kg_ner_mentions; without a reset its second sample
+    would time a cache scan). Keeping callers off _MENTIONS_CACHE means a
+    cache refactor can't silently break them."""
+    per_session = _MENTIONS_CACHE.get(spark)
+    if per_session:
+        for cached in per_session.values():
+            cached.unpersist()
+        per_session.clear()
+
+
 def _utc(spark: SparkSession) -> None:
     """Pin timestamp rendering to UTC for this session (entry contract).
 

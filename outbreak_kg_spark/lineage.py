@@ -137,6 +137,13 @@ def run_stage(
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
             writer.parquet(out)
+            # delete any stale bucket marker EXPLICITLY rather than relying
+            # on overwrite semantics: under partitionOverwriteMode=dynamic
+            # (a user session may set it globally) a partitioned overwrite
+            # replaces only the touched partition dirs, the top-level
+            # marker survives, and a later bucketed resume would register
+            # CLUSTERED BY DDL over non-bucket-written files
+            _delete_bucket_marker(spark, out)
         wall_ms = int((time.monotonic() - t0) * 1000)
         _append_lineage(spark, root, name, out, wall_ms,
                         run_id or uuid.uuid4().hex[:12])
@@ -178,6 +185,12 @@ def _write_bucket_marker(spark: SparkSession, out: str, col: str,
         ).encode()))
     finally:
         stream.close()
+
+
+def _delete_bucket_marker(spark: SparkSession, out: str) -> None:
+    _jvm, _conf, jpath, fs = _hadoop(spark, f"{out}/{_BUCKET_MARKER}")
+    if fs.exists(jpath):
+        fs.delete(jpath, False)
 
 
 def _read_bucket_marker(spark: SparkSession, out: str) -> dict | None:

@@ -67,8 +67,13 @@ def asof_join(
     l_tag = F.lit(1) if allow_equal else F.lit(0)
     r_tag = F.lit(0) if allow_equal else F.lit(1)
 
+    # key_cols go through the same literal-name quoting as ts/value cols
+    # (a key literally named "a.b" must not resolve as struct access);
+    # .alias(k) keeps the output name literal, and the downstream
+    # using-join / unionByName match on names literally.
+    keys = [_q(k).alias(k) for k in key_cols]
     lu = left.select(
-        *key_cols,
+        *keys,
         _q(left_ts).alias("_t"),
         l_tag.alias("_side"),
         F.struct(*[_q(c) for c in left.columns]).alias("_l"),
@@ -81,7 +86,7 @@ def asof_join(
         ).alias("_r"),
     )
     ru = right.select(
-        *key_cols,
+        *keys,
         _q(right_ts).alias("_t"),
         r_tag.alias("_side"),
         F.lit(None).cast(
@@ -92,7 +97,7 @@ def asof_join(
         F.struct(_q(right_ts).alias("_rt"), *[_q(c) for c in right_value_cols]).alias("_r"),
     )
     w = (
-        Window.partitionBy(*key_cols)
+        Window.partitionBy(*[_q(k) for k in key_cols])
         .orderBy("_t", "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -159,13 +164,13 @@ def range_join(
     cell_r = F.floor(_secs(right, right_ts) / F.lit(delta_seconds))
 
     l = left.select(
-        *key_cols,
+        *[_q(k).alias(k) for k in key_cols],
         cell_l.alias("_cell"),
         _secs(left, left_ts).alias("_lt"),
         *[_q(c).alias(f"l_{c}") for c in left.columns if c not in key_cols],
     )
     r = right.select(
-        *key_cols,
+        *[_q(k).alias(k) for k in key_cols],
         F.explode(F.array(cell_r, cell_r - 1)).alias("_cell"),
         _secs(right, right_ts).alias("_rt"),
         *[_q(c).alias(f"r_{c}") for c in right.columns if c not in key_cols],

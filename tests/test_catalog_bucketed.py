@@ -96,3 +96,7 @@ def test_legacy_location_guard_rejects_other_roots():
     # different authorities are different locations
     assert _norm_location("hdfs://nn1:8020/kg/e") != \
         _norm_location("hdfs://nn2:8020/kg/e")
+    # different FILESYSTEMS with the same authority+path are different
+    # locations too (round-3 advice: the scheme is part of the key)
+    assert _norm_location("s3a://x/kg/e") != _norm_location("hdfs://x/kg/e")
+    assert _norm_location("S3A://x/kg/e") == _norm_location("s3a://x/kg/e")

@@ -330,3 +330,33 @@ def test_bucketed_resume_partition_spec_from_marker(spark, tmp_path):
     resumed = run_stage(spark, root, "edges", lambda: df,
                         partition_by=["pred"], bucket_by=("subj", 4))
     assert resumed.count() == 40  # not silently empty
+
+
+def test_plain_partitioned_dynamic_overwrite_drops_stale_marker(spark, tmp_path):
+    """Round-3 advice: under partitionOverwriteMode=dynamic a partitioned
+    plain overwrite replaces only the touched partition dirs, so the
+    top-level bucket marker from an earlier bucketed run would survive and
+    a later bucketed resume would register CLUSTERED BY DDL over
+    non-bucket-written files. The plain branch deletes the marker
+    explicitly."""
+    from outbreak_kg_spark.lineage import _BUCKET_MARKER, _read_bucket_marker
+
+    root = str(tmp_path / "kg")
+    df = (spark.range(40).withColumnRenamed("id", "subj")
+          .withColumn("pred", (F.col("subj") % 2).cast("string")))
+
+    run_stage(spark, root, "edges", lambda: df, bucket_by=("subj", 4))
+    assert _read_bucket_marker(spark, f"{root}/edges") is not None
+
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        run_stage(spark, root, "edges", lambda: df, force=True,
+                  partition_by=["pred"])
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    assert _read_bucket_marker(spark, f"{root}/edges") is None
+
+    resumed = run_stage(spark, root, "edges", lambda: df,
+                        bucket_by=("subj", 4))
+    assert resumed.count() == 40

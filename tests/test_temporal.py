@@ -165,3 +165,23 @@ def test_range_join_ntz_dotted_column_name(spark):
     rows = range_join(left, right, ["k"], left_ts="event.ts",
                       right_ts="event.ts", delta_seconds=60.0).collect()
     assert len(rows) == 1 and rows[0]["dt_seconds"] == 29.75
+
+
+def test_dotted_key_column_name(spark):
+    """key_cols go through the same literal-name quoting as ts/value cols
+    (round-3 advice): a key literally named "grp.id" must partition and
+    join as that column, not as struct-field access."""
+    left = spark.sql(
+        "SELECT * FROM VALUES ('a', timestamp'2026-01-01 00:00:30', 1), "
+        "('b', timestamp'2026-01-01 00:00:30', 2) t(`grp.id`, ts, lid)"
+    )
+    right = spark.sql(
+        "SELECT * FROM VALUES ('a', timestamp'2026-01-01 00:00:10', 10.0), "
+        "('b', timestamp'2026-01-01 00:02:00', 20.0) t(`grp.id`, ts, price)"
+    )
+    got = {r["grp.id"]: r["price_asof"]
+           for r in asof_join(left, right, ["grp.id"]).collect()}
+    assert got == {"a": 10.0, "b": None}
+    rows = range_join(left, right, ["grp.id"],
+                      delta_seconds=120.0).collect()
+    assert [(r["grp.id"], r["dt_seconds"]) for r in rows] == [("b", 90.0)]
