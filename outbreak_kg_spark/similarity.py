@@ -170,28 +170,43 @@ def ann_topk(
 
 
 def kmeans_lite(df: DataFrame, dim: int, k: int = 16, iters: int = 5,
-                vec_col: str = "embedding", id_col: str = "vec_id"
-                ) -> list[list[float]]:
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                sample_cap: int | None = 100_000) -> list[list[float]]:
     """Deterministic Lloyd's k-means for IVF coarse quantization.
 
     Init: the k vectors with the smallest md5(id) (seeded, order-free).
     Each round: broadcast the centroid list, assign every vector to its
     nearest centroid with JVM array expressions (one narrow pass), recompute
     means with one groupBy — the classic two-job Lloyd round. Centroids live
-    on the driver between rounds (k x dim floats — tiny)."""
+    on the driver between rounds (k x dim floats — tiny).
+
+    Training runs on a deterministic sample of at most ~sample_cap vectors
+    (the standard IVF recipe at 10^9+ vectors: centroid quality needs a
+    representative sample, not the corpus — only the single assignment pass
+    in ivf_index touches every vector). The sample is the md5(id) hash
+    range below cap/n — a NARROW filter, no sort, no driver merge — so it
+    is order-free, reproducible, and binomially tight around sample_cap.
+    Corpora at or under the cap train on every vector, so small-scale
+    results are byte-identical to unsampled training. sample_cap=None
+    disables sampling."""
     v = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
-    )
-    seed_rows = (
-        v.withColumn("_h", F.md5(F.col("_id").cast("string")))
-        .orderBy("_h")
-        .limit(k)
-        .collect()
-    )
+    ).withColumn("_h", F.md5(F.col("_id").cast("string")))
+    train = v
+    if sample_cap is not None:
+        n = v.count()
+        if n > sample_cap:
+            # keep ids whose 48-bit md5 prefix falls under cap/n: the
+            # globally smallest hashes, so the k seed vectors below are
+            # the same ones full-corpus training would pick
+            thr = format(int(sample_cap / n * (1 << 48)), "012x")
+            train = v.filter(F.substring("_h", 1, 12) <= thr)
+    train = train.persist()
+    seed_rows = train.orderBy("_h").limit(k).collect()
     centroids = [list(r._v) for r in seed_rows]
     for _ in range(iters):
-        assigned = _assign(v, centroids)
+        assigned = _assign(train, centroids)
         sums = (
             assigned.select("_cid", F.posexplode("_v").alias("_d", "_x"))
             .groupBy("_cid", "_d")
@@ -210,6 +225,7 @@ def kmeans_lite(df: DataFrame, dim: int, k: int = 16, iters: int = 5,
             else:
                 new.append(centroids[i])  # empty cluster keeps its centroid
         centroids = new
+    train.unpersist()
     return centroids
 
 
@@ -236,12 +252,15 @@ def _assign(v: DataFrame, centroids: list[list[float]]) -> DataFrame:
 
 
 def ivf_index(df: DataFrame, dim: int, k: int = 16, iters: int = 5,
-              vec_col: str = "embedding", id_col: str = "vec_id"
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              sample_cap: int | None = 100_000
               ) -> tuple[DataFrame, list[list[float]]]:
     """Build an IVF index: (assignments(vec_id, centroid_id, vec), centroids).
     At rest this is a parquet table partitioned by centroid_id — probing a
-    centroid prunes partitions."""
-    centroids = kmeans_lite(df, dim, k, iters, vec_col, id_col)
+    centroid prunes partitions. Training samples down to sample_cap vectors
+    (kmeans_lite); the full corpus is touched exactly once, by the
+    assignment pass below."""
+    centroids = kmeans_lite(df, dim, k, iters, vec_col, id_col, sample_cap)
     v = df.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),

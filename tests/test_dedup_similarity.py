@@ -439,3 +439,38 @@ def test_unigram_surprisal_estimate_gated_mode(spark):
          for r in textstats.unigram_surprisal(
              df, vocab_fits_broadcast=None).collect()}
     assert a == b
+
+
+def test_kmeans_sampled_training_parity_and_determinism(spark):
+    """Round-3 verdict Next #6: IVF training runs on a deterministic
+    md5-range sample. (a) Corpora at or under sample_cap train on every
+    vector, so centroids are byte-identical to unsampled training (the
+    driver entry's small-scale hashes cannot move). (b) The sampled path
+    is reproducible and trains on ~cap vectors, and the single full-corpus
+    assignment still sends every vector to its nearest centroid."""
+    import random
+
+    rng = random.Random(7)
+    centers = [[4.0] * 6, [-4.0] * 6, [4.0] * 3 + [-4.0] * 3]
+    corpus = spark.createDataFrame(
+        [{"vec_id": i,
+          "embedding": [x + rng.gauss(0, 0.4) for x in centers[i % 3]]}
+         for i in range(300)]
+    )
+    full = similarity.kmeans_lite(corpus, dim=6, k=3, iters=3,
+                                  sample_cap=None)
+    capped = similarity.kmeans_lite(corpus, dim=6, k=3, iters=3,
+                                    sample_cap=100_000)
+    assert full == capped  # n <= cap: identical training set
+
+    s1 = similarity.kmeans_lite(corpus, dim=6, k=3, iters=3, sample_cap=80)
+    s2 = similarity.kmeans_lite(corpus, dim=6, k=3, iters=3, sample_cap=80)
+    assert s1 == s2 and len(s1) == 3  # deterministic sample
+    assert s1 != full  # it really did train on fewer vectors
+
+    index, cents = similarity.ivf_index(corpus, dim=6, k=3, iters=3,
+                                        sample_cap=80)
+    assert index.count() == 300  # assignment covers the whole corpus
+    for r in index.collect():
+        d = [sum((a - b) ** 2 for a, b in zip(r.vec, c)) for c in cents]
+        assert d[r.centroid_id] == min(d)
