@@ -93,6 +93,20 @@ def make_wsgi_app(api, mesh_pmids=None, meta_fetcher=None):
         if path == "/v1/healthcheck":
             return respond(start_response, "200 OK", "OK", "text/plain")
 
+        if path in ("/", "/ui"):
+            # static landing/UI pages (reference kg/api.py:16-23 renders
+            # landing_page.html / ui.html); the data API is the product —
+            # these stubs exist for 1:1 route-table parity
+            title = "Outbreak KG" if path == "/" else "Outbreak KG UI"
+            return respond(
+                start_response, "200 OK",
+                f"<!doctype html><html><head><title>{title}</title></head>"
+                f"<body><h1>{title}</h1>"
+                "<p>Data API: /v1/alerts, /v1/indicators, /v1/text_relations,"
+                " /v1/find_literature, /autocomplete/*</p></body></html>",
+                "text/html",
+            )
+
         if path == "/v1/alerts":
             return respond(start_response, "200 OK", api.search(
                 disease=q.get("disease"),

@@ -180,6 +180,13 @@ def test_http_surface_endpoint_contracts(app):
     assert st == "200 OK" and body == b"OK"
     assert hdrs["Access-Control-Allow-Origin"] == "*"
 
+    # static landing/UI pages (reference kg/api.py:16-23): 200 + HTML
+    for page in ("/", "/ui"):
+        st, hdrs, body = _get(wsgi, page)
+        assert st == "200 OK"
+        assert hdrs["Content-Type"].startswith("text/html")
+        assert body.startswith(b"<!doctype html>")
+
     st, _h, body = _get(wsgi, "/v1/alerts",
                         "disease=Virus%20Diseases&geolocation=Africa")
     rows = _json.loads(body)
