@@ -2102,6 +2102,86 @@ SQL_EVENTS_SESSIONIZE = """
 """
 
 
+def q_streaming_episodes(spark, sf_dir):
+    """Driver gate for the custom stateful streaming operator
+    (streaming.entity_episodes, applyInPandasWithState): batch-replay the
+    events table through a REAL Structured Streaming run and return the
+    episodes that closed.
+
+    Determinism by construction: the source is written as ONE parquet
+    file, so the single data micro-batch runs at watermark 0 (no
+    late-row drops can depend on batch boundaries), and the trailing
+    no-data micro-batch fires every event-time timeout at the final
+    watermark max(ts) - 1h — the emitted set is exactly the gap-merged
+    runs with end + gap < that watermark, which the DuckDB oracle
+    computes with window SQL. Timestamps are second-truncated before
+    streaming so the operator's millisecond state arithmetic is exact in
+    the oracle's epoch-seconds arithmetic."""
+    import tempfile
+
+    from .streaming import entity_episodes
+
+    _utc(spark)
+    tmp = tempfile.mkdtemp(prefix="kg_episodes_")
+    src = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            F.concat_ws(
+                "|", F.col("event_type"), (F.col("user_id") % 10)
+            ).alias("curie"),
+            F.date_trunc("second", F.col("ts")).alias("warc_ts"),
+            F.col("user_id").cast("string").alias("doc_id"),
+        )
+    )
+    src.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/in")
+    stream = spark.readStream.schema(
+        "curie string, warc_ts timestamp, doc_id string"
+    ).parquet(f"{tmp}/in")
+    eps = entity_episodes(stream, gap="8 hours", watermark="1 hour")
+    q = (
+        eps.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{tmp}/out")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.schema(
+        "curie string, episode_start timestamp, episode_end timestamp, "
+        "n_mentions long, n_docs long"
+    ).parquet(f"{tmp}/out")
+
+
+SQL_STREAMING_EPISODES = """
+    WITH m AS (
+        SELECT event_type || '|' || (user_id % 10)::VARCHAR AS curie,
+               date_trunc('second', ts) AS ts,
+               user_id::VARCHAR AS doc
+        FROM events),
+    f AS (
+        SELECT curie, ts, doc,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                    (PARTITION BY curie ORDER BY ts)) > 28800
+                    THEN 1 ELSE 0 END AS brk
+        FROM m),
+    s AS (
+        SELECT curie, ts, doc,
+               (sum(brk) OVER (PARTITION BY curie ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING))::BIGINT AS ep
+        FROM f),
+    e AS (
+        SELECT curie, ep, min(ts) AS episode_start, max(ts) AS episode_end,
+               count(*)::BIGINT AS n_mentions,
+               count(DISTINCT doc)::BIGINT AS n_docs
+        FROM s GROUP BY 1, 2),
+    wm AS (SELECT max(date_trunc('second', ts)) - INTERVAL 1 HOUR AS w
+           FROM events)
+    SELECT curie, episode_start, episode_end, n_mentions, n_docs
+    FROM e, wm WHERE episode_end + INTERVAL 8 HOUR < w
+"""
+
+
 def q_similarity_neardup_lsh(spark, sf_dir):
     """Embedding near-dup via the LSH-bucketed SCALE path
     (similarity.cosine_near_dup_pairs): bucket self-join replaces the cross
@@ -2708,6 +2788,12 @@ def all_queries():
       kg_realism_logsumexp's plan and oracle)
     - dedup_minhash_sigs dropped (signatures computed in-plan by
       dedup_lsh_candidates; sig values gated by tests/test_dedup.py)
+
+    Round-4 swap: streaming_episodes (the applyInPandasWithState stateful
+    operator, previously pytest-only) takes dedup_exact's driver slot;
+    exact dedup stays green via the md5-groupBy stage inside
+    corpus_curate's driver entry plus the identical-contract
+    extra_queries gate.
     """
     return {
         # KG pipeline spine + the 13 entries the round-2 driver never
@@ -2752,7 +2838,7 @@ def all_queries():
         "stats_token_counts": q_stats_token_counts,
         "eidos_context": q_eidos_context,
         # dedup / similarity / text
-        "dedup_exact": q_dedup_exact,
+        "streaming_episodes": q_streaming_episodes,
         "dedup_simhash": q_dedup_simhash,
         "dedup_lsh_candidates": q_dedup_lsh_candidates,
         "dedup_contamination": q_dedup_contamination,
@@ -2820,7 +2906,7 @@ def all_oracle_sql():
         "year_month_map": SQL_YEAR_MONTH_MAP,
         "stats_token_counts": SQL_STATS_TOKENS,
         "eidos_context": SQL_EIDOS_CONTEXT,
-        "dedup_exact": SQL_DEDUP_EXACT,
+        "streaming_episodes": SQL_STREAMING_EPISODES,
         "dedup_simhash": _sql_simhash(16),
         "dedup_lsh_candidates": SQL_DEDUP_LSH_CANDIDATES,
         "dedup_contamination": SQL_DEDUP_CONTAMINATION,
@@ -2849,6 +2935,7 @@ def extra_queries():
     twins of the LSH/IVF scale paths, the coverage/candidate legs) retain
     hard correctness evidence rather than rotting as dead code."""
     return {
+        "dedup_exact": q_dedup_exact,
         "kg_mention_pairs_grouped": q_kg_mention_pairs_grouped,
         "kg_cooccur_scores": q_kg_cooccur_scores,
         "kg_literature_candidates": q_kg_literature_candidates,
@@ -2865,6 +2952,7 @@ def extra_queries():
 
 def extra_oracle_sql():
     return {
+        "dedup_exact": SQL_DEDUP_EXACT,
         "kg_mention_pairs_grouped": SQL_KG_MENTION_PAIRS,
         "kg_cooccur_scores": SQL_KG_COOCCUR_SCORES,
         "kg_literature_candidates": SQL_KG_LIT_CANDIDATES,
