@@ -141,8 +141,12 @@ def _norm_location(p: str) -> str:
     # keep the scheme AND authority (hdfs://namenode, s3a://bucket): equal
     # paths on two different filesystems are NOT the same location, even
     # when the authority string coincides (s3a://x/kg vs hdfs://x/kg).
-    # Local paths stay scheme-less so 'file:/p' and '/p' compare equal.
+    # Local paths stay scheme-less so 'file:/p' and '/p' compare equal,
+    # and alias schemes for the SAME store normalize together (a legacy
+    # table registered via s3:// must still match a catalog rooted s3a://).
     scheme = parsed.scheme.lower()
+    scheme = {"s3a": "s3", "s3n": "s3", "wasbs": "wasb", "abfss": "abfs"
+              }.get(scheme, scheme)
     prefix = "" if scheme in ("", "file") else scheme + "://"
     return prefix + (parsed.netloc or "") + path.rstrip("/")
 

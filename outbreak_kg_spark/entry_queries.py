@@ -2117,12 +2117,20 @@ def q_streaming_episodes(spark, sf_dir):
     computes with window SQL. Timestamps are second-truncated before
     streaming so the operator's millisecond state arithmetic is exact in
     the oracle's epoch-seconds arithmetic."""
+    import hashlib
+    import shutil
     import tempfile
 
     from .streaming import entity_episodes
 
     _utc(spark)
-    tmp = tempfile.mkdtemp(prefix="kg_episodes_")
+    # deterministic per-input scratch dir, cleared up front: repeated runs
+    # reuse (not accumulate) the space, and a stale checkpoint can never be
+    # resumed against the fresh source (an availableNow restart over an old
+    # checkpoint would emit nothing and silently fail the gate)
+    tmp = (f"{tempfile.gettempdir()}/kg_episodes_"
+           f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}")
+    shutil.rmtree(tmp, ignore_errors=True)
     src = (
         spark.read.parquet(f"{sf_dir}/events.parquet")
         .select(
@@ -2146,7 +2154,14 @@ def q_streaming_episodes(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # a timeout must be an ERROR, not a partial read: proceeding while the
+    # sink is still writing (or before the no-data timeout batch ran) would
+    # hand the correctness gate a frame missing closed episodes
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(
+            "streaming_episodes: availableNow run did not terminate in 600s"
+        )
     return spark.read.schema(
         "curie string, episode_start timestamp, episode_end timestamp, "
         "n_mentions long, n_docs long"

@@ -188,44 +188,59 @@ def kmeans_lite(df: DataFrame, dim: int, k: int = 16, iters: int = 5,
     is order-free, reproducible, and binomially tight around sample_cap.
     Corpora at or under the cap train on every vector, so small-scale
     results are byte-identical to unsampled training. sample_cap=None
-    disables sampling."""
+    disables sampling. The effective cap is floored at 16*k (and a
+    binomial seed shortfall falls back to unsampled training), so the
+    returned list always has min(k, n) centroids."""
     v = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     ).withColumn("_h", F.md5(F.col("_id").cast("string")))
     train = v
+    n = None
     if sample_cap is not None:
+        # the hash range must comfortably hold k seeds; a cap near (or
+        # under) k would binomially return fewer than k training vectors
+        cap = max(sample_cap, 16 * k)
         n = v.count()
-        if n > sample_cap:
+        if n > cap:
             # keep ids whose 48-bit md5 prefix falls under cap/n: the
             # globally smallest hashes, so the k seed vectors below are
             # the same ones full-corpus training would pick
-            thr = format(int(sample_cap / n * (1 << 48)), "012x")
+            thr = format(int(cap / n * (1 << 48)), "012x")
             train = v.filter(F.substring("_h", 1, 12) <= thr)
     train = train.persist()
-    seed_rows = train.orderBy("_h").limit(k).collect()
-    centroids = [list(r._v) for r in seed_rows]
-    for _ in range(iters):
-        assigned = _assign(train, centroids)
-        sums = (
-            assigned.select("_cid", F.posexplode("_v").alias("_d", "_x"))
-            .groupBy("_cid", "_d")
-            .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
-            .collect()
-        )
-        acc: dict[int, list] = {}
-        for r in sums:
-            c = acc.setdefault(r._cid, [[0.0] * dim, 0])
-            c[0][r._d] = r._s
-            c[1] = r._n
-        new = []
-        for i in range(len(centroids)):
-            if i in acc and acc[i][1] > 0:
-                new.append([x / acc[i][1] for x in acc[i][0]])
-            else:
-                new.append(centroids[i])  # empty cluster keeps its centroid
-        centroids = new
-    train.unpersist()
+    try:
+        seed_rows = train.orderBy("_h").limit(k).collect()
+        if train is not v and len(seed_rows) < k and (n or 0) >= k:
+            # binomial shortfall (sample drew < k vectors): fall back to
+            # unsampled training rather than silently returning fewer
+            # centroids than requested
+            train.unpersist()
+            train = v.persist()
+            seed_rows = train.orderBy("_h").limit(k).collect()
+        centroids = [list(r._v) for r in seed_rows]
+        for _ in range(iters):
+            assigned = _assign(train, centroids)
+            sums = (
+                assigned.select("_cid", F.posexplode("_v").alias("_d", "_x"))
+                .groupBy("_cid", "_d")
+                .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
+                .collect()
+            )
+            acc: dict[int, list] = {}
+            for r in sums:
+                c = acc.setdefault(r._cid, [[0.0] * dim, 0])
+                c[0][r._d] = r._s
+                c[1] = r._n
+            new = []
+            for i in range(len(centroids)):
+                if i in acc and acc[i][1] > 0:
+                    new.append([x / acc[i][1] for x in acc[i][0]])
+                else:
+                    new.append(centroids[i])  # empty cluster keeps its centroid
+            centroids = new
+    finally:
+        train.unpersist()
     return centroids
 
 

@@ -100,3 +100,6 @@ def test_legacy_location_guard_rejects_other_roots():
     # locations too (round-3 advice: the scheme is part of the key)
     assert _norm_location("s3a://x/kg/e") != _norm_location("hdfs://x/kg/e")
     assert _norm_location("S3A://x/kg/e") == _norm_location("s3a://x/kg/e")
+    # alias schemes for the same store ARE the same location
+    assert _norm_location("s3://x/kg/e") == _norm_location("s3a://x/kg/e")
+    assert _norm_location("s3n://x/kg/e") == _norm_location("s3a://x/kg/e")

@@ -468,6 +468,10 @@ def test_kmeans_sampled_training_parity_and_determinism(spark):
     assert s1 == s2 and len(s1) == 3  # deterministic sample
     assert s1 != full  # it really did train on fewer vectors
 
+    # a cap below k must still yield k centroids (16*k floor + fallback)
+    tiny = similarity.kmeans_lite(corpus, dim=6, k=5, iters=2, sample_cap=1)
+    assert len(tiny) == 5
+
     index, cents = similarity.ivf_index(corpus, dim=6, k=3, iters=3,
                                         sample_cap=80)
     assert index.count() == 300  # assignment covers the whole corpus

@@ -1,12 +1,21 @@
 """Local replica of the driver's correctness gate: run every queries()
 entry on Spark and its oracle_sql() on DuckDB over the same parquet tables,
-compare row counts, column names, and order-insensitive values.
+compare row counts, column names, pandas dtype classes, and
+order-insensitive canonicalized values.
+
+Both sides are compared as PANDAS frames — the driver hashes pandas frames,
+so this is the faithful contract: null timestamps render NaT on both sides,
+DuckDB HUGEINT surfacing as float64 fails the dtype-class check (the
+round-3 postmortem), and each entry's Spark plan and oracle SQL execute
+exactly ONCE per suite run (value + dtype asserts share the frames).
 
 Runs at sf0.001 for speed (the driver uses sf0.01)."""
 
 import math
 
 import duckdb
+import numpy as np
+import pandas as pd
 import pytest
 
 import __spark_entry__ as entry_mod
@@ -27,52 +36,31 @@ def ddb():
 
 
 def _canon(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return f"{v:.10g}"
-    if isinstance(v, bool):
+    # sequences/maps first: pd.isna / float checks raise or misfire on them
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return ("{"
+                + ",".join(f"{k}:{_canon(x)}" for k, x in sorted(v.items()))
+                + "}")
+    if isinstance(v, (bool, np.bool_)):
         return str(int(v))
-    return str(v)
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return "nan"
+        return f"{f:.10g}"
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    return str(v)  # strings, timestamps (both sides pandas), None, NaT
 
 
-def _rowset(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = sorted(
-        "\x00".join(_canon(r[i]) for i in order) for r in rows
+def _rowset(df: "pd.DataFrame"):
+    cols = sorted(df.columns)
+    return sorted(
+        "\x00".join(_canon(v) for v in row)
+        for row in df[cols].itertuples(index=False, name=None)
     )
-    return out
-
-
-from outbreak_kg_spark import entry_queries as _eq
-
-# driver window (first 50 = all of queries()) PLUS the finer-grained
-# entries consolidated out of it in round 3 — identical contract for both
-_ALL_Q = {**entry_mod.queries(), **_eq.extra_queries()}
-_ALL_SQL = {**entry_mod.oracle_sql(), **_eq.extra_oracle_sql()}
-NAMES = sorted(_ALL_Q.keys())
-
-
-@pytest.mark.parametrize("name", NAMES)
-def test_query_matches_oracle(spark, ddb, name):
-    q = _ALL_Q[name]
-    sdf = q(spark, SF_DIR)
-    srows = [tuple(r) for r in sdf.collect()]
-    scols = list(sdf.columns)
-    oracle = _ALL_SQL.get(name)
-    if oracle is None:
-        assert len(srows) >= 0  # rows-only contract
-        return
-    res = ddb.sql(oracle)
-    ocols = [d[0] for d in res.description]
-    orows = res.fetchall()
-    assert sorted(scols) == sorted(ocols), f"{name}: column mismatch"
-    assert len(srows) == len(orows), (
-        f"{name}: row count {len(srows)} vs oracle {len(orows)}"
-    )
-    a, b = _rowset(scols, srows), _rowset(ocols, orows)
-    mism = [i for i, (x, y) in enumerate(zip(a, b)) if x != y][:3]
-    assert a == b, f"{name}: value mismatch, e.g. {[(a[i], b[i]) for i in mism]}"
 
 
 def _dtype_class(dtype) -> str:
@@ -91,28 +79,44 @@ def _dtype_class(dtype) -> str:
     return "obj"
 
 
+from outbreak_kg_spark import entry_queries as _eq
+
+# driver window (first 50 = all of queries()) PLUS the finer-grained
+# entries consolidated out of it in round 3 — identical contract for both
+_ALL_Q = {**entry_mod.queries(), **_eq.extra_queries()}
+_ALL_SQL = {**entry_mod.oracle_sql(), **_eq.extra_oracle_sql()}
+NAMES = sorted(_ALL_Q.keys())
+
+
 @pytest.mark.parametrize("name", NAMES)
-def test_oracle_dtype_parity(spark, ddb, name):
-    """Driver-faithful type gate: the driver hashes pandas frames, so a
-    Spark int64 vs oracle float64 mismatch flips the hash even when the
-    canonicalized values compare equal in test_query_matches_oracle
-    (round-3 postmortem: DuckDB sum() returns HUGEINT -> pandas float64).
-    Assert the pandas dtype class of every column matches between the
-    Spark result and the DuckDB oracle result."""
+def test_query_matches_oracle(spark, ddb, name):
+    q = _ALL_Q[name]
+    sdf = q(spark, SF_DIR)
+    spdf = sdf.toPandas()
     oracle = _ALL_SQL.get(name)
     if oracle is None:
-        pytest.skip("rows-only contract")
-    spdf = _ALL_Q[name](spark, SF_DIR).toPandas()
+        assert len(spdf) >= 0  # rows-only contract
+        return
     odf = ddb.sql(oracle).df()
-    assert sorted(spdf.columns) == sorted(odf.columns)
-    mism = []
-    for c in spdf.columns:
-        s_cls, o_cls = _dtype_class(spdf[c].dtype), _dtype_class(odf[c].dtype)
-        # A column that is all-NULL on one side legitimately degrades to
-        # float64/object in pandas; only flag mismatches on non-empty data.
-        if s_cls != o_cls and not (spdf[c].isna().all() or odf[c].isna().all()):
-            mism.append((c, s_cls, o_cls))
+    assert sorted(spdf.columns) == sorted(odf.columns), (
+        f"{name}: column mismatch"
+    )
+    assert len(spdf) == len(odf), (
+        f"{name}: row count {len(spdf)} vs oracle {len(odf)}"
+    )
+    # dtype-class parity (driver-faithful: the hash is over pandas frames).
+    # A column that is all-NULL on one side legitimately degrades to
+    # float64/object in pandas; only flag mismatches on non-empty data.
+    mism = [
+        (c, _dtype_class(spdf[c].dtype), _dtype_class(odf[c].dtype))
+        for c in spdf.columns
+        if _dtype_class(spdf[c].dtype) != _dtype_class(odf[c].dtype)
+        and not (spdf[c].isna().all() or odf[c].isna().all())
+    ]
     assert not mism, f"{name}: dtype class mismatch (spark vs oracle): {mism}"
+    a, b = _rowset(spdf), _rowset(odf)
+    bad = [i for i, (x, y) in enumerate(zip(a, b)) if x != y][:3]
+    assert a == b, f"{name}: value mismatch, e.g. {[(a[i], b[i]) for i in bad]}"
 
 
 def test_entry_smoke(spark):
