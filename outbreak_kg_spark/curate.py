@@ -65,13 +65,21 @@ def curate_corpus(
 ) -> DataFrame:
     """One row per input doc: (id, lang_pred, quality_score, drop_stage,
     keep). See module docstring for stage semantics."""
-    lp, _lv = textstats.lang_pred_cols(text_col)
+    # stage the token list once (textstats.tokens_col): the lang votes and
+    # the quality gate would otherwise re-tokenize every doc ~5x (codegen
+    # subexpression elimination skips lambda-bearing expressions); the
+    # staging projection is dropped before the persist boundary, so the
+    # cached frame carries no token arrays
+    pre = df.select(id_col, text_col,
+                    textstats.tokens_col(text_col).alias("_toks"))
+    lp, _lv = textstats.lang_pred_cols(text_col, toks=F.col("_toks"))
     base = (
-        df.select(
+        pre.select(
             id_col,
             text_col,
             lp.alias("lang_pred"),
-            textstats.quality_score_col(text_col).alias("quality_score"),
+            textstats.quality_score_col(
+                text_col, toks=F.col("_toks")).alias("quality_score"),
         )
         .withColumn("_lang_ok", F.col("lang_pred").isin(*langs))
         .withColumn("_qual_ok", F.col("quality_score") >= F.lit(min_quality))

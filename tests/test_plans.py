@@ -162,3 +162,21 @@ def test_literature_pvalues_fisher_stage_adds_no_exchange(spark):
     between = "\n".join(lines[mip:agg])
     assert "Exchange hashpartitioning" not in between
     assert "Exchange SinglePartition" not in between
+
+
+def test_signals_tokenize_once(spark):
+    """Round-4: codegen subexpression elimination skips lambda-bearing
+    expressions, so the one-pass signals scan must stage the token list as
+    a column (textstats.tokens_col) instead of referencing the tokenize
+    expression per signal. The optimized plan must contain exactly ONE
+    tokenize (split(lower(...))) — CollapseProject must not have inlined
+    the multiply-referenced alias back into every consumer."""
+    from outbreak_kg_spark import textstats
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    for df in (textstats.signals(d), textstats.lang_id(d),
+               textstats.quality_scores(d)):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("split(lower(") == 1, plan
+        assert "Exchange" not in df._jdf.queryExecution(
+        ).executedPlan().toString()
