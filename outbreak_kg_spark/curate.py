@@ -70,14 +70,18 @@ def curate_corpus(
     # subexpression elimination skips lambda-bearing expressions); the
     # staging projection is dropped before the persist boundary, so the
     # cached frame carries no token arrays
-    pre = df.select(id_col, text_col,
-                    textstats.tokens_col(text_col).alias("_toks"))
-    lp, _lv = textstats.lang_pred_cols(text_col, toks=F.col("_toks"))
+    pre = df.select(
+        id_col, text_col, textstats.tokens_col(text_col).alias("_toks")
+    ).withColumn(
+        "_lang", textstats.lang_best_struct(text_col, toks=F.col("_toks"))
+    )
+    best = F.col("_lang")
     base = (
         pre.select(
             id_col,
             text_col,
-            lp.alias("lang_pred"),
+            F.when(best["votes"] > 0, best["lang"]).otherwise(F.lit("und"))
+            .alias("lang_pred"),
             textstats.quality_score_col(
                 text_col, toks=F.col("_toks")).alias("quality_score"),
         )

@@ -126,10 +126,16 @@ def lang_id(df: DataFrame, text_col: str = "text",
     of every doc through a broadcast join and a groupBy(doc) exchange —
     at web scale that shuffle is |tokens| rows, i.e. the corpus itself;
     this one touches nothing beyond the doc's partition."""
-    pre = df.select(id_col, tokens_col(text_col).alias("_toks"))
-    lp, lv = lang_pred_cols(text_col, toks=F.col("_toks"))
+    pre = df.select(
+        id_col, tokens_col(text_col).alias("_toks")
+    ).withColumn("_lang", lang_best_struct(text_col, toks=F.col("_toks")))
+    best = F.col("_lang")
     return pre.select(
-        id_col, lp.alias("lang_pred"), lv.alias("lang_votes")
+        id_col,
+        F.when(best["votes"] > 0, best["lang"]).otherwise(F.lit("und"))
+        .alias("lang_pred"),
+        F.when(best["votes"] > 0, best["votes"]).otherwise(F.lit(0))
+        .cast("long").alias("lang_votes"),
     )
 
 
@@ -141,6 +147,25 @@ def lang_pred_cols(text_col: str = "text", toks=None):
     tokens_col): the per-language vote filters reference the token list
     once per language, so an unstaged call re-tokenizes N_languages
     times."""
+    best = lang_best_struct(text_col, toks=toks)
+    return (
+        F.when(best["votes"] > 0, best["lang"]).otherwise(F.lit("und")),
+        F.when(best["votes"] > 0, best["votes"]).otherwise(F.lit(0))
+        .cast("long"),
+    )
+
+
+def lang_best_struct(text_col: str = "text", toks=None):
+    """struct(votes, lang) of the winning language as ONE Column — the
+    form to stage when a projection consumes both fields (signals): each
+    reference to a lambda-bearing column expression re-evaluates the whole
+    vote computation, so extracting pred and votes from one staged struct
+    halves the work lang_pred_cols' two Columns would do.
+
+    Argmax by comparator sort (votes desc, lang asc — the deterministic
+    tie-break), element 0. The earlier filter-equals-max form evaluated
+    the max (itself the full vote array) once PER ELEMENT inside the
+    filter lambda — O(langs^2) vote computations."""
     toks = toks if toks is not None else tokens_col(text_col)
     per_lang = []  # lang-ascending order = the tie-break order
     for lang in sorted(LANG_STOPWORDS):
@@ -150,13 +175,14 @@ def lang_pred_cols(text_col: str = "text", toks=None):
             F.struct(votes.alias("votes"), F.lit(lang).alias("lang"))
         )
     arr = F.array(*per_lang)
-    mx = F.array_max(F.transform(arr, lambda s: s["votes"]))
-    # first (lang-asc) entry achieving the max vote count
-    best = F.get(F.filter(arr, lambda s: s["votes"] == mx), 0)
-    return (
-        F.when(mx > 0, best["lang"]).otherwise(F.lit("und")),
-        F.when(mx > 0, mx).otherwise(F.lit(0)).cast("long"),
+    srt = F.array_sort(
+        arr,
+        lambda a, b: F.when(a["votes"] > b["votes"], F.lit(-1))
+        .when(a["votes"] < b["votes"], F.lit(1))
+        .when(a["lang"] < b["lang"], F.lit(-1))
+        .otherwise(F.lit(1)),
     )
+    return F.get(srt, 0)
 
 
 def fingerprints(df: DataFrame, text_col: str = "text",
@@ -192,7 +218,9 @@ def signals(df: DataFrame, text_col: str = "text",
     quality gate, one vote filter per language) — measured 1.7x wall on
     the corpus scan."""
     sw = stopwords if stopwords is not None else LANG_STOPWORDS["en"]
-    pre = df.select(id_col, text_col, tokens_col(text_col).alias("_toks"))
+    pre = df.select(
+        id_col, text_col, tokens_col(text_col).alias("_toks")
+    ).withColumn("_lang", lang_best_struct(text_col, toks=F.col("_toks")))
     toks = F.col("_toks")
     n_toks = F.size(toks)
     n_chars = F.length(text_col)
@@ -205,7 +233,10 @@ def signals(df: DataFrame, text_col: str = "text",
     sw_arr = F.array(*[F.lit(s) for s in sw])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t)))
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
-    lp, lv = lang_pred_cols(text_col, toks=toks)
+    best = F.col("_lang")
+    lp = F.when(best["votes"] > 0, best["lang"]).otherwise(F.lit("und"))
+    lv = (F.when(best["votes"] > 0, best["votes"]).otherwise(F.lit(0))
+          .cast("long"))
     return pre.select(
         id_col,
         lp.alias("lang_pred"),
@@ -263,10 +294,21 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     fold it with one ``F.aggregate`` pass (equal elements are adjacent
     after the sort), so nothing leaves its input partition — at 100 TB
     this is a narrow map like the rest of the quality scorers.
+
+    The line/token/bigram arrays are staged as columns: the bigram
+    builder slices the token list inside a per-index lambda, and a
+    higher-order-function body re-evaluates non-attribute subexpressions
+    per element — an INLINE token split there is O(tokens^2) per doc
+    (same failure as dedup.shingle_array; see tokens_col).
     """
-    lines = F.filter(F.split(F.col(text_col), r"\n"), lambda x: x != "")
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
-                    lambda t: t != "")
+    pre = df.select(
+        id_col,
+        F.filter(F.split(F.col(text_col), r"\n"),
+                 lambda x: x != "").alias("_lines"),
+        tokens_col(text_col).alias("_toks"),
+    )
+    lines = F.col("_lines")
+    toks = F.col("_toks")
     n_lines = F.size(lines)
     n_toks = F.size(toks)
 
@@ -288,14 +330,18 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
         ),
     )
 
-    bigrams = F.when(
-        n_toks >= 2,
-        F.transform(
-            F.sequence(F.lit(0), n_toks - 2),
-            lambda i: F.array_join(F.slice(toks, i + F.lit(1), F.lit(2)),
-                                   " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    pre = pre.withColumn(
+        "_bigrams",
+        F.when(
+            n_toks >= 2,
+            F.transform(
+                F.sequence(F.lit(0), n_toks - 2),
+                lambda i: F.array_join(F.slice(toks, i + F.lit(1), F.lit(2)),
+                                       " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    bigrams = F.col("_bigrams")
 
     # mode frequency = longest run in the sorted bigram array
     bg_acc = F.aggregate(
@@ -316,7 +362,7 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
         ),
     )
 
-    return df.select(
+    return pre.select(
         id_col,
         n_lines.alias("n_lines"),
         ((n_lines - F.size(F.array_distinct(lines)))

@@ -171,11 +171,12 @@ def test_signals_tokenize_once(spark):
     expression per signal. The optimized plan must contain exactly ONE
     tokenize (split(lower(...))) — CollapseProject must not have inlined
     the multiply-referenced alias back into every consumer."""
-    from outbreak_kg_spark import textstats
+    from outbreak_kg_spark import dedup, textstats
 
     d = spark.read.parquet(f"{SF}/documents.parquet")
     for df in (textstats.signals(d), textstats.lang_id(d),
-               textstats.quality_scores(d)):
+               textstats.quality_scores(d), textstats.repetition_stats(d),
+               dedup.shingle_array(d)):
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert plan.count("split(lower(") == 1, plan
         assert "Exchange" not in df._jdf.queryExecution(
