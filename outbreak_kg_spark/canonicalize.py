@@ -122,30 +122,32 @@ def candidate_pairs(blocks: DataFrame, id_col: str = "curie") -> DataFrame:
     return _bucket_pairs(blocks, id_col)
 
 
-def verified_pairs(sh: DataFrame, cand: DataFrame, id_col: str = "curie",
+def verified_pairs(arr: DataFrame, cand: DataFrame, id_col: str = "curie",
                    threshold: float = 0.7) -> DataFrame:
-    """Exact name-shingle Jaccard over the LSH candidates ONLY: the candidate
-    restriction sits BELOW the intersection aggregate (left side fans out to
-    its candidate partners, then equi-joins on (b, shingle)), so the
-    intermediate is bounded by sum over candidates of |shingles(a)| — a hot
-    shingle shared by every name cannot make it quadratic (round-1 flaw #3;
-    same fix as dedup.jaccard_pairs)."""
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    la = sh.select(F.col(id_col).alias("a"), "shingle")
-    lb = sh.select(F.col(id_col).alias("b"), "shingle")
-    inter = (
-        la.join(cand.select("a", "b").dropDuplicates(), "a")
-        .join(lb, ["b", "shingle"])
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("ni"))
-    )
+    """Exact name-shingle Jaccard over the LSH candidates ONLY, from the
+    ARRAY form (id, shingles): each candidate pair row joins the two names'
+    distinct-shingle arrays and the intersection is one array_intersect
+    expression — two equi-joins, zero aggregations (round-4; same shape as
+    dedup.jaccard_pairs' candidates branch). The restriction stays BELOW
+    the intersection: the intermediate is bounded by the candidate count
+    times the two shingle-set sizes, so a hot shingle shared by every name
+    cannot make it quadratic (round-1 flaw #3). Zero-overlap pairs are
+    dropped, as the previous (b, shingle) inner equi-join's were."""
+    aside = arr.select(F.col(id_col).alias("a"),
+                       F.col("shingles").alias("_sa"))
+    bside = arr.select(F.col(id_col).alias("b"),
+                       F.col("shingles").alias("_sb"))
     return (
-        inter.join(sizes.withColumnRenamed(id_col, "a")
-                   .withColumnRenamed("sz", "sa"), "a")
-        .join(sizes.withColumnRenamed(id_col, "b")
-              .withColumnRenamed("sz", "sb"), "b")
-        .withColumn("jaccard",
-                    F.col("ni") / (F.col("sa") + F.col("sb") - F.col("ni")))
+        cand.select("a", "b").dropDuplicates()
+        .join(aside, "a")
+        .join(bside, "b")
+        .withColumn("_ni", F.size(F.array_intersect("_sa", "_sb")))
+        .filter(F.col("_ni") > 0)
+        .withColumn(
+            "jaccard",
+            F.col("_ni")
+            / (F.size("_sa") + F.size("_sb") - F.col("_ni")),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b")
     )
@@ -163,13 +165,12 @@ def canonical_assignments(nodes: DataFrame, ns_priority: tuple = ("MESH",),
         F.concat_ws("\x00", "node_type", "curie").alias("k"), "name"
     )
     arr = name_shingle_array(keyed, "name", "k")
-    sh = arr.select("k", F.explode("shingles").alias("shingle"))
     cand = candidate_pairs(lsh_blocks_array(arr, "k", num_hashes, bands), "k")
     # same-type guard: the type is the prefix of the key
     cand = cand.filter(
         F.substring_index("a", "\x00", 1) == F.substring_index("b", "\x00", 1)
     )
-    pairs = verified_pairs(sh, cand, "k", threshold)
+    pairs = verified_pairs(arr, cand, "k", threshold)
     comp = connected_components(pairs, "a", "b")
     members = comp.select(
         F.substring_index("node", "\x00", -1).alias("curie"),

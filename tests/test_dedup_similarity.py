@@ -90,17 +90,19 @@ def test_jaccard_candidates_below_intersection(spark):
 def test_canonicalize_hot_shingle_bounded(spark):
     """Same placement fix in canonicalize.verified_pairs: names sharing a hot
     character trigram only compare within LSH candidates."""
-    from outbreak_kg_spark.canonicalize import name_shingles, verified_pairs
+    from outbreak_kg_spark.canonicalize import (
+        name_shingle_array, verified_pairs,
+    )
 
     nodes = spark.createDataFrame(
         [{"curie": f"MESH:D{i:04d}", "name": f"commonprefix {i}"}
          for i in range(200)]
     )
-    sh = name_shingles(nodes, "name", "curie")
+    arr = name_shingle_array(nodes, "name", "curie")
     cand = spark.createDataFrame(
         [{"a": "MESH:D0001", "b": "MESH:D0011"}]
     )
-    out = verified_pairs(sh, cand, "curie", threshold=0.0).collect()
+    out = verified_pairs(arr, cand, "curie", threshold=0.0).collect()
     assert len(out) == 1 and (out[0].a, out[0].b) == ("MESH:D0001", "MESH:D0011")
 
 
