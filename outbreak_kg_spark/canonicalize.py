@@ -43,21 +43,6 @@ def name_shingle_array(nodes: DataFrame, name_col: str = "name",
     return p.select(id_col, F.array_distinct(sh).alias("shingles"))
 
 
-def name_shingles(nodes: DataFrame, name_col: str = "name",
-                  id_col: str = "curie", n: int = 3) -> DataFrame:
-    """Long-form distinct (id, shingle) rows — explode of the array form."""
-    return name_shingle_array(nodes, name_col, id_col, n).select(
-        id_col, F.explode("shingles").alias("shingle")
-    )
-
-
-def lsh_blocks(sh: DataFrame, id_col: str = "curie", num_hashes: int = 12,
-               bands: int = 6) -> DataFrame:
-    """Long-form-shingle compatibility wrapper around lsh_blocks_array."""
-    arr = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("shingles"))
-    return lsh_blocks_array(arr, id_col, num_hashes, bands)
-
-
 def lsh_blocks_array(arr: DataFrame, id_col: str = "curie",
                      num_hashes: int = 12, bands: int = 6) -> DataFrame:
     """MinHash the shingle arrays and band the signature — all with array

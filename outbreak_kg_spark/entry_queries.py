@@ -2124,12 +2124,16 @@ def q_streaming_episodes(spark, sf_dir):
     from .streaming import entity_episodes
 
     _utc(spark)
-    # deterministic per-input scratch dir, cleared up front: repeated runs
-    # reuse (not accumulate) the space, and a stale checkpoint can never be
-    # resumed against the fresh source (an availableNow restart over an old
-    # checkpoint would emit nothing and silently fail the gate)
+    # deterministic per-(input, process) scratch dir, cleared up front:
+    # repeated runs in one process reuse (not accumulate) the space, a
+    # stale checkpoint can never be resumed against the fresh source (an
+    # availableNow restart over an old checkpoint would emit nothing and
+    # silently fail the gate), and the pid keeps a concurrent process from
+    # rmtree-ing this one's live checkpoint/sink
+    import os
+
     tmp = (f"{tempfile.gettempdir()}/kg_episodes_"
-           f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}")
+           f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}")
     shutil.rmtree(tmp, ignore_errors=True)
     src = (
         spark.read.parquet(f"{sf_dir}/events.parquet")

@@ -208,7 +208,12 @@ def kmeans_lite(df: DataFrame, dim: int, k: int = 16, iters: int = 5,
             # the same ones full-corpus training would pick
             thr = format(int(cap / n * (1 << 48)), "012x")
             train = v.filter(F.substring("_h", 1, 12) <= thr)
-    train = train.persist()
+    if sample_cap is not None:
+        # bounded by the cap (or by n <= cap) — cheap to cache across the
+        # Lloyd rounds. With sampling explicitly disabled the corpus may
+        # be 10^9+ vectors: stream it per round rather than pinning a
+        # corpus-sized cache.
+        train = train.persist()
     try:
         seed_rows = train.orderBy("_h").limit(k).collect()
         if train is not v and len(seed_rows) < k and (n or 0) >= k:

@@ -59,8 +59,10 @@ def tokens_col(text_col: str = "text"):
 
 def quality_score_col(text_col: str = "text", toks=None):
     """The composite quality score in [0,1] as a single Column (narrow
-    scalar expressions — no shuffle), for callers that only gate on the
-    score (curate.curate_corpus) and don't need the feature columns."""
+    scalar expressions — no shuffle), for callers that don't need the
+    feature columns. Pass a staged `toks` column (tokens_col) when the
+    surrounding projection derives other signals from the token list —
+    the unstaged default re-tokenizes the doc for this score alone."""
     toks = toks if toks is not None else tokens_col(text_col)
     n_toks = F.size(toks)
     n_chars = F.length(text_col)
@@ -139,28 +141,12 @@ def lang_id(df: DataFrame, text_col: str = "text",
     )
 
 
-def lang_pred_cols(text_col: str = "text", toks=None):
-    """(lang_pred, lang_votes) as bare Columns — the zero-shuffle
-    expression form of lang_id, for callers composing several per-doc
-    scores in one projection (curate.curate_corpus). Pass a pre-staged
-    toks column when combining with other token-derived signals (see
-    tokens_col): the per-language vote filters reference the token list
-    once per language, so an unstaged call re-tokenizes N_languages
-    times."""
-    best = lang_best_struct(text_col, toks=toks)
-    return (
-        F.when(best["votes"] > 0, best["lang"]).otherwise(F.lit("und")),
-        F.when(best["votes"] > 0, best["votes"]).otherwise(F.lit(0))
-        .cast("long"),
-    )
-
-
 def lang_best_struct(text_col: str = "text", toks=None):
     """struct(votes, lang) of the winning language as ONE Column — the
-    form to stage when a projection consumes both fields (signals): each
-    reference to a lambda-bearing column expression re-evaluates the whole
-    vote computation, so extracting pred and votes from one staged struct
-    halves the work lang_pred_cols' two Columns would do.
+    form to stage when a projection consumes both fields (signals,
+    lang_id, curate.curate_corpus): each reference to a lambda-bearing
+    column expression re-evaluates the whole vote computation, so both
+    outputs must derive from ONE staged struct column.
 
     Argmax by comparator sort (votes desc, lang asc — the deterministic
     tie-break), element 0. The earlier filter-equals-max form evaluated
