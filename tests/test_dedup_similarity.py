@@ -480,3 +480,49 @@ def test_kmeans_sampled_training_parity_and_determinism(spark):
     for r in index.collect():
         d = [sum((a - b) ** 2 for a, b in zip(r.vec, c)) for c in cents]
         assert d[r.centroid_id] == min(d)
+
+
+def test_jaccard_pairs_fuzz_vs_reference(spark):
+    """Differential fuzz for the round-4 array-intersect candidates branch:
+    random word-soup docs (with repeats, empties, and whitespace runs),
+    random candidate pairs, compared against an independent pure-Python
+    shingle-set reference. Covers: zero-overlap pairs dropped, empty-shingle
+    docs never emit, distinct-set (not bag) semantics, and the exact
+    jaccard value."""
+    import random
+    import re
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)] + ["The", "AND", "of"]
+    docs = {}
+    for i in range(40):
+        n = rng.randint(0, 12)
+        words = [rng.choice(vocab) for _ in range(n)]
+        # inject whitespace runs and blank-ish docs
+        sep = rng.choice([" ", "  ", " \t ", "\n"])
+        docs[i] = sep.join(words)
+    df = spark.createDataFrame(
+        [{"doc_id": i, "text": t} for i, t in docs.items()]
+    )
+    cand_rows = [{"a": rng.randrange(40), "b": rng.randrange(40)}
+                 for _ in range(120)]
+    cand = spark.createDataFrame(cand_rows).filter("a < b")
+    got = {(r.a, r.b): r.jaccard
+           for r in dedup.jaccard_pairs(df, cand, shingle_n=2).collect()}
+
+    def ref_shingles(t, n=2):
+        toks = [w for w in re.split(r"\s+", t.lower()) if w]
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    want = {}
+    for row in cand_rows:
+        a, b = row["a"], row["b"]
+        if not a < b:
+            continue
+        sa, sb = ref_shingles(docs[a]), ref_shingles(docs[b])
+        ni = len(sa & sb)
+        if ni > 0:
+            want[(a, b)] = ni / len(sa | sb)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, (k, got[k], want[k])
