@@ -164,8 +164,20 @@ keyed by doc id and a salted two-phase count.
 Reproduce: `python BENCH/run_scaling.py --repl {repl}`
 (input: {sf_dir}, documents replicated x{repl} with distinct doc ids).
 """
-    with open(os.path.join(HERE, "BASELINE.md"), "w") as fh:
-        fh.write(md)
+    # preserve hand-written sections below the generated block: everything
+    # from the first second-level heading after the table (host-calibration
+    # notes, per-round reference points) is re-appended, so a scaling
+    # re-run can never silently truncate the narrative record
+    baseline_path = os.path.join(HERE, "BASELINE.md")
+    tail = ""
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as fh:
+            old = fh.read()
+        idx = old.find("\n## ")
+        if idx != -1:
+            tail = old[idx:]
+    with open(baseline_path, "w") as fh:
+        fh.write(md + tail)
     print(json.dumps(result))
 
 
