@@ -98,13 +98,14 @@ def lsh_blocks_array(arr: DataFrame, id_col: str = "curie",
     )
 
 
-def candidate_pairs(blocks: DataFrame, id_col: str = "curie") -> DataFrame:
+def candidate_pairs(blocks: DataFrame, id_col: str = "curie",
+                    max_bucket_size: int | None = None) -> DataFrame:
     """Candidate pairs from (id, band, bucket) — the same blocking
-    equi-join as the document path (one implementation: a future fix to
-    the bucket join lands in both)."""
+    equi-join as the document path (one implementation: the bucket-size
+    cap and star fallback land in both; see dedup._bucket_pairs)."""
     from .dedup import _bucket_pairs
 
-    return _bucket_pairs(blocks, id_col)
+    return _bucket_pairs(blocks, id_col, max_bucket_size)
 
 
 def verified_pairs(arr: DataFrame, cand: DataFrame, id_col: str = "curie",
@@ -140,18 +141,37 @@ def verified_pairs(arr: DataFrame, cand: DataFrame, id_col: str = "curie",
 
 def canonical_assignments(nodes: DataFrame, ns_priority: tuple = ("MESH",),
                           threshold: float = 0.7,
-                          num_hashes: int = 12, bands: int = 6) -> DataFrame:
+                          num_hashes: int = 12, bands: int = 6,
+                          max_bucket_size: int | None = 256) -> DataFrame:
     """nodes(curie, name, node_type) -> (curie, canonical_curie).
 
     Pairs must share node_type (a disease never merges with a geoloc);
     canonical member = highest-priority namespace, then lexicographically
-    smallest curie — deterministic."""
+    smallest curie — deterministic.
+
+    max_bucket_size (default 256) bounds degenerate LSH name buckets (a
+    web-scale gazetteer has millions of near-identical template names):
+    an oversized bucket emits a verified candidate STAR instead of |B|^2
+    pairs — the star still passes the Jaccard verify below, so no
+    unverified merge happens (see dedup._bucket_pairs)."""
     keyed = nodes.select(
         F.concat_ws("\x00", "node_type", "curie").alias("k"), "name"
     )
     arr = name_shingle_array(keyed, "name", "k")
-    cand = candidate_pairs(lsh_blocks_array(arr, "k", num_hashes, bands), "k")
-    # same-type guard: the type is the prefix of the key
+    # type-scope the bucket key: pairs must share node_type, so fold the
+    # type into the bucket BEFORE pairing. Same final pair set as the old
+    # post-filter (a type-scoped bucket's pairs are exactly the same-type
+    # pairs of the unscoped bucket), but (a) cross-type pairs are never
+    # generated only to be dropped, and (b) a capped bucket's star hub is
+    # guaranteed to share the member's type — otherwise a mixed-type
+    # degenerate bucket would strand non-hub-type members whose only
+    # candidate edge went to a hub the type guard removes.
+    blocks = lsh_blocks_array(arr, "k", num_hashes, bands).withColumn(
+        "bucket",
+        F.concat_ws("\x00", F.substring_index("k", "\x00", 1), "bucket"),
+    )
+    cand = candidate_pairs(blocks, "k", max_bucket_size)
+    # same-type guard kept as a belt-and-braces invariant (no-op now)
     cand = cand.filter(
         F.substring_index("a", "\x00", 1) == F.substring_index("b", "\x00", 1)
     )

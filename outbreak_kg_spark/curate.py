@@ -62,9 +62,18 @@ def curate_corpus(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 2,
+    max_bucket_size: int | None = 256,
 ) -> DataFrame:
     """One row per input doc: (id, lang_pred, quality_score, drop_stage,
-    keep). See module docstring for stage semantics."""
+    keep). See module docstring for stage semantics.
+
+    max_bucket_size (default 256) caps degenerate LSH buckets in the
+    near-dup stage: a web corpus's boilerplate pages form million-doc
+    buckets, and an uncapped bucket self-join emits |B|^2 pairs — the one
+    straggler-making step of this chain. Oversized buckets contribute a
+    candidate STAR that still passes the Jaccard verify (see
+    dedup._bucket_pairs), so small-scale results are identical and a
+    false LSH collision never merges unverified."""
     # stage the token list once (textstats.tokens_col): the lang votes and
     # the quality gate would otherwise re-tokenize every doc ~5x (codegen
     # subexpression elimination skips lambda-bearing expressions); the
@@ -109,7 +118,9 @@ def curate_corpus(
     s_ex = s_lq.join(ex, id_col).filter(F.col(id_col) == F.col("_exact_canon"))
     siga = dedup.minhash_sig_array(s_ex, text_col, id_col,
                                    num_hashes=num_hashes, shingle_n=shingle_n)
-    cand = dedup.lsh_candidate_pairs_narrow(siga, id_col, bands=bands)
+    cand = dedup.lsh_candidate_pairs_narrow(
+        siga, id_col, bands=bands, max_bucket_size=max_bucket_size
+    )
     dup_edges = dedup.jaccard_pairs(
         s_ex.select(id_col, text_col), cand, text_col, id_col, shingle_n
     ).filter(F.col("jaccard") >= neardup_threshold)

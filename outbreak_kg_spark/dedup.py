@@ -137,7 +137,8 @@ def minhash_sig_array(df: DataFrame, text_col: str = "text",
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
-                        bands: int = 8) -> DataFrame:
+                        bands: int = 8,
+                        max_bucket_size: int | None = None) -> DataFrame:
     """Band the signature, bucket docs whose band-slice agrees, emit
     candidate pairs (a < b). Equi-join on (band, bucket) — the LSH trick
     turns all-pairs into per-bucket pairs."""
@@ -150,20 +151,63 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
             )
         ).alias("bucket")
     )
-    return _bucket_pairs(buckets, id_col)
+    return _bucket_pairs(buckets, id_col, max_bucket_size)
 
 
-def _bucket_pairs(buckets: DataFrame, id_col: str) -> DataFrame:
+def _bucket_pairs(buckets: DataFrame, id_col: str,
+                  max_bucket_size: int | None = None) -> DataFrame:
     """(id, band, bucket) -> distinct candidate pairs (a < b) sharing any
-    (band, bucket) — the LSH blocking equi-join."""
-    l = buckets.select(F.col(id_col).alias("a"), "band", "bucket")
-    r = buckets.select(F.col(id_col).alias("b"), "band", "bucket")
-    return (
+    (band, bucket) — the LSH blocking equi-join.
+
+    max_bucket_size caps the per-bucket pair blow-up, the one quadratic
+    step of the LSH path. On web-scale corpora degenerate buckets are the
+    NORM, not the exception: boilerplate/template pages produce identical
+    band slices for millions of docs, so one hot (band, bucket) key emits
+    |B|^2 = 10^12+ pairs and a straggler task that never finishes. Buckets
+    up to the cap emit all pairs as before; an OVERSIZED bucket is a
+    near-certain duplicate *group*, so it emits a STAR instead — every
+    member paired with the bucket's min id, |B|-1 pairs — which keeps the
+    group connected for the downstream verify + connected-components stage
+    while bounding output linearly in bucket size. With the default None
+    the historical uncapped semantics (and the DuckDB oracles that mirror
+    them) are unchanged.
+
+    Plan shape with a cap: one count agg keyed on (band, bucket) — the
+    same key every subsequent join uses, so the exchange is reused — then
+    the small-bucket self-join and the big-bucket hub join, both
+    co-partitioned. The star's hub aggregation is the only work a
+    degenerate bucket costs."""
+    if max_bucket_size is not None and max_bucket_size < 2:
+        raise ValueError("max_bucket_size must be >= 2 (a bucket of 2 is "
+                         "already a single pair)")
+    if max_bucket_size is None:
+        l = buckets.select(F.col(id_col).alias("a"), "band", "bucket")
+        r = buckets.select(F.col(id_col).alias("b"), "band", "bucket")
+        return (
+            l.join(r, ["band", "bucket"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .dropDuplicates()
+        )
+    stats = buckets.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("_sz"), F.min(id_col).alias("_hub")
+    )
+    sized = buckets.join(stats, ["band", "bucket"])
+    small = sized.filter(F.col("_sz") <= max_bucket_size)
+    l = small.select(F.col(id_col).alias("a"), "band", "bucket")
+    r = small.select(F.col(id_col).alias("b"), "band", "bucket")
+    small_pairs = (
         l.join(r, ["band", "bucket"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
-        .dropDuplicates()
     )
+    # hub = min(id) per bucket, so a = hub < b = member always holds
+    star_pairs = (
+        sized.filter(F.col("_sz") > max_bucket_size)
+        .filter(F.col(id_col) != F.col("_hub"))
+        .select(F.col("_hub").alias("a"), F.col(id_col).alias("b"))
+    )
+    return small_pairs.unionByName(star_pairs).dropDuplicates()
 
 
 def lsh_band_buckets(sig_arrays: DataFrame, id_col: str = "doc_id",
@@ -210,12 +254,15 @@ def lsh_band_buckets(sig_arrays: DataFrame, id_col: str = "doc_id",
 
 def lsh_candidate_pairs_narrow(sig_arrays: DataFrame,
                                id_col: str = "doc_id",
-                               bands: int = 8) -> DataFrame:
+                               bands: int = 8,
+                               max_bucket_size: int | None = None) -> DataFrame:
     """Candidate pairs from array-form signatures: the only exchange left
     is the blocking equi-join itself (banding is narrow). This is the
     scale path; the long-form lsh_candidate_pairs stays for pipelines that
-    materialize per-hash signature rows."""
-    return _bucket_pairs(lsh_band_buckets(sig_arrays, id_col, bands), id_col)
+    materialize per-hash signature rows. max_bucket_size bounds degenerate
+    buckets (see _bucket_pairs) — pass it on any real web corpus."""
+    return _bucket_pairs(lsh_band_buckets(sig_arrays, id_col, bands), id_col,
+                         max_bucket_size)
 
 
 def jaccard_pairs(df: DataFrame, pairs: DataFrame | None = None,
@@ -281,13 +328,22 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame | None = None,
 def minhash_dedup(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", threshold: float = 0.8,
                   num_hashes: int = 32, bands: int = 8,
-                  shingle_n: int = 3) -> DataFrame:
+                  shingle_n: int = 3,
+                  max_bucket_size: int | None = 256) -> DataFrame:
     """Full near-dup pipeline: MinHash -> LSH buckets -> exact Jaccard
-    verify -> connected components -> canonical id per doc."""
+    verify -> connected components -> canonical id per doc.
+
+    max_bucket_size (default 256) bounds degenerate LSH buckets: an
+    oversized bucket contributes a verified STAR of candidates instead of
+    |B|^2 pairs (see _bucket_pairs). The star still passes through the
+    Jaccard verify, so a false LSH collision inside a giant bucket does
+    NOT merge; a true boilerplate clique connects through its hub and
+    lands in the same component as the uncapped run (property-tested).
+    Buckets at or under the cap are byte-identical to the uncapped path."""
     from .closure import connected_components
 
     siga = minhash_sig_array(df, text_col, id_col, num_hashes, shingle_n)
-    cand = lsh_candidate_pairs_narrow(siga, id_col, bands)
+    cand = lsh_candidate_pairs_narrow(siga, id_col, bands, max_bucket_size)
     dup_edges = jaccard_pairs(df, cand, text_col, id_col, shingle_n).filter(
         F.col("jaccard") >= threshold
     )
