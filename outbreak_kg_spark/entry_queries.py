@@ -89,15 +89,38 @@ def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# Ambiguous DECOY surfaces exercising the scored trie resolution
+# (ground.compile_gazetteer; gilda-style ranking — promed_ner.py:143-150).
+# Each decoy collides with an ENTRY_GAZ token and would WIN the old
+# (ns, id) lexicographic tie-break (A0xxx < D0003/D2003), but loses the
+# scored one — 'stream' by corpus prior, 'batch' by curated-name status.
+# The kg_ner_mentions oracle lists only ENTRY_GAZ winners, so a scoring
+# regression flips curies and fails the value-hash gate.
+ENTRY_GAZ_DECOYS = [
+    # (ns, id, entry_name, synonym, prior)
+    ("MESH", "A0001", "stream", "stream", 0.5),  # same name-status: prior decides
+    ("MESH", "A0002", "Batch Processing", "batch", None),
+]
+_ENTRY_GAZ_PRIORS = {"stream": 3.0}  # winner-side priors (default 0.0)
+
+
 def entry_gazetteer_df(spark: SparkSession) -> DataFrame:
     rows = [
         {"ns": c.split(":")[0], "id": c.split(":")[1], "entry_name": t,
-         "synonym": t, "node_type": ty}
+         "synonym": t, "node_type": ty,
+         "prior": _ENTRY_GAZ_PRIORS.get(t, 0.0)}
         for c, t, ty in ENTRY_GAZ
+    ] + [
+        {"ns": ns, "id": i, "entry_name": en, "synonym": syn,
+         "node_type": "disease", "prior": pr}
+        for ns, i, en, syn, pr in ENTRY_GAZ_DECOYS
     ]
     from .schemas import GAZETTEER
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
-    return spark.createDataFrame(rows, GAZETTEER)
+    schema = StructType(GAZETTEER.fields
+                        + [StructField("prior", DoubleType(), True)])
+    return spark.createDataFrame(rows, schema)
 
 
 import weakref

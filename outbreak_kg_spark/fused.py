@@ -26,6 +26,7 @@ from pyspark.sql.types import (
 
 from .ground import (
     DEFAULT_NS_PRIORITY,
+    _gaz_rows,
     compile_gazetteer,
     scan_terms,
     scan_text,
@@ -56,8 +57,7 @@ _FUSED_STRUCT = StructType(
 def make_fused_udf(spark: SparkSession, gazetteer: DataFrame,
                    ns_priority=DEFAULT_NS_PRIORITY,
                    exclude_tokens: frozenset | set = frozenset()):
-    rows = [r.asDict() for r in
-            gazetteer.select("ns", "id", "entry_name", "synonym").collect()]
+    rows = _gaz_rows(gazetteer)  # carries the optional scoring prior
     trie = compile_gazetteer(rows, ns_priority)
     bc = spark.sparkContext.broadcast((trie, frozenset(exclude_tokens)))
 

@@ -139,31 +139,99 @@ def term_token_variants(s: str, max_variants: int = 16) -> set[tuple]:
     return set(variants)
 
 
-def compile_gazetteer(rows: list[dict], ns_priority=DEFAULT_NS_PRIORITY) -> dict:
-    """Compile vocabulary rows into a token-trie.
+def compile_gazetteer(rows: list[dict], ns_priority=DEFAULT_NS_PRIORITY,
+                      context: bool = False) -> dict:
+    """Compile vocabulary rows into a token-trie with SCORED ambiguity
+    resolution (the engine's stand-in for gilda's scored grounder,
+    promed_ner.py:18,143-150 / kg/client.py:197 — gilda ranks competing
+    groundings of one surface with a trained model; here the rank is a
+    deterministic public-knowledge score).
 
-    rows: dicts with keys (ns, id, entry_name, synonym). The trie maps token
-    paths to the single best grounding per surface form, chosen by namespace
-    priority then (ns, id) for determinism — the promed_ner.py:162-176
-    priority walk, applied at compile time so the scan is O(tokens).
-    Trie node layout: {token: node, ...} with terminal groundings under the
-    reserved key 0 (int, cannot collide with str tokens).
+    rows: dicts with keys (ns, id, entry_name, synonym) and an OPTIONAL
+    ``prior`` (float, higher = more likely; e.g. corpus/MEDLINE annotation
+    frequency of the entry — the dominant signal of gilda's
+    disambiguation models). When several entries collide on one token
+    path the winner is chosen by, in order:
+
+    1. namespace priority — the reference's outer GILDA_NS walk
+       (promed_ner.py:162-176) stays the coarsest key;
+    2. higher ``prior`` — the frequency prior (gilda's disambiguation
+       model output dominates its static term score when present);
+    3. curated-name status — an entry whose canonical ``entry_name``
+       equals the surface beats one matching via a synonym (gilda's term
+       status ranking: name > synonym);
+    4. (ns, id) lexicographic — total and deterministic.
+
+    With ``context=False`` (default) resolution happens at COMPILE time so
+    the scan stays O(tokens) and the trie terminal is the single winning
+    (ns, id, entry_name) tuple — unchanged layout. With ``context=True``
+    ambiguous terminals instead hold the score-ranked candidate list plus
+    per-candidate CONTEXT CUES (the tokens of the entry's *other*
+    synonyms), and the scan disambiguates per document by cue overlap —
+    'cold' in a doc mentioning 'temperature' resolves to the
+    cold-temperature entry even when the common-cold entry has the higher
+    corpus prior. Unambiguous paths keep the tuple terminal either way,
+    so the common case costs nothing.
+
+    Trie node layout: {token: node, ...} with terminal groundings under
+    the reserved key 0 (int, cannot collide with str tokens).
     """
     prio = {ns: i for i, ns in enumerate(ns_priority)}
-    best: dict[tuple, tuple] = {}
+    # per-entry token pool across ALL its synonyms (for context cues)
+    entry_tokens: dict[tuple, set] = {}
+    if context:
+        for r in rows:
+            key = (r["ns"], r["id"], r["entry_name"])
+            entry_tokens.setdefault(key, set()).update(_term_tokens(r["synonym"]))
+    # path -> {entry key -> rank tuple}; one entry keeps its BEST rank even
+    # when several of its synonyms normalize onto the same path
+    cands: dict[tuple, dict] = {}
     for r in rows:
-        cand = (prio.get(r["ns"], len(prio)), r["ns"], r["id"], r["entry_name"])
+        is_name = normalize_term(r["synonym"]) == normalize_term(r["entry_name"])
+        prior = float(r.get("prior") or 0.0)
+        key = (r["ns"], r["id"], r["entry_name"])
+        rank = (prio.get(r["ns"], len(prio)), -prior, 0 if is_name else 1,
+                r["ns"], r["id"])
         for toks in term_token_variants(r["synonym"]):
-            cur = best.get(toks)
-            if cur is None or cand < cur:
-                best[toks] = cand
+            path = cands.setdefault(toks, {})
+            cur = path.get(key)
+            if cur is None or rank < cur:
+                path[key] = rank
     trie: dict = {}
-    for toks, (_, ns, id_, name) in best.items():
+    for toks, by_entry in cands.items():
+        ranked = sorted(by_entry.items(), key=lambda kv: kv[1])
         node = trie
         for t in toks:
             node = node.setdefault(t, {})
-        node[0] = (ns, id_, name)
+        if context:
+            # namespace priority stays the OUTER key (the reference's
+            # GILDA_NS walk): context may only disambiguate among the
+            # top-tier namespace's candidates — a lower-tier candidate
+            # can never win, so it is dropped from the terminal here
+            top_tier = ranked[0][1][0]
+            ranked = [kv for kv in ranked if kv[1][0] == top_tier]
+        if context and len(ranked) > 1:
+            path_toks = set(toks)
+            node[0] = [
+                (ns, id_, name, -rank[1],
+                 frozenset(entry_tokens[(ns, id_, name)] - path_toks))
+                for (ns, id_, name), rank in ranked
+            ]
+        else:
+            node[0] = ranked[0][0]
     return trie
+
+
+def _resolve_context(cands: list, tokset: set) -> tuple:
+    """Pick among score-ranked candidates [(ns, id, entry_name, prior,
+    cues), ...] by document context: most cue tokens present in the doc,
+    then prior, then the compile-time rank (list order). Deterministic."""
+    best, best_key = None, None
+    for i, (ns, id_, name, prior, cues) in enumerate(cands):
+        key = (-len(cues & tokset), -prior, i)
+        if best_key is None or key < best_key:
+            best, best_key = (ns, id_, name), key
+    return best
 
 
 def scan_text(text: str, trie: dict) -> list[tuple]:
@@ -174,6 +242,7 @@ def scan_text(text: str, trie: dict) -> list[tuple]:
     toks = [(m.group(0).lower(), m.start(), m.end()) for m in _TOKEN_RE.finditer(text)]
     out = []
     i, n = 0, len(toks)
+    tokset = None  # built lazily, only when a context terminal is hit
     while i < n:
         node = trie
         match_end = -1
@@ -187,6 +256,10 @@ def scan_text(text: str, trie: dict) -> list[tuple]:
                 match_end, match_val = j, node[0]
             j += 1
         if match_val is not None:
+            if type(match_val) is list:  # context=True ambiguous terminal
+                if tokset is None:
+                    tokset = {t[0] for t in toks}
+                match_val = _resolve_context(match_val, tokset)
             s, e = toks[i][1], toks[match_end][2]
             out.append((text[s:e], s, e, *match_val))
             i = match_end + 1
@@ -218,6 +291,7 @@ def scan_terms(text: str, trie: dict) -> list[tuple]:
     # round. `skip` preserves the greedy non-overlap semantics — tokens
     # consumed by a match cannot start a new one.
     skip = 0
+    tokset = None  # built lazily, only when a context terminal is hit
     for i, tok in enumerate(toks):
         if i < skip or tok not in trie:
             continue
@@ -233,7 +307,12 @@ def scan_terms(text: str, trie: dict) -> list[tuple]:
                 match_end, match_val = j, node[0]
             j += 1
         if match_val is not None:
-            out.append(match_val)
+            if type(match_val) is list:  # context=True ambiguous terminal
+                if tokset is None:
+                    tokset = set(toks)
+                out.append(_resolve_context(match_val, tokset))
+            else:
+                out.append(match_val)
             skip = match_end + 1
     return out
 
@@ -252,16 +331,29 @@ _MATCH_ARR = ArrayType(
 )
 
 
+def _gaz_rows(gazetteer: DataFrame) -> list[dict]:
+    """Collect the driver-side vocabulary rows, carrying the optional
+    ``prior`` column (entry frequency weight) when the frame has one."""
+    cols = ["ns", "id", "entry_name", "synonym"]
+    if "prior" in gazetteer.columns:
+        cols.append("prior")
+    return [r.asDict() for r in gazetteer.select(*cols).collect()]
+
+
 def make_annotate_udf(spark: SparkSession, gazetteer: DataFrame,
-                      ns_priority=DEFAULT_NS_PRIORITY):
+                      ns_priority=DEFAULT_NS_PRIORITY,
+                      context: bool = False):
     """Build the broadcast trie from a gazetteer DataFrame and return a
     pandas UDF text -> array<struct matches>. The gazetteer is collected on
     the driver (dimension-sized: 32k MeSH + 54k geonames in the reference —
     BASELINE.md) and broadcast once; executors scan against the shared copy.
+
+    An optional ``prior`` column on the gazetteer feeds the scored
+    ambiguity resolution (compile_gazetteer); context=True additionally
+    disambiguates ambiguous surfaces by per-document cue overlap.
     """
-    rows = [r.asDict() for r in
-            gazetteer.select("ns", "id", "entry_name", "synonym").collect()]
-    trie = compile_gazetteer(rows, ns_priority)
+    rows = _gaz_rows(gazetteer)
+    trie = compile_gazetteer(rows, ns_priority, context=context)
     bc = spark.sparkContext.broadcast(trie)
 
     @pandas_udf(_MATCH_ARR)
@@ -331,7 +423,11 @@ def ground_name_in_trie(trie: dict, name: str,
                 break
         else:
             if node and 0 in node:
-                hits.append(node[0])
+                val = node[0]
+                if type(val) is list:  # context trie: no document context
+                    # here, take the compile-rank best (prior then status)
+                    val = val[0][:3]
+                hits.append(val)
     if not hits:
         return None
     prio = {ns: i for i, ns in enumerate(ns_priority)}
@@ -344,8 +440,7 @@ def ground_names(spark: SparkSession, gazetteer: DataFrame, names: list[str],
     """Driver-side name -> CURIE grounding (operator N4, kg/client.py:
     367-378): passthrough when the name already contains ':', else exact
     normalized-name lookup against the same compiled gazetteer."""
-    rows = [r.asDict() for r in
-            gazetteer.select("ns", "id", "entry_name", "synonym").collect()]
+    rows = _gaz_rows(gazetteer)
     trie = compile_gazetteer(rows, ns_priority)
     out: dict[str, str | None] = {}
     for name in names:

@@ -261,6 +261,52 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def count_ranked_stats(df: DataFrame, key_cols: tuple[str, ...],
+                       count_col: str = "count") -> DataFrame:
+    """Count-ranked occurrence stats over arbitrary key columns — the
+    generic form of the reference's extraction-stats sinks (K4):
+    promed_ner.py:183-189 Counter(text_stats) sorted by count desc for
+    (text, term_db, term_id, term_name); process_eidos.py:60-90 the same
+    for (text, geoid) and (text, intervals). One hash agg; ordering is
+    count desc then keys asc — a deterministic total order (the
+    reference's stable sort leaves ties in Counter insertion order, which
+    no distributed engine can reproduce; on tie-free slices the two
+    orders agree byte-for-byte, property-tested against the reference's
+    real artifacts in tests/test_reference_artifacts.py)."""
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias(count_col))
+        .orderBy(F.desc(count_col), *[F.asc(k) for k in key_cols])
+    )
+
+
+def stats_tsv_bytes(df: DataFrame, crlf: bool = False) -> bytes:
+    """Render a stats relation to the reference's TSV artifact bytes.
+
+    crlf=False reproduces promed_ner.py:185-189 (raw f-string rows,
+    '\\n'); crlf=True reproduces process_eidos.py:76-90 (csv.writer,
+    QUOTE_MINIMAL, '\\r\\n'). Driver-side by design: the stats artifacts
+    are dimension-sized (31k/11k rows in the reference's real outputs);
+    the scale sink for corpus-sized stats is the partitioned parquet
+    table, this byte-compat boundary is for artifact parity only."""
+    import csv
+    import io
+
+    cols = df.columns
+    rows = df.collect()
+    if crlf:
+        buf = io.StringIO()
+        w = csv.writer(buf, delimiter="\t")  # csv default lineterminator \r\n
+        w.writerow(cols)
+        for r in rows:
+            w.writerow(["" if r[c] is None else r[c] for c in cols])
+        return buf.getvalue().encode("utf-8")
+    lines = ["\t".join(cols)]
+    for r in rows:
+        lines.append("\t".join("" if r[c] is None else str(r[c]) for c in cols))
+    return ("\n".join(lines) + "\n").encode("utf-8")
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Gopher/C4-style repetition signals per doc, as pure array

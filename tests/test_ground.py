@@ -169,3 +169,102 @@ def test_term_token_variants_deterministic_and_keeps_base():
     assert ("α", "β", "γ", "δ", "ε", "receptor") in first
     for _ in range(5):
         assert ground.term_token_variants(name, max_variants=8) == first
+
+
+# ---- scored ambiguity resolution (gilda-style; round 5) --------------------
+
+AMBIG_GAZ = [
+    # 'cold' is ambiguous within MESH: Common Cold (high corpus prior,
+    # curated synonym) vs Cold Temperature (low prior, but cue-rich)
+    {"ns": "MESH", "id": "D003080", "entry_name": "Common Cold",
+     "synonym": "common cold", "prior": 9.0},
+    {"ns": "MESH", "id": "D003080", "entry_name": "Common Cold",
+     "synonym": "cold", "prior": 9.0},
+    {"ns": "MESH", "id": "D003080", "entry_name": "Common Cold",
+     "synonym": "acute coryza", "prior": 9.0},
+    {"ns": "MESH", "id": "D003091", "entry_name": "Cold Temperature",
+     "synonym": "cold temperature", "prior": 2.0},
+    {"ns": "MESH", "id": "D003091", "entry_name": "Cold Temperature",
+     "synonym": "cold", "prior": 2.0},
+    {"ns": "MESH", "id": "D003091", "entry_name": "Cold Temperature",
+     "synonym": "low temperature", "prior": 2.0},
+    # cross-namespace stays governed by ns priority regardless of prior
+    {"ns": "geonames", "id": "G77", "entry_name": "Cold Bay",
+     "synonym": "cold", "prior": 99.0},
+]
+
+
+def test_prior_breaks_within_ns_ambiguity():
+    """Higher corpus prior wins a within-namespace surface collision
+    (D003080 would LOSE the old (ns, id) lexicographic tie-break is moot
+    here — D003080 < D003091 — so flip: give the lexicographically LATER
+    id the higher prior and check it wins)."""
+    gaz = [
+        {"ns": "MESH", "id": "A1", "entry_name": "Alpha Thing",
+         "synonym": "widget", "prior": 1.0},
+        {"ns": "MESH", "id": "Z9", "entry_name": "Zeta Thing",
+         "synonym": "widget", "prior": 5.0},
+    ]
+    trie = ground.compile_gazetteer(gaz, ("MESH",))
+    hits = ground.scan_text("a widget appeared", trie)
+    assert [(h[4]) for h in hits] == ["Z9"]
+    # and without priors the deterministic (ns, id) tie-break still holds
+    for r in gaz:
+        r.pop("prior")
+    trie = ground.compile_gazetteer(gaz, ("MESH",))
+    assert [h[4] for h in ground.scan_text("a widget appeared", trie)] == ["A1"]
+
+
+def test_curated_name_beats_synonym_on_tie():
+    """Equal priors: the entry whose canonical name IS the surface wins
+    over one matching via a synonym (gilda term-status ranking)."""
+    gaz = [
+        {"ns": "MESH", "id": "A1", "entry_name": "Something Else",
+         "synonym": "turkey"},
+        {"ns": "MESH", "id": "Z9", "entry_name": "Turkey", "synonym": "turkey"},
+    ]
+    trie = ground.compile_gazetteer(gaz, ("MESH",))
+    assert [h[4] for h in ground.scan_text("visiting turkey", trie)] == ["Z9"]
+
+
+def test_ns_priority_dominates_prior():
+    """The reference's GILDA_NS walk is the OUTER key: a huge prior in a
+    lower-priority namespace cannot beat a higher-priority namespace."""
+    trie = ground.compile_gazetteer(AMBIG_GAZ, ("MESH", "geonames"))
+    hits = ground.scan_text("a cold snap", trie)
+    assert [(h[3], h[4]) for h in hits] == [("MESH", "D003080")]
+
+
+def test_context_cues_disambiguate_per_document():
+    trie = ground.compile_gazetteer(AMBIG_GAZ, ("MESH", "geonames"),
+                                    context=True)
+    # weather doc: 'temperature' is a cue of Cold Temperature's sibling
+    # synonyms; overrides Common Cold's higher prior
+    hits = ground.scan_text("record cold and low temperature tonight", trie)
+    assert ("D003091", "Cold Temperature") in {(h[4], h[5]) for h in hits}
+    # clinical doc: 'coryza' cues Common Cold
+    hits = ground.scan_text("patients with cold symptoms and coryza", trie)
+    assert [(h[4]) for h in hits if h[0] == "cold"] == ["D003080"]
+    # no context either way -> prior-ranked best
+    hits = ground.scan_text("caught a cold", trie)
+    assert [(h[4]) for h in hits] == ["D003080"]
+    # scan_terms agrees with scan_text under context
+    terms = ground.scan_terms("record cold and low temperature tonight", trie)
+    assert ("MESH", "D003091", "Cold Temperature") in set(terms)
+
+
+def test_context_trie_unambiguous_paths_unchanged():
+    """Unambiguous surfaces keep plain tuple terminals under context=True
+    (the common-case scan costs nothing extra)."""
+    trie = ground.compile_gazetteer(AMBIG_GAZ, ("MESH", "geonames"),
+                                    context=True)
+    node = trie["acute"]["coryza"]
+    assert isinstance(node[0], tuple)
+    assert isinstance(trie["cold"][0], list)  # the ambiguous one
+
+
+def test_ground_name_in_trie_handles_context_terminals():
+    trie = ground.compile_gazetteer(AMBIG_GAZ, ("MESH", "geonames"),
+                                    context=True)
+    assert ground.ground_name_in_trie(
+        trie, "cold", ("MESH", "geonames")) == "MESH:D003080"
