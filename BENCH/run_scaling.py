@@ -34,6 +34,10 @@ import sys
 import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
+
+# boundary between the generated block and hand-written sections of
+# BASELINE.md; written with every generated block, split on at re-run
+SENTINEL = "<!-- generated above; hand-written below -->"
 REPO = os.path.dirname(HERE)
 
 NCPU = os.cpu_count() or 32
@@ -163,19 +167,28 @@ keyed by doc id and a salted two-phase count.
 
 Reproduce: `python BENCH/run_scaling.py --repl {repl}`
 (input: {sf_dir}, documents replicated x{repl} with distinct doc ids).
+
+{SENTINEL}
 """
-    # preserve hand-written sections below the generated block: everything
-    # from the first second-level heading after the table (host-calibration
-    # notes, per-round reference points) is re-appended, so a scaling
-    # re-run can never silently truncate the narrative record
+    # preserve hand-written sections below the generated block. The split
+    # point is an explicit sentinel comment written WITH the generated
+    # block — a heading heuristic (first '\n## ') would silently duplicate
+    # or truncate the hand-written tail the day the generated template
+    # grows a second-level heading (round-4 advice). Legacy files from
+    # before the sentinel fall back to the old heading split once; the
+    # rewrite then installs the sentinel.
     baseline_path = os.path.join(HERE, "BASELINE.md")
     tail = ""
     if os.path.exists(baseline_path):
         with open(baseline_path) as fh:
             old = fh.read()
-        idx = old.find("\n## ")
+        idx = old.find(SENTINEL)
         if idx != -1:
-            tail = old[idx:]
+            tail = old[idx + len(SENTINEL):].lstrip("\n")
+        else:
+            h = old.find("\n## ")
+            if h != -1:
+                tail = old[h:].lstrip("\n")
     with open(baseline_path, "w") as fh:
         fh.write(md + tail)
     print(json.dumps(result))

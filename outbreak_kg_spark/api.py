@@ -26,18 +26,18 @@ def get_pubmed_meta(results: list[dict], limit: int = 10,
     """Top-PMID metadata step of find_literature (kg/mesh_csr.py:169-173:
     `pubmed_client.get_metadata_for_ids(pmids, get_abstracts=True)`).
 
-    The fetch itself is an external PubMed web service, stubbed behind the
-    `fetcher` seam exactly like the multimodal codec (multimodal.py): pass
-    `fetcher(pmids: list[str]) -> dict[pmid, meta]` (tests use a
-    deterministic fake); without one this raises NotImplementedError rather
-    than silently returning nothing. The pmid slice preserves the p-value
-    ranking order, like the reference's `results.pmid[:limit]`."""
+    `fetcher(pmids: list[str]) -> dict[pmid, meta]` is injectable (tests
+    pass a deterministic fake); the DEFAULT is the stdlib NCBI eutils
+    client (pubmed.EutilsFetcher — rate-limited urllib efetch, the same
+    public endpoint the reference reaches through INDRA's pubmed_client),
+    so the endpoint returns real metadata wherever outbound network is
+    allowed. The pmid slice preserves the p-value ranking order, like the
+    reference's `results.pmid[:limit]`."""
     pmids = [r["pmid"] for r in results[:limit]]
     if fetcher is None:
-        raise NotImplementedError(
-            "get_pubmed_meta needs a fetcher(pmids) -> {pmid: meta} "
-            "(external PubMed service; see kg/mesh_csr.py:169-173)"
-        )
+        from .pubmed import EutilsFetcher
+
+        fetcher = EutilsFetcher()
     return fetcher(pmids)
 
 

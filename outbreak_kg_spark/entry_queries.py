@@ -127,6 +127,10 @@ import weakref
 
 _MENTIONS_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
+# scratch dirs registered for atexit removal (q_streaming_episodes); the
+# set prevents stacking duplicate atexit handlers on repeated calls
+_EPISODE_SCRATCH_DIRS: set[str] = set()
+
 
 def reset_mentions_cache(spark: SparkSession) -> None:
     """Unpersist and drop this session's memoized mentions frames.
@@ -2140,6 +2144,7 @@ def q_streaming_episodes(spark, sf_dir):
     computes with window SQL. Timestamps are second-truncated before
     streaming so the operator's millisecond state arithmetic is exact in
     the oracle's epoch-seconds arithmetic."""
+    import atexit
     import hashlib
     import shutil
     import tempfile
@@ -2158,6 +2163,13 @@ def q_streaming_episodes(spark, sf_dir):
     tmp = (f"{tempfile.gettempdir()}/kg_episodes_"
            f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}")
     shutil.rmtree(tmp, ignore_errors=True)
+    # the returned DataFrame lazily reads {tmp}/out, so the dir must
+    # outlive this call — but not the process: without this, every new
+    # process leaked one scratch copy of the events table + checkpoint
+    # until the OS pruned /tmp (round-4 advice)
+    if tmp not in _EPISODE_SCRATCH_DIRS:
+        _EPISODE_SCRATCH_DIRS.add(tmp)
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     src = (
         spark.read.parquet(f"{sf_dir}/events.parquet")
         .select(

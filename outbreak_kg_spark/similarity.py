@@ -190,7 +190,16 @@ def kmeans_lite(df: DataFrame, dim: int, k: int = 16, iters: int = 5,
     results are byte-identical to unsampled training. sample_cap=None
     disables sampling. The effective cap is floored at 16*k (and a
     binomial seed shortfall falls back to unsampled training), so the
-    returned list always has min(k, n) centroids."""
+    returned list always has min(k, n) centroids.
+
+    Cost accounting (round-4 advice): whether sampling is needed is
+    decided by counting at most cap+1 rows (limit + count — stops early,
+    never a full scan), so when the corpus fits the cap NO corpus-wide
+    pass runs here and only ivf_index's assignment touches every vector.
+    When sampling engages (n > cap), setting the hash threshold needs the
+    exact corpus cardinality — ONE extra count-only scan (ids only,
+    column-pruned), amortized against the 2*iters jobs of training it
+    replaces over the full corpus."""
     v = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
@@ -201,8 +210,11 @@ def kmeans_lite(df: DataFrame, dim: int, k: int = 16, iters: int = 5,
         # the hash range must comfortably hold k seeds; a cap near (or
         # under) k would binomially return fewer than k training vectors
         cap = max(sample_cap, 16 * k)
-        n = v.count()
-        if n > cap:
+        # decide IF sampling is needed by scanning at most cap+1 rows;
+        # the exact full count (needed only for the threshold fraction)
+        # runs only when it is
+        if v.limit(cap + 1).count() > cap:
+            n = v.count()
             # keep ids whose 48-bit md5 prefix falls under cap/n: the
             # globally smallest hashes, so the k seed vectors below are
             # the same ones full-corpus training would pick
@@ -278,8 +290,9 @@ def ivf_index(df: DataFrame, dim: int, k: int = 16, iters: int = 5,
     """Build an IVF index: (assignments(vec_id, centroid_id, vec), centroids).
     At rest this is a parquet table partitioned by centroid_id — probing a
     centroid prunes partitions. Training samples down to sample_cap vectors
-    (kmeans_lite); the full corpus is touched exactly once, by the
-    assignment pass below."""
+    (kmeans_lite); the assignment pass below is the only corpus-wide pass
+    that reads the VECTORS (when sampling engages, kmeans_lite adds one
+    ids-only count scan to set its hash threshold — see its docstring)."""
     centroids = kmeans_lite(df, dim, k, iters, vec_col, id_col, sample_cap)
     v = df.select(
         F.col(id_col).alias("vec_id"),

@@ -125,11 +125,27 @@ def entity_episodes(mentions_with_ts: DataFrame, gap: str = "7 days",
     immediately would mis-close episodes that a late-but-valid mention
     (within the watermark) could still bridge.
 
-    State growth is bounded: per run, doc ids are tracked as a DISTINCT set
-    capped at ``max_tracked_docs``; beyond the cap, ids not in the tracked
-    set increment an overflow counter (n_docs becomes an upper-bound
-    approximation for pathological hot entities instead of state growing
-    without bound — the 'COVID-19' skew case)."""
+    State growth is bounded in BOTH dimensions (the per-key state ceiling,
+    asserted in tests/test_streaming.py::test_entity_episodes_state_cap):
+
+    - **docs per run**: tracked as a DISTINCT set capped at
+      ``max_tracked_docs``; beyond the cap, ids not in the tracked set
+      increment an overflow counter, so n_docs degrades to an upper-bound
+      approximation for pathological hot entities (the 'COVID-19' skew
+      case) instead of state growing without bound. Bytes per run <=
+      max_tracked_docs * (max id length + 1) for the doc string plus four
+      longs.
+    - **runs per key**: live runs are pairwise separated by more than
+      ``gap`` and each has ``end >= watermark - gap``, while no end can
+      exceed the newest event seen (~ watermark + watermark delay). Ends
+      therefore fit in an interval of length gap + delay with > gap
+      spacing: at most ``2 + watermark_delay/gap`` live runs per key,
+      independent of input volume. With the defaults (1 h delay, 7 d gap)
+      that is 2-3 runs.
+
+    Keys themselves are entity curies — a bounded vocabulary (~86k in the
+    reference's gazetteer), so total state <= |vocabulary| * the per-key
+    ceiling above."""
     import datetime
 
     import pandas as pd

@@ -103,13 +103,32 @@ def test_find_literature_endpoint(app, spark):
     assert seen["pmids"] == [r["pmid"] for r in res]  # ranking preserved
     assert set(meta) == set(seen["pmids"])
     assert meta[res[0]["pmid"]]["title"] == f"T{res[0]['pmid']}"
-    # without a fetcher the external service is an explicit stub, not a silent no-op
-    import pytest as _pytest
-
+    # without an injected fetcher the DEFAULT is the stdlib eutils client —
+    # exercised here with a canned transport (no network), proving the
+    # endpoint path get_pvalues -> efetch -> parse -> {pmid: meta} end to end
     from outbreak_kg_spark.api import get_pubmed_meta
+    from outbreak_kg_spark.pubmed import EutilsFetcher
 
-    with _pytest.raises(NotImplementedError):
-        get_pubmed_meta(res, limit=2)
+    top2 = [r["pmid"] for r in res[:2]]
+    canned = (
+        "<PubmedArticleSet>"
+        + "".join(
+            f"<PubmedArticle><MedlineCitation><PMID>{p}</PMID>"
+            f"<Article><ArticleTitle>T{p}</ArticleTitle>"
+            f"<Journal><Title>J</Title><JournalIssue><PubDate>"
+            f"<Year>2021</Year></PubDate></JournalIssue></Journal>"
+            f"<Abstract><AbstractText>A{p}</AbstractText></Abstract>"
+            f"</Article></MedlineCitation></PubmedArticle>"
+            for p in top2
+        )
+        + "</PubmedArticleSet>"
+    ).encode()
+    fetch = EutilsFetcher(transport=lambda url: canned,
+                          clock=lambda: 0.0, sleep=lambda s: None)
+    meta2 = get_pubmed_meta(res, limit=2, fetcher=fetch)
+    assert set(meta2) == set(top2)
+    assert meta2[top2[0]]["title"] == f"T{top2[0]}"
+    assert meta2[top2[0]]["abstract"] == f"A{top2[0]}"
 
 
 def test_text_relations_scoring_is_in_plan(app, monkeypatch):

@@ -1,0 +1,97 @@
+"""Stdlib NCBI eutils client: parse path on canned efetch XML, batching,
+rate-limit pacing, URL construction. No network anywhere."""
+
+import urllib.parse
+
+from outbreak_kg_spark.pubmed import EutilsFetcher, parse_pubmed_xml
+
+CANNED = b"""<?xml version="1.0" ?>
+<PubmedArticleSet>
+ <PubmedArticle>
+  <MedlineCitation><PMID Version="1">12345</PMID>
+   <Article>
+    <Journal><Title>Emerging Infectious Diseases</Title>
+     <JournalIssue><PubDate><Year>2015</Year></PubDate></JournalIssue>
+    </Journal>
+    <ArticleTitle>Ebola <i>virus</i> outbreak dynamics</ArticleTitle>
+    <Abstract>
+     <AbstractText Label="BACKGROUND">Part one.</AbstractText>
+     <AbstractText Label="METHODS">Part two.</AbstractText>
+    </Abstract>
+    <AuthorList>
+     <Author><LastName>Smith</LastName><Initials>JA</Initials></Author>
+     <Author><CollectiveName>WHO Ebola Team</CollectiveName></Author>
+    </AuthorList>
+   </Article>
+  </MedlineCitation>
+  <PubmedData><ArticleIdList>
+   <ArticleId IdType="pubmed">12345</ArticleId>
+   <ArticleId IdType="doi">10.1000/eid.2015</ArticleId>
+  </ArticleIdList></PubmedData>
+ </PubmedArticle>
+ <PubmedArticle>
+  <MedlineCitation><PMID>67890</PMID>
+   <Article>
+    <Journal><Title>Lancet</Title>
+     <JournalIssue><PubDate><MedlineDate>1998 Dec-1999 Jan</MedlineDate>
+     </PubDate></JournalIssue>
+    </Journal>
+    <ArticleTitle>Plain title</ArticleTitle>
+   </Article>
+  </MedlineCitation>
+ </PubmedArticle>
+</PubmedArticleSet>
+"""
+
+
+def test_parse_pubmed_xml_fields():
+    meta = parse_pubmed_xml(CANNED)
+    assert set(meta) == {"12345", "67890"}
+    m = meta["12345"]
+    assert m["title"] == "Ebola virus outbreak dynamics"  # inline tag flattened
+    assert m["abstract"] == "Part one. Part two."         # sections joined
+    assert m["journal"] == "Emerging Infectious Diseases"
+    assert m["year"] == "2015"
+    assert m["doi"] == "10.1000/eid.2015"
+    assert m["authors"] == ["Smith JA", "WHO Ebola Team"]
+    # MedlineDate fallback + absent optional fields
+    m2 = meta["67890"]
+    assert m2["year"] == "1998" and m2["abstract"] == "" and m2["doi"] == ""
+
+
+def test_fetcher_batches_and_rate_limits():
+    urls, sleeps = [], []
+    t = {"now": 0.0}
+
+    def transport(url):
+        urls.append(url)
+        return b"<PubmedArticleSet></PubmedArticleSet>"
+
+    def clock():
+        return t["now"]
+
+    def sleep(s):
+        sleeps.append(s)
+        t["now"] += s
+
+    f = EutilsFetcher(batch_size=2, transport=transport, clock=clock,
+                      sleep=sleep, min_interval=0.5)
+    f(["1", "2", "3", "4", "5"])
+    assert len(urls) == 3  # ceil(5/2) batches
+    ids = [urllib.parse.parse_qs(urllib.parse.urlparse(u).query)["id"][0]
+           for u in urls]
+    assert ids == ["1,2", "3,4", "5"]
+    # first request free, then one pacing sleep per subsequent request
+    assert len(sleeps) == 2 and all(abs(s - 0.5) < 1e-9 for s in sleeps)
+
+
+def test_fetcher_url_has_api_key_and_db():
+    captured = []
+    f = EutilsFetcher(api_key="K", transport=lambda u: (
+        captured.append(u) or b"<PubmedArticleSet/>"),
+        clock=lambda: 0.0, sleep=lambda s: None)
+    f(["99"])
+    q = urllib.parse.parse_qs(urllib.parse.urlparse(captured[0]).query)
+    assert q["db"] == ["pubmed"] and q["retmode"] == ["xml"]
+    assert q["api_key"] == ["K"] and q["id"] == ["99"]
+    assert f.min_interval < 0.34  # keyed limit is the faster tier

@@ -228,3 +228,59 @@ def test_entity_episodes_late_data(spark, tmp_path):
     }
     assert ("MESH:D1", base, base + d(days=5), 2, 2) in eps
     assert ("MESH:D1", base + d(days=20), base + d(days=20), 1, 1) in eps
+
+
+def test_entity_episodes_state_cap(spark, tmp_path):
+    """Flood one entity past max_tracked_docs and observe the cap from the
+    OUTSIDE: occurrences of an id that fell beyond the tracked set count
+    as overflow (no dedup), occurrences of a tracked id still dedup — so
+    the emitted n_docs proves the distinct-set stopped growing at the cap
+    (an unbounded-state implementation would dedup everything and report
+    the exact distinct count)."""
+    import datetime
+
+    base = datetime.datetime(2020, 1, 1)
+    d = datetime.timedelta
+    rows = []
+    # 200 distinct docs, chronological -> tracked set = first 50 (d000..d049)
+    for i in range(200):
+        rows.append({"curie": "MESH:HOT", "warc_ts": base + d(minutes=i),
+                     "doc_id": f"d{i:03d}"})
+    # duplicate of a TRACKED doc: dedups, adds nothing
+    rows.append({"curie": "MESH:HOT", "warc_ts": base + d(minutes=200),
+                 "doc_id": "d000"})
+    # two duplicates of an UNTRACKED doc: each counts as overflow
+    for j in range(2):
+        rows.append({"curie": "MESH:HOT",
+                     "warc_ts": base + d(minutes=201 + j),
+                     "doc_id": "d100"})
+    # watermark driver on another key
+    late = [{"curie": "MESH:D9999", "warc_ts": base + d(days=365),
+             "doc_id": "z"}]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(rows).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(late).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("curie string, warc_ts timestamp, doc_id string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    episodes = streaming.entity_episodes(
+        stream, gap="7 days", watermark="1 hour", max_tracked_docs=50
+    )
+    q = (
+        episodes.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.curie, r.n_mentions, r.n_docs)
+           for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    # 203 mentions; n_docs = 50 tracked + 150 untracked-first-occurrences
+    # + 2 untracked repeats = 202 (exact distinct is 200; the +2 is the
+    # documented upper-bound degradation that PROVES the cap held)
+    assert ("MESH:HOT", 203, 202) in got

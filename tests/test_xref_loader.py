@@ -1,0 +1,78 @@
+"""Public xref recipe: OBO / SSSOM dumps -> the (ns, id, mesh_id)
+dimension build_pathogen_disease joins (replacing the reference's per-row
+pyobo.get_xref calls, kg/build.py:196-209, with file parsing)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from outbreak_kg_spark import xref_loader
+from outbreak_kg_spark.builders import build_pathogen_disease
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+OBO = os.path.join(DATA, "sample.obo")
+SSSOM = os.path.join(DATA, "sample_sssom.tsv")
+
+
+def test_parse_obo_xrefs_pure():
+    with open(OBO) as fh:
+        got = list(xref_loader.parse_obo_xrefs(fh))
+    assert ("doid", "4325", "D019142") in got
+    assert ("doid", "0080600", "D000086382") in got
+    assert ("efo", "0007299", "D002771") in got
+    # non-MESH xrefs, obsolete terms, xref-free terms, Typedef stanzas: out
+    ids = {(ns, i) for ns, i, _ in got}
+    assert ("doid", "9999") not in ids          # obsolete
+    assert ("doid", "1116") not in ids          # no MESH xref
+    assert not any(m == "D999999" for _, _, m in got)  # Typedef ignored
+    assert len(got) == 3
+
+
+def test_load_obo_xrefs_spark(spark):
+    df = xref_loader.load_obo_xrefs(spark, OBO)
+    rows = {(r.ns, r.id, r.mesh_id) for r in df.collect()}
+    assert rows == {
+        ("doid", "4325", "D019142"),
+        ("doid", "0080600", "D000086382"),
+        ("efo", "0007299", "D002771"),
+    }
+
+
+def test_load_sssom_xrefs_spark(spark):
+    df = xref_loader.load_sssom_xrefs(spark, SSSOM)
+    rows = {(r.ns, r.id, r.mesh_id) for r in df.collect()}
+    # forward exactMatch, forward (other ns), and the FLIPPED closeMatch
+    # whose subject is MESH; broadMatch and non-skos predicates excluded
+    assert rows == {
+        ("doid", "4325", "D019142"),
+        ("efo", "0000764", "D006678"),
+        ("efo", "0007299", "D002771"),
+    }
+
+
+def test_xref_table_union_deterministic(spark):
+    df = xref_loader.xref_table(spark, obo_paths=[OBO], sssom_paths=[SSSOM])
+    rows = {(r.ns, r.id): r.mesh_id for r in df.collect()}
+    # (doid, 4325) appears in both sources with the same target; (efo,
+    # 0007299) likewise — one row each, min() tie-break is a no-op here
+    assert rows[("doid", "4325")] == "D019142"
+    assert rows[("efo", "0007299")] == "D002771"
+    assert rows[("efo", "0000764")] == "D006678"
+    assert len(rows) == 4
+    assert df.groupBy("ns", "id").count().filter("count > 1").count() == 0
+
+
+def test_loader_feeds_pathogen_disease_join(spark):
+    """kg_xref_join contract unchanged: the loader-built dimension slots
+    straight into build_pathogen_disease."""
+    xref = xref_loader.xref_table(spark, obo_paths=[OBO], sssom_paths=[SSSOM])
+    rels = spark.createDataFrame(
+        [
+            {"start_id": "doid:4325", "end_id": "efo:0007299"},
+            {"start_id": "umls:C1", "end_id": "efo:0007299"},   # umls drop
+            {"start_id": "doid:4325", "end_id": "doid:404"},    # unmapped
+        ]
+    )
+    edges = build_pathogen_disease(rels, xref)
+    got = {tuple(r) for r in edges.select("subj", "pred", "obj").collect()}
+    assert got == {("MESH:D019142", "has_pathogen", "MESH:D002771")}
