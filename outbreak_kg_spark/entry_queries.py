@@ -188,9 +188,16 @@ def entry_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _entry_mentions_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The un-cached mentions plan (plan-shape tests target this)."""
+    return mentions_from_docs(spark, _docs(spark, sf_dir))
+
+
+def mentions_from_docs(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Entry-trie NER over an arbitrary (doc_id, text) frame — the same
+    plan _entry_mentions_plan builds from parquet; public so bench probes
+    (BENCH/run_hotkey.py) can feed transformed corpora (e.g. an injected
+    hot entity) without touching the test data on disk."""
     udf = make_annotate_udf(spark, entry_gazetteer_df(spark))
-    d = _docs(spark, sf_dir)
-    m = d.select("doc_id", F.explode(udf(F.col("text"))).alias("a"))
+    m = docs.select("doc_id", F.explode(udf(F.col("text"))).alias("a"))
     return (
         m.select(
             "doc_id",
