@@ -28,7 +28,8 @@ from .ground import (
     DEFAULT_NS_PRIORITY,
     _gaz_rows,
     compile_gazetteer,
-    scan_terms,
+    multi_token_heads,
+    scan_distinct_terms,
     scan_text,
 )
 from .textproc import extract_alert
@@ -59,14 +60,20 @@ def make_fused_udf(spark: SparkSession, gazetteer: DataFrame,
                    exclude_tokens: frozenset | set = frozenset()):
     rows = _gaz_rows(gazetteer)  # carries the optional scoring prior
     trie = compile_gazetteer(rows, ns_priority)
-    bc = spark.sparkContext.broadcast((trie, frozenset(exclude_tokens)))
+    # multi-token head set computed ONCE here: it gates the distinct-scan
+    # set fast path per document (ground.scan_distinct_terms)
+    bc = spark.sparkContext.broadcast(
+        (trie, multi_token_heads(trie), frozenset(exclude_tokens)))
 
     @pandas_udf(_FUSED_STRUCT)
     def fused(texts: pd.Series) -> pd.DataFrame:
-        t, excl = bc.value
+        t, mheads, excl = bc.value
         out = []
         for page in texts:
-            ex = extract_alert(page if page is not None else "")
+            # the fused consumer never reads the canonical rendering
+            # (it scans title/content directly), so skip building it
+            ex = extract_alert(page if page is not None else "",
+                               with_canonical=False)
             if not ex["valid"]:
                 out.append((None, False, []))
                 continue
@@ -82,7 +89,7 @@ def make_fused_udf(spark: SparkSession, gazetteer: DataFrame,
                             if surf not in excl:
                                 terms.add((ns, id_, name))
                     else:
-                        terms.update(scan_terms(field_text, t))
+                        terms |= scan_distinct_terms(field_text, t, mheads)
             out.append((ex["archive_number"], True, sorted(terms)))
         return pd.DataFrame(out, columns=["archive_number", "valid", "terms"])
 

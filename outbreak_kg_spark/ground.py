@@ -268,6 +268,67 @@ def scan_text(text: str, trie: dict) -> list[tuple]:
     return out
 
 
+def _tokens_lower(text: str) -> list[str]:
+    """Lowercased \\w+ tokens of text, matching scan_text's token stream.
+
+    ASCII fast path: lowering ASCII is 1:1 per character and maps word
+    chars to word chars, so ``findall(text.lower())`` yields exactly the
+    per-token lowering — one C-level pass instead of a Python listcomp
+    with len(toks) .lower() calls (the listcomp was ~45% of the fused
+    NER scan's wall). Non-ASCII keeps tokenize-THEN-lowercase: lowering
+    whole text first changes the token stream when a character's
+    lowercase form expands (e.g. 'İ' -> 'i' + combining dot splits
+    under \\w+)."""
+    if text.isascii():
+        return _TOKEN_RE.findall(text.lower())
+    return [t.lower() for t in _TOKEN_RE.findall(text)]
+
+
+def multi_token_heads(trie: dict) -> frozenset:
+    """Head tokens of every multi-token vocabulary path in the trie.
+
+    A document whose token set is disjoint from this set cannot contain
+    any multi-token match, so greedy-longest-match / non-overlap
+    semantics degenerate to per-token lookup — the precondition of
+    scan_distinct_terms' set fast path. Computed once per compiled trie
+    (at UDF build time), never per document."""
+    return frozenset(h for h, node in trie.items()
+                     if any(k != 0 for k in node))
+
+
+def scan_distinct_terms(text: str, trie: dict, mheads: frozenset) -> set:
+    """The DISTINCT grounding set of a text: exactly
+    ``set(scan_terms(text, trie))`` (property-tested in test_ground),
+    for consumers that discard per-occurrence multiplicity and offsets —
+    the fused extract+NER operator unions term sets per doc
+    (fused.py), so the occurrence list was pure overhead.
+
+    Fast path: when the doc's token set is disjoint from ``mheads``
+    (computed by multi_token_heads; pass frozenset() to force the slow
+    path), no multi-token match can start anywhere, so greedy
+    consumption can't suppress any single-token match and the distinct
+    result is a set-intersection lookup: C-level tokenize + set + dict
+    probes, no per-token Python loop. Web corpora are the target: vocab
+    head tokens are a tiny fraction of corpus tokens, so most docs take
+    this path even under multi-token gazetteers. Docs that DO contain a
+    multi-token head token fall back to the exact positional scan."""
+    if not text:
+        return set()
+    toks = _tokens_lower(text)
+    tokset = set(toks)
+    if mheads and not mheads.isdisjoint(tokset):
+        return set(scan_terms(text, trie))
+    out = set()
+    for tok in tokset.intersection(trie):
+        val = trie[tok].get(0)
+        if val is None:
+            continue
+        if type(val) is list:  # context=True ambiguous terminal
+            val = _resolve_context(val, tokset)
+        out.add(val)
+    return out
+
+
 def scan_terms(text: str, trie: dict) -> list[tuple]:
     """Offset-free greedy longest-match scan: same trie, same matching
     semantics as scan_text, but returns only the grounding tuples
@@ -278,10 +339,7 @@ def scan_terms(text: str, trie: dict) -> list[tuple]:
     sets to scan_text are property-tested (test_fused)."""
     if not text:
         return []
-    # tokenize THEN lowercase, exactly like scan_text — lowering the whole
-    # text first changes the token stream when a character's lowercase
-    # form expands (e.g. 'İ' -> 'i' + combining dot splits under \w+)
-    toks = [t.lower() for t in _TOKEN_RE.findall(text)]
+    toks = _tokens_lower(text)
     out = []
     n = len(toks)
     # `tok in trie` head test + enumerate replaces the original

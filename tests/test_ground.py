@@ -268,3 +268,72 @@ def test_ground_name_in_trie_handles_context_terminals():
                                     context=True)
     assert ground.ground_name_in_trie(
         trie, "cold", ("MESH", "geonames")) == "MESH:D003080"
+
+
+def test_scan_distinct_terms_matches_scan_terms_set():
+    """scan_distinct_terms is exactly set(scan_terms) under BOTH paths:
+    docs free of multi-token head tokens take the set fast path, docs
+    containing one ('ebola', 'africa') take the positional fallback."""
+    trie = ground.compile_gazetteer(GAZ, ("MESH", "geonames"))
+    mh = ground.multi_token_heads(trie)
+    assert mh == frozenset({"ebola", "africa"})
+    for text in [
+        "an ebola virus disease outbreak in guinea",  # fallback path
+        "virus spreading in guinea, western africa",  # fallback (africa)
+        "a virus report from guinea",                 # fast path
+        "nothing relevant here",                      # fast path, no hits
+        "",                                           # empty
+        "Virus GUINEA virus guinea",                  # dupes + case
+    ]:
+        assert ground.scan_distinct_terms(text, trie, mh) == set(
+            ground.scan_terms(text, trie)
+        ), text
+
+
+def test_scan_distinct_terms_hypothesis_parity():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    trie = ground.compile_gazetteer(GAZ, ("MESH", "geonames"))
+    mh = ground.multi_token_heads(trie)
+    vocab_toks = ["ebola", "virus", "disease", "africa", "western",
+                  "guinea", "İstanbul", "x", "--", ","]
+
+    @given(st.lists(st.sampled_from(vocab_toks), max_size=12))
+    @settings(max_examples=200, deadline=None)
+    def check(toks):
+        text = " ".join(toks)
+        assert ground.scan_distinct_terms(text, trie, mh) == set(
+            ground.scan_terms(text, trie)
+        )
+
+    check()
+
+
+def test_tokens_lower_non_ascii_parity():
+    """The ASCII fast path must be invisible: for any text, _tokens_lower
+    equals the tokenize-then-lowercase spelling (non-ASCII exercises the
+    fallback; 'İstanbul' is the expansion quirk the split exists for)."""
+    for text in ["Cholera IN Lagos", "İstanbul outbreak", "naïve café",
+                 "ΕΒΟΛΑ case", "mixed İ and ascii"]:
+        expected = [t.lower() for t in ground._TOKEN_RE.findall(text)]
+        assert ground._tokens_lower(text) == expected, text
+
+
+def test_scan_distinct_terms_context_terminal():
+    """Ambiguous context=True terminals resolve identically on the set
+    fast path (cue overlap is computed from the same token set)."""
+    rows = [
+        {"ns": "MESH", "id": "C1", "entry_name": "Common Cold",
+         "synonym": "cold", "prior": 5.0},
+        {"ns": "MESH", "id": "C2", "entry_name": "Cold Temperature",
+         "synonym": "cold"},
+        {"ns": "MESH", "id": "C2", "entry_name": "Cold Temperature",
+         "synonym": "low temperature"},
+    ]
+    trie = ground.compile_gazetteer(rows, context=True)
+    mh = ground.multi_token_heads(trie)
+    for text in ["a cold snap with temperature drop", "caught a cold"]:
+        assert ground.scan_distinct_terms(text, trie, mh) == set(
+            ground.scan_terms(text, trie)
+        ), text
