@@ -239,7 +239,18 @@ def scan_text(text: str, trie: dict) -> list[tuple]:
     entry_name) tuples with character offsets into the original text."""
     if not text:
         return []
-    toks = [(m.group(0).lower(), m.start(), m.end()) for m in _TOKEN_RE.finditer(text)]
+    # ASCII fast path mirrors _tokens_lower: lowering ASCII is 1:1 per
+    # character (offsets preserved) and maps word chars to word chars,
+    # so tokenizing the pre-lowered text yields the same (token, start,
+    # end) stream without a per-token .lower() call. Non-ASCII keeps
+    # tokenize-then-lower ('İ' lowercases to two codepoints, which would
+    # shift every later offset).
+    if text.isascii():
+        toks = [(m.group(0), m.start(), m.end())
+                for m in _TOKEN_RE.finditer(text.lower())]
+    else:
+        toks = [(m.group(0).lower(), m.start(), m.end())
+                for m in _TOKEN_RE.finditer(text)]
     out = []
     i, n = 0, len(toks)
     tokset = None  # built lazily, only when a context terminal is hit

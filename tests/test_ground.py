@@ -337,3 +337,24 @@ def test_scan_distinct_terms_context_terminal():
         assert ground.scan_distinct_terms(text, trie, mh) == set(
             ground.scan_terms(text, trie)
         ), text
+
+
+def test_scan_text_ascii_fast_path_parity():
+    """scan_text's ASCII pre-lowered tokenization must be invisible:
+    same hits, same ORIGINAL-case surfaces, same offsets as the
+    per-token-lowering spelling (exercised here by non-ASCII texts that
+    force the fallback, mixed with ASCII twins)."""
+    trie = ground.compile_gazetteer(GAZ, ("MESH", "geonames"))
+    # ASCII text: offsets point into the original, surface keeps case
+    hits = ground.scan_text("EBOLA Virus Disease hit GUINEA", trie)
+    assert [(h[0], h[1], h[2], h[4]) for h in hits] == [
+        ("EBOLA Virus Disease", 0, 19, "D1"),
+        ("GUINEA", 24, 30, "D4"),
+    ]
+    # non-ASCII chars BEFORE a match would corrupt offsets if the text
+    # were lowered wholesale ('İ' -> 2 codepoints); the fallback keeps
+    # them exact
+    text = "İİİ ebola case"
+    (surface, s, e, *_rest) = ground.scan_text(text, trie)[0]
+    assert (surface, s, e) == ("ebola", 4, 9)
+    assert text[s:e] == "ebola"
