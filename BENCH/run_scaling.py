@@ -21,7 +21,17 @@ siblings) is reported as a secondary saturation reading, not the scaling
 pair — a real 4N-executor cluster adds machines, it does not oversubscribe
 one.
 
+Host-health gating: the hypervisor intermittently backs the 32 vCPUs with
+far fewer physical cores, in multi-minute windows. Each level's bench run
+probes deliverable cores pre-JVM (inside its taskset pin); a level that
+probed under MIN_HEALTH * N is re-measured in later passes (--repasses,
+with --repass-wait between) until healthy or out of passes. A run whose
+primary 4->16 pair is still unhealthy writes scaling_unhealthy.json and
+leaves scaling.json / BASELINE.md untouched (--force-write overrides).
+
 Usage: python BENCH/run_scaling.py [--repl R] [--sf-dir DIR] [--trials T]
+       [--fresh] [--levels 4,8,16,32] [--min-health F] [--repasses K]
+       [--repass-wait SEC] [--force-write]
 """
 
 from __future__ import annotations
@@ -43,11 +53,28 @@ REPO = os.path.dirname(HERE)
 NCPU = os.cpu_count() or 32
 
 
-def run_level(cpus: int, repl: int, sf_dir: str, trials: int = 2) -> dict:
+# a level reading is "healthy" when the pre-JVM host probe (bench.py's
+# host_calibration, run inside the same taskset pin) delivered at least
+# this fraction of the pinned core count. The hypervisor intermittently
+# backs the 32 advertised vCPUs with far fewer physical cores (observed:
+# pinned-16 probing 3.4 effective cores mid-degradation vs ~16 healthy),
+# and an efficiency ratio with one level inside such a window measures
+# the host, not the code.
+MIN_HEALTH = 0.72
+
+
+def _is_healthy(r: dict, cpus: int, min_health: float) -> bool:
+    eff = r.get("host_effective_cores")
+    return eff is not None and eff >= min_health * min(cpus, NCPU)
+
+
+def run_level(cpus: int, repl: int, sf_dir: str, trials: int = 2,
+              min_health: float = MIN_HEALTH) -> dict:
     """Best-of-N fresh-JVM trials per level: local-mode wall times have
     high run-to-run variance (GC, page cache, an observed bimodal host
     window with ~80% system time); max throughput is the stable capability
-    reading."""
+    reading. A trial taken in a healthy host window always beats one taken
+    in a degraded window, regardless of raw throughput."""
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
     cmd = [sys.executable, os.path.join(REPO, "bench.py"),
            "--cpus", str(cpus), "--repl", str(repl), "--e2e-only"]
@@ -59,7 +86,10 @@ def run_level(cpus: int, repl: int, sf_dir: str, trials: int = 2) -> dict:
                              cwd=REPO, check=True)
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         r = json.loads(line)
-        if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
+        r["healthy"] = _is_healthy(r, cpus, min_health)
+        if (best is None
+                or (r["healthy"], r["docs_per_sec"])
+                > (best["healthy"], best["docs_per_sec"])):
             best = r
         time.sleep(5)  # let the previous JVM's memory settle
     return best
@@ -81,7 +111,26 @@ def main() -> None:
     # efficiency ratio is a real measurement, not a cross-invocation
     # composite (round-4 advice asked to re-confirm the merged 0.858)
     fresh = "--fresh" in args
-    levels = {c: run_level(c, repl, sf_dir, trials) for c in level_list}
+    min_health = float(_arg("--min-health", str(MIN_HEALTH)))
+    repasses = int(_arg("--repasses", "4"))
+    repass_wait = float(_arg("--repass-wait", "120"))
+    levels = {c: run_level(c, repl, sf_dir, trials, min_health)
+              for c in level_list}
+    # degraded-window re-passes: host degradation arrives in multi-minute
+    # windows, so a level that probed unhealthy is re-measured in later
+    # passes (one fresh trial each, with a wait between passes) rather
+    # than retried back-to-back inside the same window. Levels already
+    # healthy are never re-run — their reading stands.
+    for _ in range(repasses):
+        sick = [c for c, r in levels.items() if not r.get("healthy")]
+        if not sick:
+            break
+        time.sleep(repass_wait)
+        for c in sick:
+            r = run_level(c, repl, sf_dir, 1, min_health)
+            if (r["healthy"], r["docs_per_sec"]) > (
+                    levels[c]["healthy"], levels[c]["docs_per_sec"]):
+                levels[c] = r
     # merge with prior readings (best-of across invocations)
     prior_path = os.path.join(HERE, "scaling.json")
     if not fresh and os.path.exists(prior_path):
@@ -121,9 +170,30 @@ def main() -> None:
         "host_effective_cores": {
             str(c): r.get("host_effective_cores") for c, r in levels.items()
         },
+        # per-level health verdict at min_health * pinned-cores; merged
+        # prior readings predate the flag and report null (unknown)
+        "level_healthy": {
+            str(c): r.get("healthy") for c, r in levels.items()
+        },
+        "min_health": min_health,
         "scaling_efficiency_N_to_4N_primary_4_to_16": _eff(4, 16),
         "scaling_efficiency_8_to_32_saturated_host": _eff(8, 32),
     }
+    # never let a degraded-host measurement overwrite the published
+    # records: if any level of the primary 4->16 pair still probed
+    # unhealthy after the re-passes, the efficiency ratio measures the
+    # hypervisor, not the pipeline (this exact failure wrote a 0.289 over
+    # a real 0.858 once). Such a run lands in scaling_unhealthy.json for
+    # inspection and leaves scaling.json/BASELINE.md untouched;
+    # --force-write overrides for deliberate records.
+    pair_sick = [c for c in (4, 8, 16)
+                 if c in levels and levels[c].get("healthy") is False]
+    if pair_sick and "--force-write" not in args:
+        result["unhealthy_levels"] = pair_sick
+        with open(os.path.join(HERE, "scaling_unhealthy.json"), "w") as fh:
+            json.dump(result, fh, indent=1)
+        print(json.dumps(result))
+        return
     with open(os.path.join(HERE, "scaling.json"), "w") as fh:
         json.dump(result, fh, indent=1)
 
@@ -135,14 +205,13 @@ def main() -> None:
         print(json.dumps(result))
         return
 
-    rows = "\n".join(
-        f"| {c} cores (pinned) | {r['n_docs']} | {r['value']} | "
-        f"{r['docs_per_sec']} |"
-        if c < NCPU else
-        f"| {c} cores (whole host) | {r['n_docs']} | {r['value']} | "
-        f"{r['docs_per_sec']} |"
-        for c, r in levels.items()
-    )
+    def _row(c, r):
+        label = f"{c} cores (pinned)" if c < NCPU else f"{c} cores (whole host)"
+        eff_c = r.get("host_effective_cores")
+        return (f"| {label} | {r['n_docs']} | {r['value']} | "
+                f"{r['docs_per_sec']} | {eff_c if eff_c is not None else '—'} |")
+
+    rows = "\n".join(_row(c, r) for c, r in levels.items())
     md = f"""# BENCH baseline — scaling evidence
 
 Job: full pages->triples pipeline (page-ify -> FUSED single-Arrow-pass
@@ -159,8 +228,8 @@ leaks JVM service + Arrow serialization work onto the host's idle cores
 (measured: unpinned local[8] reads 43.6k docs/s where pinned-8 reads
 36.5k), inflating the small-N baseline and under-reading scaling.
 
-| level | docs | wall (s) | docs/sec |
-|---|---|---|---|
+| level | docs | wall (s) | docs/sec | host eff. cores at probe |
+|---|---|---|---|---|
 {rows}
 
 **Scaling efficiency N -> 4N (4 -> 16 pinned cores): {eff_4_16:.3f}**
