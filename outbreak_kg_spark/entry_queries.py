@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import dedup, eidos, similarity, textstats
+from . import dedup, eidos, sampling, similarity, textstats
 from .closure import transitive_closure
 from .extract import extract_pages
 from .ground import make_annotate_udf
@@ -1213,6 +1213,77 @@ SQL_DEDUP_EXACT = """
             FROM g GROUP BY h)
     SELECT g.doc_id, rep.canonical_id, rep.group_size FROM g JOIN rep USING (h)
 """
+
+
+# ---- deterministic sampling / splitting / shuffling (sampling.py) ----------
+# Engine-portable randomness: md5-hex thresholds precomputed in Python and
+# injected into BOTH the Spark plan and the DuckDB oracle, so the split/
+# sample/shard assignment is reproducible bit-for-bit across engines.
+
+SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def q_sample_split_counts(spark, sf_dir):
+    """Deterministic train/val/test assignment (hash_split: a pure
+    projection, zero exchanges) summarized per (split, lang). The count +
+    min-id evidence pins every row's assignment: moving any doc between
+    splits changes a group's n_docs, and the boundary rows are covered
+    because min(doc_id) must match per cell."""
+    d = sampling.hash_split(_docs(spark, sf_dir), "doc_id", SPLIT_WEIGHTS)
+    return d.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+
+
+def _sql_sample_split() -> str:
+    case = sampling.sql_hash_split("doc_id", SPLIT_WEIGHTS)
+    return f"""
+        WITH s AS (SELECT doc_id, lang, {case} AS split FROM documents)
+        SELECT split, lang, count(*) AS n_docs, min(doc_id) AS first_doc
+        FROM s GROUP BY 1, 2
+    """
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Exactly min(k, |stratum|) docs per language, deterministically (the
+    k smallest salted hashes per stratum — a uniform without-replacement
+    draw both engines reproduce). The exact-k window path; the filter-only
+    scale paths (stratified_fraction/budget) are pytest-gated."""
+    return sampling.stratified_sample(
+        _docs(spark, sf_dir), ["lang"], 25, "doc_id").select("doc_id", "lang")
+
+
+def _sql_sample_stratified() -> str:
+    h = sampling.sql_hash_hex("doc_id", "strat-v1")
+    return f"""
+        SELECT doc_id, lang FROM (
+            SELECT doc_id, lang, row_number()
+                   OVER (PARTITION BY lang ORDER BY {h}, doc_id) AS rn
+            FROM documents) WHERE rn <= 25
+    """
+
+
+def q_sample_shards(spark, sf_dir):
+    """Deterministic global shuffle for training-shard writes: shard =
+    contiguous hash-range bucket, pos = rank within shard by (hash, id) —
+    shard+pos replay one global pseudo-random total order. One exchange."""
+    out = sampling.deterministic_shuffle(
+        _docs(spark, sf_dir).select("doc_id"), "doc_id", 8)
+    return out.select(
+        "doc_id", "shard", F.col("pos").cast("long").alias("pos"))
+
+
+def _sql_sample_shards() -> str:
+    h = sampling.sql_hash_hex("doc_id", "shuffle-v1")
+    cases = " ".join(f"WHEN hh < '{t}' THEN {i}"
+                     for i, t in enumerate(sampling.shard_thresholds(8)))
+    return f"""
+        WITH h AS (SELECT doc_id, {h} AS hh FROM documents),
+        s AS (SELECT doc_id, hh,
+                     (CASE {cases} ELSE 7 END)::INT AS shard FROM h)
+        SELECT doc_id, shard, row_number()
+               OVER (PARTITION BY shard ORDER BY hh, doc_id) AS pos
+        FROM s
+    """
 
 
 def q_dedup_minhash_sigs(spark, sf_dir):
@@ -3008,6 +3079,9 @@ def extra_queries():
         "text_token_counts": q_text_token_counts,
         "text_fingerprints": q_text_fingerprints,
         "text_quality": q_text_quality,
+        "sample_split_counts": q_sample_split_counts,
+        "sample_stratified": q_sample_stratified,
+        "sample_shards": q_sample_shards,
     }
 
 
@@ -3027,4 +3101,7 @@ def extra_oracle_sql():
         "text_token_counts": SQL_TEXT_TOKEN_COUNTS,
         "text_fingerprints": SQL_TEXT_FINGERPRINTS,
         "text_quality": _sql_text_quality(),
+        "sample_split_counts": _sql_sample_split(),
+        "sample_stratified": _sql_sample_stratified(),
+        "sample_shards": _sql_sample_shards(),
     }

@@ -1,0 +1,231 @@
+"""Deterministic sampling / splitting / shuffling for training-data curation.
+
+A 100 TB corpus pipeline needs three sampling primitives the reference repo
+never grew (its corpus fits one machine) but any LLM-training user of this
+engine hits immediately:
+
+- ``hash_split``: train/val/test assignment that is a pure function of a
+  document id and a salt — stable across runs, engines, cluster sizes, and
+  re-partitioning, so the val set never leaks into train when the corpus is
+  re-processed.
+- ``stratified_sample`` / ``stratified_fraction``: per-stratum (language,
+  source, quality bucket) downsampling to a budget, exact where the budget
+  must be exact, filter-only where it must scale.
+- ``deterministic_shuffle``: a global pseudo-random total order + shard
+  assignment for writing training shards, reproducible bit-for-bit.
+
+Engine-portable randomness: every primitive derives its "randomness" from
+``md5(salt || ':' || id)`` and compares *fixed-width lowercase hex strings
+lexicographically* against thresholds precomputed in Python. Fixed-width hex
+compares exactly like the integer it encodes, md5 renders identically in
+Spark and DuckDB, and no hex->int conversion is needed in either engine —
+so the DuckDB oracle can reproduce the Spark result byte-for-byte with the
+same constants, and nothing depends on engine RNGs (``rand()`` would be
+neither reproducible across engines nor stable under retries/re-partitions).
+
+Scale notes (the 100 TB contract):
+- ``hash_split`` and ``stratified_fraction`` are narrow: a scan + filter /
+  CASE projection, zero exchanges, trivially parallel at any cluster size.
+- ``stratified_sample`` (exact k per stratum) needs a per-stratum total
+  order -> one hash-partitioned window. Hot strata (one language = 40% of
+  the corpus) make that a skew risk: the scale path is
+  ``stratified_budget`` — one count aggregate converts the budget to a
+  per-stratum fraction, then a filter-only pass samples ~k +- binomial
+  noise with NO window and NO per-stratum sort.
+- ``deterministic_shuffle`` is one range exchange (the sort) — exactly the
+  cost of writing sorted shards, which is what it exists to do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# 12 hex chars = 48 bits: large enough that threshold granularity error is
+# 2^-48 (irrelevant next to binomial noise), small enough that the integer
+# fits exactly in a double and in every engine's 64-bit int
+HASH_HEX_WIDTH = 12
+_HASH_SPACE = 16 ** HASH_HEX_WIDTH
+
+
+def hash_hex(id_col, salt: str):
+    """Spark column: first 12 hex chars of md5(salt || ':' || id).
+
+    The ':' separator keeps (salt='a', id='1') and (salt='', id='a1')
+    distinct; ids are cast to string so int64 keys hash identically to
+    their decimal rendering in any engine.
+    """
+    return F.substring(
+        F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))),
+        1, HASH_HEX_WIDTH,
+    )
+
+
+def sql_hash_hex(id_expr: str, salt: str) -> str:
+    """The DuckDB-side rendering of :func:`hash_hex` (same bytes)."""
+    return (f"substr(md5('{salt}' || ':' || CAST({id_expr} AS VARCHAR)), "
+            f"1, {HASH_HEX_WIDTH})")
+
+
+def fraction_thresholds(fractions: list[float]) -> list[str]:
+    """Cumulative-fraction boundaries as fixed-width lowercase hex strings.
+
+    ``fractions`` are the first n-1 bucket weights (the last bucket is the
+    remainder); bucket b = rows whose hash hex is in [thr[b-1], thr[b]).
+    Computed once in Python so Spark and the SQL oracle compare against the
+    SAME constants — no floating-point re-derivation inside either engine.
+    """
+    out, acc = [], 0.0
+    for f in fractions:
+        acc += f
+        out.append(format(min(int(acc * _HASH_SPACE), _HASH_SPACE - 1),
+                          f"0{HASH_HEX_WIDTH}x"))
+    return out
+
+
+def hash_split(df: DataFrame, id_col: str,
+               weights: dict[str, float] | None = None,
+               salt: str = "split-v1",
+               split_col: str = "split") -> DataFrame:
+    """Assign every row a deterministic split label (train/val/test/...).
+
+    Pure projection — zero exchanges, stable under re-partitioning and
+    across engines. Weight sum is normalized; label order is the dict
+    order, which fixes which boundary rows land where (the assignment is
+    part of the contract, so the order must be deterministic — dicts
+    preserve insertion order).
+    """
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    if len(weights) < 2:
+        raise ValueError("need at least two splits")
+    total = sum(weights.values())
+    names = list(weights)
+    thrs = fraction_thresholds(
+        [weights[n] / total for n in names[:-1]])
+    h = hash_hex(id_col, salt)
+    expr = F.lit(names[-1])
+    # build the CASE from the last boundary backwards: h < thr[i] -> names[i]
+    for name, thr in zip(reversed(names[:-1]), reversed(thrs)):
+        expr = F.when(h < F.lit(thr), name).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def sql_hash_split(id_expr: str, weights: dict[str, float] | None = None,
+                   salt: str = "split-v1") -> str:
+    """DuckDB CASE expression matching :func:`hash_split` byte-for-byte."""
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    names = list(weights)
+    thrs = fraction_thresholds([weights[n] / total for n in names[:-1]])
+    h = sql_hash_hex(id_expr, salt)
+    cases = " ".join(
+        f"WHEN {h} < '{thr}' THEN '{name}'"
+        for name, thr in zip(names[:-1], thrs))
+    return f"CASE {cases} ELSE '{names[-1]}' END"
+
+
+def stratified_sample(df: DataFrame, strata_cols: list[str], k: int,
+                      id_col: str, salt: str = "strat-v1") -> DataFrame:
+    """EXACTLY min(k, |stratum|) rows per stratum, deterministically.
+
+    The sample is the k smallest hash values per stratum — a uniform
+    without-replacement draw that any engine reproduces. Cost: one window
+    (hash partition by strata + per-stratum sort). Use this when the budget
+    must be exact (eval sets, human-review batches); for corpus-scale
+    downsampling with a hot stratum use :func:`stratified_budget` — a
+    window over a 40%-of-corpus language key is a straggler by
+    construction, and no salting trick preserves "exactly k" semantics
+    without a second pass.
+    """
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(*strata_cols)
+         .orderBy(hash_hex(id_col, salt), F.col(id_col)))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))
+
+
+def stratified_fraction(df: DataFrame, strata_col: str,
+                        fractions: dict[str, float], id_col: str,
+                        salt: str = "strat-v1",
+                        default: float = 0.0) -> DataFrame:
+    """Filter-only stratified downsampling: keep each row iff its hash
+    falls under its stratum's fraction threshold.
+
+    Zero exchanges and no per-stratum state — the scale path. Strata
+    missing from ``fractions`` keep ``default`` (0 = dropped). The kept
+    count per stratum is binomial around fraction * |stratum| (tight at
+    corpus scale).
+    """
+    h = hash_hex(id_col, salt)
+    expr = F.lit(format(min(int(default * _HASH_SPACE), _HASH_SPACE - 1),
+                        f"0{HASH_HEX_WIDTH}x"))
+    for name, frac in fractions.items():
+        thr = format(min(int(frac * _HASH_SPACE), _HASH_SPACE - 1),
+                     f"0{HASH_HEX_WIDTH}x")
+        expr = F.when(F.col(strata_col) == name, F.lit(thr)).otherwise(expr)
+    return df.filter(h < expr)
+
+
+def stratified_budget(df: DataFrame, strata_col: str, budget: int,
+                      id_col: str, salt: str = "strat-v1") -> DataFrame:
+    """~budget rows per stratum without a per-stratum sort: one count
+    aggregate sizes each stratum, the budget becomes a fraction, and a
+    broadcast of the (stratum -> threshold) map drives a filter-only pass.
+
+    Two narrow-ish steps (an agg over the stratum key — partial-combined,
+    so the exchange carries one row per stratum per task — then a scan +
+    broadcast-join filter). Approximate: |kept - budget| is binomial noise,
+    acceptable for corpus curation; use :func:`stratified_sample` when k
+    must be exact.
+    """
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("_n"))
+    # threshold rendered to the same fixed-width LOWERCASE hex the hash
+    # uses (Spark's conv emits uppercase), capped below the space size so
+    # fraction 1.0 stays 12 chars wide
+    thr_int = F.least(
+        F.floor(F.least(F.lit(1.0), F.lit(float(budget)) / F.col("_n"))
+                * F.lit(float(_HASH_SPACE))),
+        F.lit(_HASH_SPACE - 1))
+    thr = counts.select(
+        F.col(strata_col),
+        F.lpad(F.lower(F.conv(thr_int.cast("string"), 10, 16)),
+               HASH_HEX_WIDTH, "0").alias("_thr"),
+    )
+    h = hash_hex(id_col, salt)
+    return (df.join(F.broadcast(thr), strata_col)
+            .filter(h < F.col("_thr")).drop("_thr"))
+
+
+def shard_thresholds(n_shards: int) -> list[str]:
+    """Equal-width hash-range boundaries for n_shards buckets (n-1 bounds)."""
+    return fraction_thresholds([1.0 / n_shards] * (n_shards - 1))
+
+
+def deterministic_shuffle(df: DataFrame, id_col: str, n_shards: int,
+                          salt: str = "shuffle-v1",
+                          shard_col: str = "shard",
+                          pos_col: str = "pos") -> DataFrame:
+    """Global pseudo-random order for training-shard writing: shard = the
+    hash's range bucket, pos = rank within the shard by (hash, id).
+
+    Because shards are contiguous HASH RANGES (not mod buckets), shard +
+    pos together define one global total order — reading shards 0..n-1 in
+    pos order replays the exact global shuffle, and each shard is writable
+    independently. One exchange (hash-partition by shard) + per-shard sort:
+    the same cost as the sorted shard write it feeds. Shard sizes are
+    binomially even; n_shards at 100 TB is tens of thousands, so no shard
+    outgrows an executor.
+    """
+    from pyspark.sql import Window
+
+    thrs = shard_thresholds(n_shards)
+    h = hash_hex(id_col, salt)
+    shard = F.lit(n_shards - 1)
+    for i, thr in reversed(list(enumerate(thrs))):
+        shard = F.when(h < F.lit(thr), i).otherwise(shard)
+    w = (Window.partitionBy(shard_col)
+         .orderBy(F.col("_h"), F.col(id_col)))
+    return (df.withColumn("_h", h)
+            .withColumn(shard_col, shard.cast("int"))
+            .withColumn(pos_col, F.row_number().over(w))
+            .drop("_h"))

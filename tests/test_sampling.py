@@ -1,0 +1,161 @@
+"""Deterministic sampling/splitting/shuffling (sampling.py).
+
+Properties under test:
+- assignments are pure functions of (salt, id): stable across runs and
+  under re-partitioning (the property rand()-based splits lack);
+- split weights and stratified budgets are hit within binomial tolerance;
+- threshold sampling is NESTED (fraction f1 <= f2 => sample(f1) subset of
+  sample(f2)), the property that makes curriculum-style re-sampling safe;
+- the Spark-side hex threshold rendering (conv/lpad/lower in
+  stratified_budget) agrees byte-for-byte with the Python rendering the
+  oracles use;
+- deterministic_shuffle's (shard, pos) is a replay of one global total
+  order.
+
+Oracle parity for the three driver-contract entries (sample_split_counts,
+sample_stratified, sample_shards) runs in test_entry_oracles.py, which
+parametrizes over all_queries() | extra_queries().
+"""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from outbreak_kg_spark import sampling
+
+
+def _ids(spark, n=2000, parts=4):
+    return spark.range(0, n, 1, parts).select(F.col("id").alias("doc_id"))
+
+
+def _py_hash(salt, doc_id):
+    return hashlib.md5(f"{salt}:{doc_id}".encode()).hexdigest()[:12]
+
+
+def test_hash_hex_matches_python_md5(spark):
+    rows = (
+        _ids(spark, 50)
+        .select("doc_id", sampling.hash_hex("doc_id", "s1").alias("h"))
+        .collect()
+    )
+    for r in rows:
+        assert r.h == _py_hash("s1", r.doc_id)
+
+
+def test_fraction_thresholds_are_fixed_width_and_monotone():
+    thrs = sampling.fraction_thresholds([0.5, 0.3, 0.0, 0.19])
+    assert all(len(t) == sampling.HASH_HEX_WIDTH for t in thrs)
+    assert thrs == sorted(thrs)
+    # fraction 1.0 stays inside the 12-char space (capped, not 13 chars)
+    assert sampling.fraction_thresholds([1.0]) == ["f" * 12]
+
+
+def test_hash_split_weights_and_stability(spark):
+    df = sampling.hash_split(
+        _ids(spark, 4000), "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              df.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    # binomial tolerance: sd of n_train ~ sqrt(4000*.8*.2) ~ 25; allow 5 sd
+    assert abs(counts["train"] - 3200) < 125
+    assert abs(counts["val"] - 400) < 95
+    # stable under re-partitioning: same assignment for every row
+    again = sampling.hash_split(
+        _ids(spark, 4000).repartition(13), "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert df.exceptAll(again).count() == 0
+    assert again.exceptAll(df).count() == 0
+
+
+def test_hash_split_salt_changes_assignment(spark):
+    a = sampling.hash_split(_ids(spark, 1000), "doc_id", salt="a")
+    b = sampling.hash_split(_ids(spark, 1000), "doc_id", salt="b")
+    moved = a.alias("a").join(b.alias("b"), "doc_id").filter(
+        F.col("a.split") != F.col("b.split")).count()
+    assert moved > 0  # different salts draw different boundaries
+
+
+def test_hash_split_is_zero_exchange(spark):
+    plan = sampling.hash_split(
+        _ids(spark), "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_stratified_sample_exact_k(spark):
+    df = _ids(spark, 300).withColumn(
+        "lang", F.when(F.col("doc_id") % 10 < 7, "en").otherwise("de"))
+    out = sampling.stratified_sample(df, ["lang"], 40, "doc_id")
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"en": 40, "de": 40}
+    # k above a stratum's size returns the whole stratum
+    tiny = sampling.stratified_sample(df, ["lang"], 10_000, "doc_id")
+    assert tiny.count() == 300
+
+
+def test_stratified_fraction_nested_and_sized(spark):
+    df = _ids(spark, 3000).withColumn("lang", F.lit("en"))
+    small = sampling.stratified_fraction(df, "lang", {"en": 0.1}, "doc_id")
+    large = sampling.stratified_fraction(df, "lang", {"en": 0.3}, "doc_id")
+    n_small, n_large = small.count(), large.count()
+    assert abs(n_small - 300) < 90 and abs(n_large - 900) < 120
+    # nested: the 10% sample is a subset of the 30% sample
+    assert small.join(large, "doc_id", "left_anti").count() == 0
+    # a stratum missing from the fraction map is dropped entirely
+    other = df.withColumn("lang", F.lit("xx"))
+    assert sampling.stratified_fraction(
+        other, "lang", {"en": 0.5}, "doc_id").count() == 0
+
+
+def test_stratified_budget_hits_budget(spark):
+    df = _ids(spark, 5000).withColumn(
+        "lang", F.when(F.col("doc_id") % 5 < 4, "en").otherwise("de"))
+    out = sampling.stratified_budget(df, "lang", 200, "doc_id")
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # ~200 per stratum, binomial noise (sd ~ 14); tiny strata cap at size
+    assert abs(counts["en"] - 200) < 70 and abs(counts["de"] - 200) < 70
+    # budget >= stratum size keeps the whole stratum (threshold caps at max)
+    all_kept = sampling.stratified_budget(df, "lang", 10_000, "doc_id")
+    assert all_kept.count() == 5000
+
+
+def test_budget_threshold_hex_matches_python_rendering(spark):
+    """stratified_budget renders its per-stratum threshold with Spark's
+    conv/lower/lpad; the oracles render theirs with Python format(). The
+    two must agree byte-for-byte or budget sampling silently diverges from
+    its documented semantics (conv emits UPPERCASE hex, md5 lowercase —
+    the exact mismatch this pins down)."""
+    space = float(16 ** sampling.HASH_HEX_WIDTH)
+    df = spark.createDataFrame(
+        [(f, ) for f in (0.001, 0.25, 0.5, 0.999, 1.0)], ["frac"])
+    thr_int = F.least(F.floor(F.col("frac") * F.lit(space)),
+                      F.lit(16 ** sampling.HASH_HEX_WIDTH - 1))
+    got = df.select(
+        "frac",
+        F.lpad(F.lower(F.conv(thr_int.cast("string"), 10, 16)),
+               sampling.HASH_HEX_WIDTH, "0").alias("h")).collect()
+    for r in got:
+        want = format(min(int(r.frac * space), 16 ** 12 - 1), "012x")
+        assert r.h == want, (r.frac, r.h, want)
+
+
+def test_deterministic_shuffle_is_global_order_replay(spark):
+    df = _ids(spark, 1000)
+    out = sampling.deterministic_shuffle(df, "doc_id", 8).collect()
+    # shards partition the input
+    assert len(out) == 1000
+    assert {r.shard for r in out} <= set(range(8))
+    # pos is 1..n contiguous within each shard
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # (shard, pos) order == global (hash, id) order: the shuffle is one
+    # total order cut into contiguous hash ranges
+    replay = [r.doc_id for r in sorted(out, key=lambda r: (r.shard, r.pos))]
+    want = [d for _, d in sorted(
+        (_py_hash("shuffle-v1", r.doc_id), r.doc_id) for r in out)]
+    assert replay == want
