@@ -23,11 +23,13 @@ one.
 
 Host-health gating: the hypervisor intermittently backs the 32 vCPUs with
 far fewer physical cores, in multi-minute windows. Each level's bench run
-probes deliverable cores pre-JVM (inside its taskset pin); a level that
-probed under MIN_HEALTH * N is re-measured in later passes (--repasses,
-with --repass-wait between) until healthy or out of passes. A run whose
-primary 4->16 pair is still unhealthy writes scaling_unhealthy.json and
-leaves scaling.json / BASELINE.md untouched (--force-write overrides).
+probes deliverable cores BEFORE (pre-JVM) and AFTER the timed work, both
+inside its taskset pin; a level whose worse probe is under MIN_HEALTH * N,
+or that violates the cross-level per-core-throughput consistency net
+(_suspect_levels), is re-measured in later passes (--repasses, with
+--repass-wait between) until clean or out of passes. A run whose primary
+4->16 pair is still unhealthy/inconsistent writes scaling_unhealthy.json
+and leaves scaling.json / BASELINE.md untouched (--force-write overrides).
 
 Usage: python BENCH/run_scaling.py [--repl R] [--sf-dir DIR] [--trials T]
        [--fresh] [--levels 4,8,16,32] [--min-health F] [--repasses K]
@@ -64,8 +66,48 @@ MIN_HEALTH = 0.72
 
 
 def _is_healthy(r: dict, cpus: int, min_health: float) -> bool:
-    eff = r.get("host_effective_cores")
-    return eff is not None and eff >= min_health * min(cpus, NCPU)
+    """Healthy = BOTH host probes (before and after the timed work)
+    delivered the pinned cores. The before-probe alone is not enough: the
+    hypervisor has been observed degrading between a healthy probe and the
+    run (a 16-core level probing 22.8 effective cores, then walling 3x
+    slow and writing a bogus efficiency)."""
+    before = r.get("host_effective_cores")
+    after = r.get("host_effective_cores_after", before)
+    if before is None:
+        return False
+    eff = before if after is None else min(before, after)
+    return eff >= min_health * min(cpus, NCPU)
+
+
+# pinned levels whose readings gate the published record (the primary
+# 4->16 pair and its midpoint); the whole-host 32 level is a saturation
+# footnote — it reports its health flag but never burns re-passes
+GATE_LEVELS = (4, 8, 16)
+
+
+def _suspect_levels(levels: dict) -> set:
+    """Cross-level consistency net, independent of the probes: per-core
+    throughput pc = dps/N must be roughly non-increasing in N on pinned
+    cores. For each adjacent measured pinned pair (lo, hi):
+    - pc[hi] > 1.05 * pc[lo]  -> LO underperformed its cores (degraded lo
+      INFLATES the efficiency ratio, the subtle failure);
+    - pc[hi] < 0.55 * pc[lo]  -> HI underperformed (healthy sibling levels
+      historically read pc ratios of 0.85-1.0; the bogus window read 0.37).
+    Catches degradation both probes missed (mid-run windows shorter than
+    the probe spacing)."""
+    sick = set()
+    pairs = [(lo, hi) for lo, hi in zip(GATE_LEVELS, GATE_LEVELS[1:])
+             if lo in levels and hi in levels]
+    for lo, hi in pairs:
+        dlo, dhi = levels[lo].get("docs_per_sec"), levels[hi].get("docs_per_sec")
+        if not dlo or not dhi:
+            continue
+        ratio = (dhi / hi) / (dlo / lo)
+        if ratio > 1.05:
+            sick.add(lo)
+        elif ratio < 0.55:
+            sick.add(hi)
+    return sick
 
 
 def run_level(cpus: int, repl: int, sf_dir: str, trials: int = 2,
@@ -117,12 +159,19 @@ def main() -> None:
     levels = {c: run_level(c, repl, sf_dir, trials, min_health)
               for c in level_list}
     # degraded-window re-passes: host degradation arrives in multi-minute
-    # windows, so a level that probed unhealthy is re-measured in later
-    # passes (one fresh trial each, with a wait between passes) rather
-    # than retried back-to-back inside the same window. Levels already
-    # healthy are never re-run — their reading stands.
+    # windows, so a gate level that probed unhealthy OR violates cross-
+    # level per-core consistency is re-measured in later passes (one fresh
+    # trial each, with a wait between passes) rather than retried back-to-
+    # back inside the same window. Healthy, consistent levels are never
+    # re-run — their reading stands. Only GATE_LEVELS earn re-passes.
+    def _sick():
+        suspects = _suspect_levels(levels)
+        return [c for c, r in levels.items()
+                if c in GATE_LEVELS and (not r.get("healthy")
+                                         or c in suspects)]
+
     for _ in range(repasses):
-        sick = [c for c, r in levels.items() if not r.get("healthy")]
+        sick = _sick()
         if not sick:
             break
         time.sleep(repass_wait)
@@ -170,6 +219,10 @@ def main() -> None:
         "host_effective_cores": {
             str(c): r.get("host_effective_cores") for c, r in levels.items()
         },
+        "host_effective_cores_after": {
+            str(c): r.get("host_effective_cores_after")
+            for c, r in levels.items()
+        },
         # per-level health verdict at min_health * pinned-cores; merged
         # prior readings predate the flag and report null (unknown)
         "level_healthy": {
@@ -186,8 +239,10 @@ def main() -> None:
     # a real 0.858 once). Such a run lands in scaling_unhealthy.json for
     # inspection and leaves scaling.json/BASELINE.md untouched;
     # --force-write overrides for deliberate records.
-    pair_sick = [c for c in (4, 8, 16)
-                 if c in levels and levels[c].get("healthy") is False]
+    final_suspects = _suspect_levels(levels)
+    pair_sick = [c for c in GATE_LEVELS
+                 if c in levels and (levels[c].get("healthy") is False
+                                     or c in final_suspects)]
     if pair_sick and "--force-write" not in args:
         result["unhealthy_levels"] = pair_sick
         with open(os.path.join(HERE, "scaling_unhealthy.json"), "w") as fh:
@@ -207,9 +262,13 @@ def main() -> None:
 
     def _row(c, r):
         label = f"{c} cores (pinned)" if c < NCPU else f"{c} cores (whole host)"
-        eff_c = r.get("host_effective_cores")
+        before = r.get("host_effective_cores")
+        after = r.get("host_effective_cores_after")
+        probe = ("—" if before is None
+                 else f"{before}" if after is None
+                 else f"{before} / {after}")
         return (f"| {label} | {r['n_docs']} | {r['value']} | "
-                f"{r['docs_per_sec']} | {eff_c if eff_c is not None else '—'} |")
+                f"{r['docs_per_sec']} | {probe} |")
 
     rows = "\n".join(_row(c, r) for c, r in levels.items())
     md = f"""# BENCH baseline — scaling evidence
@@ -228,7 +287,7 @@ leaks JVM service + Arrow serialization work onto the host's idle cores
 (measured: unpinned local[8] reads 43.6k docs/s where pinned-8 reads
 36.5k), inflating the small-N baseline and under-reading scaling.
 
-| level | docs | wall (s) | docs/sec | host eff. cores at probe |
+| level | docs | wall (s) | docs/sec | host eff. cores (probe before / after) |
 |---|---|---|---|---|
 {rows}
 

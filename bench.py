@@ -298,6 +298,13 @@ def main() -> None:
     n_docs = samples[0][1]
     wall = min(w for w, _ in samples)
 
+    # second host probe AFTER the timed work: the pre-JVM probe certifies
+    # only its own instant, and the hypervisor has been observed degrading
+    # BETWEEN a healthy probe and the timed run (a 16-core level probing
+    # 22.8 effective cores then walling 3x slow). A consumer that needs the
+    # whole measurement window healthy gates on min(before, after).
+    effective_cores_after = host_calibration(cpus)
+
     # sf is advisory metadata — a dir name without a trailing sf<number>
     # must not crash the run after minutes of measurement
     try:
@@ -314,6 +321,7 @@ def main() -> None:
         "docs_per_sec": round(n_docs / wall, 1),
         "cpus": cpus,
         "host_effective_cores": effective_cores,
+        "host_effective_cores_after": effective_cores_after,
         "path": "modular" if modular else "fused",
     }
     print(json.dumps(out))
