@@ -271,6 +271,16 @@ def main() -> None:
                 f"{r['docs_per_sec']} | {probe} |")
 
     rows = "\n".join(_row(c, r) for c, r in levels.items())
+
+    def _speedup(lo, hi):
+        # measured adjacent-pair speedup for the prose (computed from THIS
+        # run's readings — an earlier template hardcoded one run's values)
+        if lo in levels and hi in levels:
+            return round(
+                levels[hi]["docs_per_sec"] / levels[lo]["docs_per_sec"], 2)
+        return None
+
+    s48, s816 = _speedup(4, 8), _speedup(8, 16)
     md = f"""# BENCH baseline — scaling evidence
 
 Job: full pages->triples pipeline (page-ify -> FUSED single-Arrow-pass
@@ -300,7 +310,7 @@ the 32 JVM task threads compete with their own 32 Python UDF workers for
 the same 32 cores (2x oversubscription of the Python-heavy stage) — so it reads
 as a saturation ceiling, not a scaling datum; a real 4N-executor cluster
 adds machines rather than oversubscribing one. Within the unsaturated
-region the pipeline scales near-linearly (4 -> 8: 2.0x; 8 -> 16: 1.72x),
+region the pipeline scales near-linearly (4 -> 8: {s48}x; 8 -> 16: {s816}x),
 consistent with its plan shape: one narrow Arrow pass plus one exchange
 keyed by doc id and a salted two-phase count.
 
