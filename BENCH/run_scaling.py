@@ -91,8 +91,11 @@ def _suspect_levels(levels: dict) -> set:
     cores. For each adjacent measured pinned pair (lo, hi):
     - pc[hi] > 1.05 * pc[lo]  -> LO underperformed its cores (degraded lo
       INFLATES the efficiency ratio, the subtle failure);
-    - pc[hi] < 0.55 * pc[lo]  -> HI underperformed (healthy sibling levels
-      historically read pc ratios of 0.85-1.0; the bogus window read 0.37).
+    - pc[hi] < 0.75 * pc[lo]  -> HI underperformed. Healthy sibling levels
+      historically read pc ratios of 0.85-1.0; degraded windows read 0.37
+      (gross) and 0.70 (a 16-level walling 19% under its healthy record
+      while BOTH its probes passed — the case that forced tightening the
+      bound from 0.55 to 0.75).
     Catches degradation both probes missed (mid-run windows shorter than
     the probe spacing)."""
     sick = set()
@@ -105,7 +108,7 @@ def _suspect_levels(levels: dict) -> set:
         ratio = (dhi / hi) / (dlo / lo)
         if ratio > 1.05:
             sick.add(lo)
-        elif ratio < 0.55:
+        elif ratio < 0.75:
             sick.add(hi)
     return sick
 
