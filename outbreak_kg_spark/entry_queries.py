@@ -1286,6 +1286,48 @@ def _sql_sample_shards() -> str:
     """
 
 
+def q_sample_pack_offsets(spark, sf_dir):
+    """GPT-style sequence packing: whitespace token counts, one
+    deterministic pseudo-random global order, concat-and-chunk into
+    1024-token packs. Each doc's (pack_id, offset) start plus the
+    boundary-straddle flag; two-phase prefix-sum (per-shard window +
+    n_shards-row shard-prefix window), zero driver collects."""
+    toks = F.size(F.filter(F.split(F.col("text"), " "),
+                           lambda x: x != F.lit("")))
+    d = _docs(spark, sf_dir).select(
+        "doc_id", toks.cast("long").alias("n_tok"))
+    out = sampling.pack_offsets(d, "doc_id", "n_tok", 1024, n_shards=8)
+    return out.select("doc_id", "n_tok", "pack_id", "offset",
+                      "spans_packs")
+
+
+def _sql_sample_pack_offsets() -> str:
+    h = sampling.sql_hash_hex("doc_id", "pack-v1")
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '),
+                                   x -> x <> ''))::BIGINT AS n_tok,
+                   {h} AS hh
+            FROM documents
+        ), c AS (
+            SELECT doc_id, n_tok,
+                   COALESCE(sum(n_tok) OVER (
+                       ORDER BY hh, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0)::BIGINT AS bef
+            FROM t
+        )
+        SELECT doc_id, n_tok,
+               (bef // 1024) AS pack_id,
+               (bef % 1024) AS offset,
+               (n_tok > 0 AND
+                ((bef + greatest(n_tok, 1) - 1) // 1024) > (bef // 1024))
+                   AS spans_packs
+        FROM c
+    """
+
+
 def q_dedup_minhash_sigs(spark, sf_dir):
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 40)
     return dedup.minhash_signatures(d, num_hashes=8).select(
@@ -3082,6 +3124,7 @@ def extra_queries():
         "sample_split_counts": q_sample_split_counts,
         "sample_stratified": q_sample_stratified,
         "sample_shards": q_sample_shards,
+        "sample_pack_offsets": q_sample_pack_offsets,
     }
 
 
@@ -3104,4 +3147,5 @@ def extra_oracle_sql():
         "sample_split_counts": _sql_sample_split(),
         "sample_stratified": _sql_sample_stratified(),
         "sample_shards": _sql_sample_shards(),
+        "sample_pack_offsets": _sql_sample_pack_offsets(),
     }

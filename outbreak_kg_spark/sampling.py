@@ -34,6 +34,9 @@ Scale notes (the 100 TB contract):
   noise with NO window and NO per-stratum sort.
 - ``deterministic_shuffle`` is one range exchange (the sort) — exactly the
   cost of writing sorted shards, which is what it exists to do.
+- ``pack_offsets`` (GPT-style concat-and-chunk sequence packing) is the
+  same exchange plus a two-phase prefix-sum: per-shard windows + one
+  n_shards-row window — no global window, no driver collect.
 """
 
 from __future__ import annotations
@@ -201,6 +204,80 @@ def shard_thresholds(n_shards: int) -> list[str]:
     return fraction_thresholds([1.0 / n_shards] * (n_shards - 1))
 
 
+def _range_shard(h, n_shards: int):
+    """Spark column: the contiguous hash-range bucket of hash column h.
+
+    Range buckets (not mod) keep the global (hash, id) order equal to the
+    concatenation of per-shard orders — the property every two-phase
+    prefix computation here relies on."""
+    shard = F.lit(n_shards - 1)
+    for i, thr in reversed(list(enumerate(shard_thresholds(n_shards)))):
+        shard = F.when(h < F.lit(thr), i).otherwise(shard)
+    return shard.cast("int")
+
+
+def pack_offsets(df: DataFrame, id_col: str, len_col: str, max_len: int,
+                 salt: str = "pack-v1", n_shards: int = 32,
+                 pack_col: str = "pack_id", off_col: str = "offset",
+                 spans_col: str = "spans_packs") -> DataFrame:
+    """GPT-style sequence packing: concatenate every document's tokens in
+    one deterministic pseudo-random global order, chunk the stream into
+    fixed ``max_len`` training examples, and give each document the
+    (pack_id, offset) where its tokens begin. Documents may straddle a
+    pack boundary (the standard concat-and-chunk recipe); ``spans_col``
+    flags those so a loader that masks cross-document attention — or
+    drops straddlers — can act on it.
+
+    The global token prefix-sum is computed in two phases so no window
+    ever sees more than one shard:
+
+    1. shard = contiguous hash-range bucket of md5(salt:id) (range, not
+       mod, so per-shard order concatenates to the global order), local
+       prefix = one per-shard window over (hash, id);
+    2. per-shard token totals (one partial-combined agg, n_shards rows)
+       -> shard prefix via a window over those n_shards rows (a
+       single-task job on a dimension-sized frame) -> broadcast back.
+
+    Zero driver collects; the only full-data exchange is the shard
+    hash-partition, the same one the shard write itself needs. Global
+    result is identical for ANY n_shards (property-tested), so shard
+    count is purely a parallelism knob — tens of thousands at 100 TB
+    keeps every per-shard window in one executor's memory.
+    """
+    from pyspark.sql import Window
+
+    if max_len <= 0:
+        raise ValueError("max_len must be positive")
+    h = hash_hex(id_col, salt)
+    n = F.col(len_col).cast("long")
+    base = (df.withColumn("_h", h)
+            .withColumn("_shard", _range_shard(F.col("_h"), n_shards)))
+    w = (Window.partitionBy("_shard").orderBy("_h", id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    local = base.withColumn(
+        "_local_before", F.coalesce(F.sum(n).over(w), F.lit(0)))
+    totals = base.groupBy("_shard").agg(F.sum(n).alias("_t"))
+    tw = (Window.orderBy("_shard")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    prefix = (totals
+              .withColumn("_prefix", F.coalesce(F.sum("_t").over(tw),
+                                                F.lit(0)))
+              .select("_shard", "_prefix"))
+    # integral `div`, not floor(a / b): double division drops exactness
+    # past 2^53, and a 100 TB corpus's token prefix-sums get there
+    joined = (local.join(F.broadcast(prefix), "_shard")
+              .withColumn("_before",
+                          F.col("_prefix") + F.col("_local_before")))
+    last_pack = F.expr(
+        f"(_before + greatest(cast({len_col} as long), 1) - 1) "
+        f"div {int(max_len)}")
+    return (joined
+            .withColumn(pack_col, F.expr(f"_before div {int(max_len)}"))
+            .withColumn(off_col, F.col("_before") % max_len)
+            .withColumn(spans_col, (n > 0) & (last_pack > F.col(pack_col)))
+            .drop("_h", "_shard", "_local_before", "_prefix", "_before"))
+
+
 def deterministic_shuffle(df: DataFrame, id_col: str, n_shards: int,
                           salt: str = "shuffle-v1",
                           shard_col: str = "shard",
@@ -218,14 +295,10 @@ def deterministic_shuffle(df: DataFrame, id_col: str, n_shards: int,
     """
     from pyspark.sql import Window
 
-    thrs = shard_thresholds(n_shards)
     h = hash_hex(id_col, salt)
-    shard = F.lit(n_shards - 1)
-    for i, thr in reversed(list(enumerate(thrs))):
-        shard = F.when(h < F.lit(thr), i).otherwise(shard)
     w = (Window.partitionBy(shard_col)
          .orderBy(F.col("_h"), F.col(id_col)))
     return (df.withColumn("_h", h)
-            .withColumn(shard_col, shard.cast("int"))
+            .withColumn(shard_col, _range_shard(F.col("_h"), n_shards))
             .withColumn(pos_col, F.row_number().over(w))
             .drop("_h"))

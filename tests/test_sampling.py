@@ -159,3 +159,44 @@ def test_deterministic_shuffle_is_global_order_replay(spark):
     want = [d for _, d in sorted(
         (_py_hash("shuffle-v1", r.doc_id), r.doc_id) for r in out)]
     assert replay == want
+
+
+def test_pack_offsets_matches_sequential_reference(spark):
+    # lengths 0..7 over 600 docs; reference = pure-Python cumsum over the
+    # one global (hash, id) order pack_offsets promises
+    df = _ids(spark, 600).withColumn("n_tok", F.col("doc_id") % 8)
+    out = {r.doc_id: r for r in
+           sampling.pack_offsets(df, "doc_id", "n_tok", 16,
+                                 n_shards=8).collect()}
+    order = sorted(range(600), key=lambda d: (_py_hash("pack-v1", d), d))
+    before = 0
+    for d in order:
+        n = d % 8
+        r = out[d]
+        assert r.pack_id == before // 16
+        assert r.offset == before % 16
+        want_spans = n > 0 and (before + n - 1) // 16 > before // 16
+        assert r.spans_packs == want_spans
+        before += n
+    assert len(out) == 600
+
+
+def test_pack_offsets_invariant_in_shard_count(spark):
+    # n_shards is a parallelism knob only: 1 shard (one global window)
+    # and 16 shards (two-phase prefix) must agree bit-for-bit
+    df = _ids(spark, 500).withColumn("n_tok", (F.col("doc_id") * 7) % 13)
+    a = {(r.doc_id, r.pack_id, r.offset, r.spans_packs)
+         for r in sampling.pack_offsets(df, "doc_id", "n_tok", 32,
+                                        n_shards=1).collect()}
+    b = {(r.doc_id, r.pack_id, r.offset, r.spans_packs)
+         for r in sampling.pack_offsets(df.repartition(11), "doc_id",
+                                        "n_tok", 32,
+                                        n_shards=16).collect()}
+    assert a == b
+
+
+def test_pack_offsets_zero_length_docs_never_span(spark):
+    df = _ids(spark, 100).withColumn("n_tok", F.lit(0))
+    rows = sampling.pack_offsets(df, "doc_id", "n_tok", 8).collect()
+    assert all(r.pack_id == 0 and r.offset == 0 and not r.spans_packs
+               for r in rows)
