@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import dedup, eidos, sampling, similarity, textstats
+from . import dedup, eidos, sampling, similarity, textstats, weburl
 from .closure import transitive_closure
 from .extract import extract_pages
 from .ground import make_annotate_udf
@@ -1325,6 +1325,192 @@ def _sql_sample_pack_offsets() -> str:
                 ((bef + greatest(n_tok, 1) - 1) // 1024) > (bef // 1024))
                    AS spans_packs
         FROM c
+    """
+
+
+# Deterministic crawl-URL synthesis shared between engines: one Python
+# source-of-truth table, rendered as a Spark array lookup and as a DuckDB
+# CASE, so both build byte-identical raw URLs from doc_id. The shapes
+# cover every canonicalization rule: www + default-port strip, kept
+# nonstandard port, multi-label public suffix, case folding, tracking
+# params, param reordering, fragments.
+_WEBURL_PREFIXES = [
+    "https://WWW.Example.COM:443",   # www + default https port -> example.com
+    "https://news.BBC.co.uk",        # multi-suffix -> bbc.co.uk
+    "http://shop.example.com:8080",  # nonstandard port kept
+    "http://example.org",
+    "https://Sub.Domain.Example.net",
+    "https://www.gov.uk",            # www strip; 2-label host passthrough
+    "http://blog.foo.com.au",        # multi-suffix -> foo.com.au
+    "http://CDN.example.com:80",     # default http port -> example.com
+]
+_WEBURL_QUERIES = [
+    "",
+    "?utm_source=feed&b=2&a=1",      # tracking dropped, survivors sorted
+    "?z=9&utm_campaign=x&gclid=abc",  # only z=9 survives
+    "?a=1",
+]
+
+
+def _weburl_raw(doc_id):
+    """Spark column: synthesized raw crawl URL for a doc_id column."""
+    pre = F.element_at(
+        F.array(*[F.lit(p) for p in _WEBURL_PREFIXES]),
+        (doc_id % 8 + 1).cast("int"))
+    q = F.element_at(
+        F.array(*[F.lit(s) for s in _WEBURL_QUERIES]),
+        (doc_id % 4 + 1).cast("int"))
+    frag = F.when(doc_id % 3 == 0, F.lit("#sec")).otherwise(F.lit(""))
+    return F.concat(pre, F.lit("/p/"), doc_id.cast("string"), q, frag)
+
+
+def _sql_weburl_raw() -> str:
+    """DuckDB expression: the same raw URL from the same table."""
+    pre = " ".join(f"WHEN {i} THEN '{p}'"
+                   for i, p in enumerate(_WEBURL_PREFIXES))
+    q = " ".join(f"WHEN {i} THEN '{s}'"
+                 for i, s in enumerate(_WEBURL_QUERIES))
+    return (f"(CASE doc_id % 8 {pre} END) || '/p/' || doc_id || "
+            f"(CASE doc_id % 4 {q} END) || "
+            f"(CASE WHEN doc_id % 3 = 0 THEN '#sec' ELSE '' END)")
+
+
+# the canonicalization pipeline re-expressed in DuckDB SQL (weburl.py's
+# exact rule set); u/host named-expression templates
+_SQL_WEBURL_CANON = """
+        WITH raw AS (
+            SELECT doc_id, {raw} AS url FROM documents
+        ), p1 AS (
+            SELECT doc_id, url,
+                   split_part(url, '#', 1) AS nofrag
+            FROM raw
+        ), p2 AS (
+            SELECT *, instr(nofrag, '?') AS qpos FROM p1
+        ), p3 AS (
+            SELECT doc_id, url,
+                   CASE WHEN qpos > 0
+                        THEN substring(nofrag, 1, qpos - 1)
+                        ELSE nofrag END AS base,
+                   CASE WHEN qpos > 0
+                        THEN substring(nofrag, qpos + 1)
+                        ELSE '' END AS rawq
+            FROM p2
+        ), p4 AS (
+            SELECT doc_id, url, base, rawq,
+                   lower(regexp_extract(base,
+                       '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+                   regexp_extract(base,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) AS hp
+            FROM p3
+        ), p5 AS (
+            SELECT doc_id, url, base, rawq, scheme,
+                   regexp_replace(lower(split_part(hp, ':', 1)),
+                                  '^www\\.', '') AS host,
+                   split_part(hp, ':', 2) AS port
+            FROM p4
+        ), p6 AS (
+            SELECT doc_id, url, rawq, scheme, host,
+                   CASE WHEN port = ''
+                             OR (scheme = 'http' AND port = '80')
+                             OR (scheme = 'https' AND port = '443')
+                        THEN '' ELSE ':' || port END AS portpart,
+                   CASE WHEN regexp_extract(base,
+                            '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)',
+                            1) = ''
+                        THEN '/'
+                        ELSE regexp_extract(base,
+                            '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)',
+                            1) END AS path
+            FROM p5
+        ), p7 AS (
+            SELECT *,
+                   -- array_to_string([]) is NULL in DuckDB, '' in Spark
+                   coalesce(array_to_string(list_sort(list_filter(
+                       string_split(rawq, '&'),
+                       x -> x <> '' AND NOT regexp_matches(x,
+                           '^(utm_[^=]*|gclid|fbclid|msclkid|igshid|mc_eid)=')
+                   )), '&'), '') AS q
+            FROM p6
+        ), canon AS (
+            SELECT doc_id, url, host,
+                   scheme || '://' || host || portpart || path ||
+                   (CASE WHEN q = '' THEN '' ELSE '?' || q END)
+                       AS canonical_url,
+                   string_split(host, '.') AS labels
+            FROM p7
+        )
+        SELECT doc_id, url, canonical_url, host,
+               CASE WHEN len(labels) >= 3
+                         AND labels[-2] || '.' || labels[-1] IN ({multi})
+                    THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+                    WHEN len(labels) >= 2
+                    THEN labels[-2] || '.' || labels[-1]
+                    ELSE host END AS domain
+        FROM canon
+"""
+
+
+def q_web_url_canonical(spark, sf_dir):
+    """Crawl-URL canonicalization + host + registered domain, all pure
+    Column expressions (weburl.py) over deterministically synthesized
+    raw URLs covering every normalization rule."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", _weburl_raw(F.col("doc_id")).alias("url"))
+    host = weburl.url_host(F.col("url"))
+    return d.select(
+        "doc_id", "url",
+        weburl.canonical_url(F.col("url")).alias("canonical_url"),
+        host.alias("host"),
+        weburl.registered_domain(host).alias("domain"))
+
+
+def _sql_web_url_canonical() -> str:
+    multi = ", ".join(f"'{s}'" for s in weburl.MULTI_SUFFIXES)
+    return _SQL_WEBURL_CANON.format(raw=_sql_weburl_raw(), multi=multi)
+
+
+def q_web_domain_mixture(spark, sf_dir):
+    """Per-registered-domain training-mixture weights: token share,
+    temperature-flattened (T=0.7) and renormalized. The only full-data
+    op is the domain groupBy; normalizations run on the domain-level
+    frame (weburl.domain_mixture)."""
+    toks = F.size(F.filter(F.split(F.col("text"), " "),
+                           lambda x: x != F.lit("")))
+    d = _docs(spark, sf_dir).select(
+        "doc_id", toks.cast("long").alias("n_tok"),
+        _weburl_raw(F.col("doc_id")).alias("url"))
+    d = d.withColumn(
+        "domain", weburl.registered_domain(weburl.url_host(F.col("url"))))
+    out = weburl.domain_mixture(d, "domain", "n_tok", temperature=0.7)
+    return out.select(
+        "domain", "toks", "docs",
+        F.round("share", 6).alias("share_r"),
+        F.round("weight", 6).alias("weight_r"))
+
+
+def _sql_web_domain_mixture() -> str:
+    multi = ", ".join(f"'{s}'" for s in weburl.MULTI_SUFFIXES)
+    canon = _SQL_WEBURL_CANON.format(raw=_sql_weburl_raw(), multi=multi)
+    return f"""
+        WITH canon_rows AS ({canon}),
+        d AS (
+            SELECT c.domain,
+                   len(list_filter(string_split(t.text, ' '),
+                                   x -> x <> ''))::BIGINT AS n_tok
+            FROM canon_rows c JOIN documents t USING (doc_id)
+        ), per AS (
+            SELECT domain, sum(n_tok)::BIGINT AS toks,
+                   count(*)::BIGINT AS docs
+            FROM d GROUP BY domain
+        ), x AS (
+            SELECT *, (SELECT sum(toks) FROM per)::BIGINT AS tot FROM per
+        ), y AS (
+            SELECT *, pow(toks::DOUBLE / tot, 0.7) AS w FROM x
+        )
+        SELECT domain, toks, docs,
+               round(toks::DOUBLE / tot, 6) AS share_r,
+               round(w / (SELECT sum(w) FROM y), 6) AS weight_r
+        FROM y
     """
 
 
@@ -3125,6 +3311,8 @@ def extra_queries():
         "sample_stratified": q_sample_stratified,
         "sample_shards": q_sample_shards,
         "sample_pack_offsets": q_sample_pack_offsets,
+        "web_url_canonical": q_web_url_canonical,
+        "web_domain_mixture": q_web_domain_mixture,
     }
 
 
@@ -3148,4 +3336,6 @@ def extra_oracle_sql():
         "sample_stratified": _sql_sample_stratified(),
         "sample_shards": _sql_sample_shards(),
         "sample_pack_offsets": _sql_sample_pack_offsets(),
+        "web_url_canonical": _sql_web_url_canonical(),
+        "web_domain_mixture": _sql_web_domain_mixture(),
     }

@@ -1,0 +1,160 @@
+"""URL canonicalization and domain-mixture weighting for web corpora.
+
+The input contract for this engine is a Common-Crawl-style page table
+keyed by ``url`` (see ``extract.extract_pages``). Before any url-keyed
+operation — latest-capture dedup, host-level grouping, per-domain
+training-mixture weights — raw crawl URLs must be canonicalized, or the
+same page appears under ``http://Example.com/a?utm_source=x#frag`` and
+``https://example.com/a`` and every downstream count is wrong. The
+reference repo never needed this (its corpus is keyed by archive number,
+``kg/build.py``); a web-scale user hits it on day one.
+
+Everything here is a pure Spark ``Column`` expression — regexp/split/
+array built-ins only, no UDFs — so it runs inside whole-stage codegen,
+costs one projection, and pushes through the same plan as any other
+scalar op. The semantics were chosen to be reproducible in ANSI-ish SQL
+(the DuckDB oracle computes the identical canonical form), which also
+pins them precisely:
+
+- scheme and host lowercase; a leading ``www.`` label dropped
+- default ports stripped (``:80`` for http, ``:443`` for https); other
+  ports kept
+- empty path becomes ``/``
+- fragment dropped
+- tracking query params dropped (``utm_*``, ``gclid``, ``fbclid``,
+  ``msclkid``, ``igshid``, ``mc_eid``); survivors sorted bytewise and
+  re-joined, so param order never splits a URL's identity
+
+``registered_domain`` reduces a host to its registrable unit with a
+bundled slice of the public-suffix list (the multi-label suffixes that
+dominate web corpora); it is a lookup-free expression, not a PSL engine —
+the suffix tuple is the extension point.
+
+``domain_mixture`` is the standard training-mixture recipe: per-domain
+token share, temperature-flattened (``share**T``), renormalized. One
+full-data groupBy is the only wide op; the share/weight normalizations
+run as two windows over the *domain-level* frame collapsed to a single
+task — domains are dimension-sized (millions of skinny rows at CC scale,
+one executor's work) while the corpus is not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# query params that never identify content; '^(...)=' anchored so a real
+# param named e.g. 'gclid2' survives. Kept RE2-compatible (no lookarounds)
+# so the same pattern runs in Spark (Java regex) and DuckDB (RE2).
+TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|igshid|mc_eid)="
+
+# multi-label public suffixes common in web corpora; last-two-labels
+# membership here promotes the registered domain to three labels
+MULTI_SUFFIXES = (
+    "co.uk", "org.uk", "gov.uk", "ac.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.za",
+)
+
+_SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+_HOSTPORT_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)"
+
+
+def url_scheme(url):
+    """Lowercased scheme of a URL column ('' when absent)."""
+    return F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+
+
+def url_host(url, strip_www: bool = True):
+    """Lowercased host of a URL column, port dropped.
+
+    ``strip_www`` removes one leading ``www.`` label — the crawl-dedup
+    convention (http://www.x.com and https://x.com are one site).
+    """
+    hp = F.regexp_extract(url, _HOSTPORT_RE, 1)
+    host = F.lower(F.split_part(hp, F.lit(":"), F.lit(1)))
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    return host
+
+
+def registered_domain(host):
+    """Registrable domain of a (lowercase) host column.
+
+    Last two labels, or last three when the last two are a bundled
+    multi-label public suffix; hosts with fewer labels pass through.
+    """
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(
+        ".", F.element_at(labels, -2), F.element_at(labels, -1))
+    last3 = F.concat_ws(
+        ".", F.element_at(labels, -3), F.element_at(labels, -2),
+        F.element_at(labels, -1))
+    return (F.when((n >= 3) & last2.isin(*MULTI_SUFFIXES), last3)
+            .when(n >= 2, last2)
+            .otherwise(host))
+
+
+def canonical_url(url, strip_www: bool = True):
+    """Canonical form of a URL column (see module docstring for the
+    exact normalization set). Idempotent: canonical(canonical(u)) ==
+    canonical(u) — property-tested."""
+    nofrag = F.split_part(url, F.lit("#"), F.lit(1))
+    qpos = F.instr(nofrag, "?")
+    base = F.when(qpos > 0, F.substring(nofrag, F.lit(1), qpos - 1)) \
+            .otherwise(nofrag)
+    rawq = F.when(qpos > 0, F.substr(nofrag, qpos + 1)).otherwise(F.lit(""))
+
+    scheme = url_scheme(base)
+    hp = F.regexp_extract(base, _HOSTPORT_RE, 1)
+    host = url_host(base, strip_www=strip_www)
+    port = F.split_part(hp, F.lit(":"), F.lit(2))
+    default_port = ((scheme == "http") & (port == "80")) | \
+                   ((scheme == "https") & (port == "443"))
+    portpart = F.when((port == "") | default_port, F.lit("")) \
+                .otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_extract(base, _PATH_RE, 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+
+    kept = F.array_sort(F.filter(
+        F.split(rawq, "&"),
+        lambda x: (x != F.lit("")) & ~x.rlike(TRACKING_PARAM_RE)))
+    q = F.array_join(kept, "&")
+    qpart = F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q))
+
+    return F.concat(scheme, F.lit("://"), host, portpart, path, qpart)
+
+
+def domain_mixture(df: DataFrame, domain_col: str, tok_col: str,
+                   temperature: float = 0.7) -> DataFrame:
+    """Per-domain training-mixture weights: token share flattened by
+    ``share ** temperature`` and renormalized (T=1 keeps natural
+    proportions; T->0 approaches uniform-over-domains).
+
+    Returns one row per domain: (domain_col, toks, docs, share, weight).
+
+    Plan shape: the ONLY full-data operation is the partial-combined
+    groupBy to domain level. Both normalizations (corpus token total,
+    sum of flattened shares) are whole-frame windows over that
+    dimension-sized result — a single task over #domains skinny rows,
+    the same trick as ``sampling.pack_offsets``'s shard-prefix stage —
+    so the expensive aggregate is computed once, never re-scanned for a
+    scalar, and nothing is collected to the driver.
+    """
+    from pyspark.sql import Window
+
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    per = df.groupBy(domain_col).agg(
+        F.sum(F.col(tok_col).cast("long")).alias("toks"),
+        F.count("*").alias("docs"))
+    whole = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+    per = per.withColumn("_tot", F.sum("toks").over(whole))
+    per = per.withColumn("share",
+                         F.col("toks").cast("double") / F.col("_tot"))
+    per = per.withColumn("_w", F.pow("share", F.lit(float(temperature))))
+    per = per.withColumn("weight", F.col("_w") / F.sum("_w").over(whole))
+    return per.drop("_tot", "_w")

@@ -1,0 +1,117 @@
+"""URL canonicalization + domain mixture (weburl.py).
+
+Properties under test:
+- canonical_url applies the documented rule set (case folding, www and
+  default-port strip, fragment drop, tracking-param drop, param sort,
+  empty path -> '/') and is IDEMPOTENT — canonicalizing a canonical URL
+  is a no-op, the property that makes it safe to run at any stage;
+- registered_domain handles plain, multi-label-suffix, and degenerate
+  hosts;
+- domain_mixture weights sum to 1, preserve token-share order, and
+  flatten toward uniform as temperature drops.
+
+Oracle parity for the two driver-contract entries (web_url_canonical,
+web_domain_mixture) runs in test_entry_oracles.py.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from outbreak_kg_spark import weburl
+
+CANON_CASES = [
+    # (raw, canonical)
+    ("https://WWW.Example.COM:443/a?utm_source=x&b=2&a=1#frag",
+     "https://example.com/a?a=1&b=2"),
+    ("http://Example.org", "http://example.org/"),
+    ("http://example.org:80/x/", "http://example.org/x/"),
+    ("http://example.org:8080/x", "http://example.org:8080/x"),
+    ("https://news.BBC.co.uk/p?z=9&gclid=abc&utm_campaign=c",
+     "https://news.bbc.co.uk/p?z=9"),
+    ("https://www.gov.uk/#top", "https://gov.uk/"),
+    ("http://a.b.c.net/p?fbclid=1&msclkid=2&igshid=3&mc_eid=4",
+     "http://a.b.c.net/p"),
+    # a REAL param that merely starts like a tracker must survive
+    ("http://x.com/p?gclid2=keep&gclid=drop", "http://x.com/p?gclid2=keep"),
+    ("https://x.com:443/", "https://x.com/"),
+    # https on http's default port is NOT a default port
+    ("https://x.com:80/", "https://x.com:80/"),
+]
+
+DOMAIN_CASES = [
+    ("example.com", "example.com"),
+    ("a.b.example.com", "example.com"),
+    ("news.bbc.co.uk", "bbc.co.uk"),
+    ("blog.foo.com.au", "foo.com.au"),
+    ("gov.uk", "gov.uk"),
+    ("localhost", "localhost"),
+]
+
+
+def _one_col(spark, values, fn):
+    df = spark.createDataFrame([(v,) for v in values], "u string")
+    return [r.out for r in
+            df.select(fn(F.col("u")).alias("out")).collect()]
+
+
+def test_canonical_url_cases(spark):
+    got = _one_col(spark, [r for r, _ in CANON_CASES], weburl.canonical_url)
+    assert got == [c for _, c in CANON_CASES]
+
+
+def test_canonical_url_idempotent(spark):
+    canon = [c for _, c in CANON_CASES]
+    assert _one_col(spark, canon, weburl.canonical_url) == canon
+
+
+def test_registered_domain_cases(spark):
+    got = _one_col(spark, [h for h, _ in DOMAIN_CASES],
+                   weburl.registered_domain)
+    assert got == [d for _, d in DOMAIN_CASES]
+
+
+def test_host_keeps_www_when_asked(spark):
+    got = _one_col(spark, ["https://www.example.com/x"],
+                   lambda u: weburl.url_host(u, strip_www=False))
+    assert got == ["www.example.com"]
+
+
+@pytest.fixture()
+def mixture_input(spark):
+    # three domains with 60/30/10 token split
+    rows = [("a.com", 60), ("b.com", 20), ("b.com", 10), ("c.com", 10)]
+    return spark.createDataFrame(rows, "domain string, n_tok long")
+
+
+def test_domain_mixture_natural_shares(spark, mixture_input):
+    out = {r.domain: r for r in
+           weburl.domain_mixture(mixture_input, "domain", "n_tok",
+                                 temperature=1.0).collect()}
+    assert out["a.com"].toks == 60 and out["b.com"].docs == 2
+    assert math.isclose(sum(r.weight for r in out.values()), 1.0)
+    # T=1: weight == share
+    for r in out.values():
+        assert math.isclose(r.weight, r.share)
+    assert math.isclose(out["a.com"].share, 0.6)
+
+
+def test_domain_mixture_temperature_flattens(spark, mixture_input):
+    hot = {r.domain: r.weight for r in
+           weburl.domain_mixture(mixture_input, "domain", "n_tok",
+                                 temperature=1.0).collect()}
+    cool = {r.domain: r.weight for r in
+            weburl.domain_mixture(mixture_input, "domain", "n_tok",
+                                  temperature=0.3).collect()}
+    # flattening: the head domain loses mass, the tail gains, order kept
+    assert cool["a.com"] < hot["a.com"]
+    assert cool["c.com"] > hot["c.com"]
+    assert cool["a.com"] > cool["b.com"] > cool["c.com"]
+    assert math.isclose(sum(cool.values()), 1.0)
+
+
+def test_domain_mixture_rejects_bad_temperature(mixture_input):
+    with pytest.raises(ValueError):
+        weburl.domain_mixture(mixture_input, "domain", "n_tok",
+                              temperature=0.0)
