@@ -1328,6 +1328,49 @@ def _sql_sample_pack_offsets() -> str:
     """
 
 
+def q_sample_pack_spans(spark, sf_dir):
+    """Pack materialization plan: per-(pack, doc) token spans from the
+    packing layout — what a shard writer joins to the tokenized docs.
+    Same two-phase prefix-sum as sample_pack_offsets plus a narrow
+    sequence+explode; no extra exchange."""
+    toks = F.size(F.filter(F.split(F.col("text"), " "),
+                           lambda x: x != F.lit("")))
+    d = _docs(spark, sf_dir).select(
+        "doc_id", toks.cast("long").alias("n_tok"))
+    return sampling.pack_spans(d, "doc_id", "n_tok", 1024, n_shards=8)
+
+
+def _sql_sample_pack_spans() -> str:
+    h = sampling.sql_hash_hex("doc_id", "pack-v1")
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '),
+                                   x -> x <> ''))::BIGINT AS n_tok,
+                   {h} AS hh
+            FROM documents
+        ), c AS (
+            SELECT doc_id, n_tok,
+                   COALESCE(sum(n_tok) OVER (
+                       ORDER BY hh, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0)::BIGINT AS bef
+            FROM t
+        ), spans AS (
+            SELECT doc_id, n_tok, bef,
+                   unnest(generate_series(bef // 1024,
+                                          (bef + n_tok - 1) // 1024)) AS p
+            FROM c
+            WHERE n_tok > 0
+        )
+        SELECT p AS pack_id, doc_id,
+               greatest(p * 1024 - bef, 0) AS doc_from,
+               least(n_tok, (p + 1) * 1024 - bef) AS doc_to,
+               greatest(bef - p * 1024, 0) AS pack_off
+        FROM spans
+    """
+
+
 # Deterministic crawl-URL synthesis shared between engines: one Python
 # source-of-truth table, rendered as a Spark array lookup and as a DuckDB
 # CASE, so both build byte-identical raw URLs from doc_id. The shapes
@@ -3311,6 +3354,7 @@ def extra_queries():
         "sample_stratified": q_sample_stratified,
         "sample_shards": q_sample_shards,
         "sample_pack_offsets": q_sample_pack_offsets,
+        "sample_pack_spans": q_sample_pack_spans,
         "web_url_canonical": q_web_url_canonical,
         "web_domain_mixture": q_web_domain_mixture,
     }
@@ -3336,6 +3380,7 @@ def extra_oracle_sql():
         "sample_stratified": _sql_sample_stratified(),
         "sample_shards": _sql_sample_shards(),
         "sample_pack_offsets": _sql_sample_pack_offsets(),
+        "sample_pack_spans": _sql_sample_pack_spans(),
         "web_url_canonical": _sql_web_url_canonical(),
         "web_domain_mixture": _sql_web_domain_mixture(),
     }

@@ -278,6 +278,44 @@ def pack_offsets(df: DataFrame, id_col: str, len_col: str, max_len: int,
             .drop("_h", "_shard", "_local_before", "_prefix", "_before"))
 
 
+def pack_spans(df: DataFrame, id_col: str, len_col: str, max_len: int,
+               salt: str = "pack-v1", n_shards: int = 32,
+               pack_col: str = "pack_id") -> DataFrame:
+    """Materialization plan for ``pack_offsets``: one row per
+    (pack, document) with the token span the pack takes from the doc.
+
+    A doc starting at global token position B with n tokens covers packs
+    ``B div L`` .. ``(B+n-1) div L``; for each covered pack p the row
+    carries ``doc_from``/``doc_to`` (token slice of the doc, end
+    exclusive) and ``pack_off`` (where the slice lands inside the pack).
+    A loader joins this to the tokenized docs and writes each pack's
+    ``max_len`` tokens — every full pack's spans sum to exactly
+    ``max_len`` (property-tested), so shard writing needs no further
+    bookkeeping.
+
+    Plan: ``pack_offsets`` (see its docstring for the two-phase
+    prefix-sum) plus a narrow per-doc ``sequence``+``explode`` bounded by
+    ceil(n/L)+1 rows per doc — no additional exchange. Zero-token docs
+    emit no span.
+    """
+    L = int(max_len)
+    po = pack_offsets(df, id_col, len_col, max_len, salt=salt,
+                      n_shards=n_shards, pack_col=pack_col)
+    n = F.col(len_col).cast("long")
+    start = F.col(pack_col) * L + F.col("offset")  # global token position
+    last = F.expr(f"({pack_col} * {L} + offset + "
+                  f"cast({len_col} as long) - 1) div {L}")
+    out = (po.filter(n > 0)
+           .withColumn("_p", F.explode(F.sequence(F.col(pack_col), last)))
+           .withColumn("doc_from", F.greatest(F.col("_p") * L - start,
+                                              F.lit(0)))
+           .withColumn("doc_to", F.least(n, (F.col("_p") + 1) * L - start))
+           .withColumn("pack_off", F.greatest(start - F.col("_p") * L,
+                                              F.lit(0))))
+    return (out.select(F.col("_p").alias(pack_col), id_col,
+                       "doc_from", "doc_to", "pack_off"))
+
+
 def deterministic_shuffle(df: DataFrame, id_col: str, n_shards: int,
                           salt: str = "shuffle-v1",
                           shard_col: str = "shard",

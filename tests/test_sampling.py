@@ -200,3 +200,38 @@ def test_pack_offsets_zero_length_docs_never_span(spark):
     rows = sampling.pack_offsets(df, "doc_id", "n_tok", 8).collect()
     assert all(r.pack_id == 0 and r.offset == 0 and not r.spans_packs
                for r in rows)
+
+
+def test_pack_spans_conserve_tokens_and_partition_docs(spark):
+    # doc lengths 0..40: many docs straddle 16-token pack boundaries,
+    # several span multiple whole packs
+    df = _ids(spark, 300).withColumn("n_tok", F.col("doc_id") % 41)
+    rows = sampling.pack_spans(df, "doc_id", "n_tok", 16,
+                               n_shards=8).collect()
+    total = sum(d % 41 for d in range(300))
+    by_pack, by_doc = {}, {}
+    for r in rows:
+        assert 0 <= r.doc_from < r.doc_to <= r.doc_id % 41
+        assert 0 <= r.pack_off < 16
+        assert r.doc_to - r.doc_from <= 16
+        by_pack.setdefault(r.pack_id, []).append(r)
+        by_doc.setdefault(r.doc_id, []).append(r)
+    n_packs = -(-total // 16)
+    assert set(by_pack) == set(range(n_packs))
+    # every pack except the last holds exactly max_len tokens, laid out
+    # contiguously from pack_off 0
+    for p, rs in by_pack.items():
+        toks = sum(r.doc_to - r.doc_from for r in rs)
+        assert toks == (16 if p < n_packs - 1 else total - 16 * p)
+        rs = sorted(rs, key=lambda r: r.pack_off)
+        pos = 0
+        for r in rs:
+            assert r.pack_off == pos
+            pos += r.doc_to - r.doc_from
+    # each doc's spans partition [0, n) in order; zero-length docs absent
+    for d, rs in by_doc.items():
+        rs = sorted(rs, key=lambda r: r.doc_from)
+        assert rs[0].doc_from == 0 and rs[-1].doc_to == d % 41
+        for a, b in zip(rs, rs[1:]):
+            assert a.doc_to == b.doc_from
+    assert all(d % 41 > 0 for d in by_doc)
