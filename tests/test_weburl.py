@@ -111,6 +111,46 @@ def test_domain_mixture_temperature_flattens(spark, mixture_input):
     assert math.isclose(sum(cool.values()), 1.0)
 
 
+def test_canonical_url_invariants_exhaustive(spark):
+    """One Spark pass over the full cross-product of URL components
+    (1280 URLs): canonicalization is idempotent and the output never
+    carries a fragment, a tracking param, an uppercase scheme/host
+    character, or a default port."""
+    import itertools
+
+    combos = itertools.product(
+        ["http", "https"],
+        ["Example.COM", "www.x.co.uk", "A.B.example.net", "localhost"],
+        ["", ":80", ":443", ":8080"],
+        ["", "/", "/a/b", "/a%20b"],
+        ["", "?b=2&a=1", "?utm_source=x", "?utm_source=x&z=1&gclid=2",
+         "?a=1&a=0"],
+        ["", "#x"],
+    )
+    urls = [f"{s}://{h}{port}{path}{q}{frag}"
+            for s, h, port, path, q, frag in combos]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    c1 = weburl.canonical_url(F.col("u"))
+    rows = df.select(
+        F.col("u"), c1.alias("c1"),
+        weburl.canonical_url(c1).alias("c2")).collect()
+    assert len(rows) == 1280
+    for r in rows:
+        assert r.c1 == r.c2, f"not idempotent: {r.u!r} -> {r.c1!r} -> {r.c2!r}"
+        assert "#" not in r.c1
+        assert "utm_" not in r.c1 and "gclid" not in r.c1
+        pre_path = r.c1.split("/", 3)[2]  # scheme://HOSTPORT/...
+        assert pre_path == pre_path.lower()
+        assert not (r.c1.startswith("http://") and ":80/" in r.c1)
+        assert not (r.c1.startswith("https://") and ":443/" in r.c1)
+        # a path always present, params sorted
+        scheme_host, _, rest = r.c1.partition("://")
+        assert "/" in rest
+        if "?" in r.c1:
+            params = r.c1.split("?", 1)[1].split("&")
+            assert params == sorted(params) and all(params)
+
+
 def test_domain_mixture_rejects_bad_temperature(mixture_input):
     with pytest.raises(ValueError):
         weburl.domain_mixture(mixture_input, "domain", "n_tok",
