@@ -47,6 +47,11 @@ HEADLINE = [
     "text_filters",
     "corpus_curate",
     "kg_edge_merge",
+    # r5: training-shard layout (two-phase prefix-sum packing) and
+    # crawl-URL canonicalization (pure codegen projection) — both from
+    # the extra_queries registry (driver window stays at 50)
+    "sample_pack_offsets",
+    "web_url_canonical",
 ]
 
 
@@ -249,9 +254,9 @@ def main() -> None:
 
     qtimes: dict[str, float] = {}
     if not e2e_only:
-        from outbreak_kg_spark.entry_queries import all_queries
+        from outbreak_kg_spark.entry_queries import all_queries, extra_queries
 
-        qs = all_queries()
+        qs = {**all_queries(), **extra_queries()}
         # untimed warmup: spin up the Python worker pool, JIT the Arrow
         # serializers, and page in the parquet inputs once — otherwise the
         # FIRST timed query absorbs the whole JVM/worker cold start and
