@@ -52,6 +52,7 @@ HEADLINE = [
     # the extra_queries registry (driver window stays at 50)
     "sample_pack_offsets",
     "web_url_canonical",
+    "web_crawl_delta",
 ]
 
 

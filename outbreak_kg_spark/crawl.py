@@ -1,0 +1,168 @@
+"""Crawl-refresh delta: classify urls between two crawl snapshots.
+
+The 100 TB workflow this serves: a new Common-Crawl-style snapshot lands
+and the KG must be refreshed WITHOUT re-extracting 10^12 unchanged pages.
+The reference rebuilds its whole graph from scratch on every run
+(kg/build.py main() — fine at 62k alerts, impossible at web scale); the
+Spark-native answer is to diff the page tables first and run the
+extraction/NER/triple stages only over the changed slice, then upsert the
+result through ``incremental.merge_edges`` (which already handles
+tombstones and snapshot commits).
+
+Semantics per url (after reducing each snapshot to its latest capture):
+
+- ``added``      url only in the new snapshot
+- ``removed``    url only in the old snapshot
+- ``changed``    in both, content fingerprint differs
+- ``unchanged``  in both, fingerprint identical
+
+Fingerprints are md5 over the content columns (null-safe, unit-separator
+joined) — compared as strings, never parsed to ints, so ANSI mode can't
+overflow. The fingerprint is computed BEFORE the join, so the join
+carries two 32-char columns instead of the page bodies: at 10^12 rows the
+full-outer join exchanges ~100 bytes/row, not the corpus.
+
+Plan shape (asserted in test_plans): each side needs one hash exchange on
+the url key for the latest-capture window, and the full-outer join REUSES
+that partitioning — two exchanges total, none corpus-width. With both
+snapshots bucketed at rest on url (catalog.write_bucketed), even those
+two disappear.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# unit separator: cannot appear in text columns' md5 preimage ambiguously
+_SEP = "\x1f"
+
+
+def content_fingerprint(cols) -> "F.Column":
+    """md5 over the given columns, null-safe and order-sensitive.
+
+    NULL and '' must fingerprint differently (a page whose body vanished
+    IS a change), so each column is tagged with a presence bit before the
+    coalesce."""
+    tagged = []
+    for c in cols:
+        col = F.col(c) if isinstance(c, str) else c
+        tagged.append(F.when(col.isNull(), F.lit("0")).otherwise(
+            F.concat(F.lit("1"), col.cast("string"))))
+    return F.md5(F.concat_ws(_SEP, *tagged))
+
+
+def latest_capture(df: DataFrame, key_col: str = "url",
+                   ts_col: str = "warc_ts",
+                   fp_col: str = "fingerprint") -> DataFrame:
+    """One row per url: the newest capture (ties broken by fingerprint,
+    so re-crawled identical bytes with equal timestamps stay
+    deterministic). The window's hash exchange on ``key_col`` is the one
+    the downstream delta join reuses."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).desc(), F.col(fp_col).desc())
+    return (df.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def crawl_delta(old: DataFrame, new: DataFrame,
+                key_col: str = "url",
+                content_cols=("text",),
+                ts_col: str = "warc_ts") -> DataFrame:
+    """Diff two crawl snapshots into (url, status, fingerprints, ts).
+
+    Output columns: ``<key_col>, status, old_fingerprint, new_fingerprint,
+    old_ts, new_ts``. Both inputs may hold multiple captures per url;
+    only the latest on each side is compared."""
+    def prep(df: DataFrame, side: str) -> DataFrame:
+        fp = df.select(
+            F.col(key_col),
+            F.col(ts_col),
+            content_fingerprint(content_cols).alias("fingerprint"),
+        )
+        fp = latest_capture(fp, key_col, ts_col)
+        return fp.select(
+            F.col(key_col),
+            F.col("fingerprint").alias(f"{side}_fingerprint"),
+            F.col(ts_col).alias(f"{side}_ts"),
+        )
+
+    o = prep(old, "old")
+    n = prep(new, "new")
+    joined = o.join(n, on=key_col, how="full_outer")
+    status = (
+        F.when(F.col("old_fingerprint").isNull(), F.lit("added"))
+        .when(F.col("new_fingerprint").isNull(), F.lit("removed"))
+        .when(F.col("old_fingerprint") == F.col("new_fingerprint"),
+              F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        key_col, status.alias("status"),
+        "old_fingerprint", "new_fingerprint", "old_ts", "new_ts",
+    )
+
+
+def refresh_targets(delta: DataFrame, key_col: str = "url") -> DataFrame:
+    """The urls the expensive stages must touch: added + changed. At a
+    typical monthly-crawl churn (a few percent) this is a 20-50x cut in
+    extraction work; joined back to the new snapshot it drives the
+    extract→NER→triples slice whose edges then upsert via
+    incremental.merge_edges (removed urls become tombstones)."""
+    return delta.filter(F.col("status").isin("added", "changed")) \
+                .select(key_col, "status")
+
+
+def cooccurrence_count_delta(old_terms_slice: DataFrame,
+                             new_terms_slice: DataFrame,
+                             type_dim: DataFrame,
+                             salt: int = 16,
+                             exclude_names=None) -> DataFrame:
+    """Signed occurs_with count deltas from a crawl refresh.
+
+    ``old_terms_slice``: the PREVIOUS build's per-doc terms rows for docs
+    whose pages changed or vanished (semi-join the committed terms stage
+    against refresh statuses — no re-extraction of old content). Their
+    pair counts enter with a negative sign: they must be subtracted from
+    the standing edge counts. ``new_terms_slice``: freshly extracted terms
+    for added/changed docs, entering positive.
+
+    Pair counting is per-doc and the builder is linear in the slice, so a
+    monthly few-percent churn prices the refresh at a few percent of a
+    rebuild — both slices go through the SAME build_cooccurrence plan
+    (blocklist pushdown, one-shuffle pair expansion, salted two-phase
+    count) as a full build, so refresh can never drift from rebuild
+    semantics."""
+    from .builders import BUILD_EXCLUDE_NAMES, build_cooccurrence
+
+    # the refresh MUST count under the same blocklist as the build it
+    # amends, or subtract/add legs go asymmetric and counts drift
+    excl = BUILD_EXCLUDE_NAMES if exclude_names is None else exclude_names
+    _, old_edges = build_cooccurrence(old_terms_slice, type_dim,
+                                      exclude_names=excl, salt=salt)
+    _, new_edges = build_cooccurrence(new_terms_slice, type_dim,
+                                      exclude_names=excl, salt=salt)
+    neg = old_edges.withColumn("count", -F.col("count"))
+    return neg.unionByName(new_edges)
+
+
+def refresh_cooccurrence(existing_edges: DataFrame,
+                         count_delta: DataFrame) -> DataFrame:
+    """Apply signed count deltas to the standing occurs_with edges.
+
+    One hash aggregation on the edge identity (incremental.
+    merge_edge_counts — map-side partial combine, at most one row per
+    distinct edge per input partition crosses). Edges whose count reaches
+    zero disappear, exactly as a rebuild over the new corpus would never
+    emit them. Invariant (pytest-asserted):
+    ``refresh(build(old), delta(old_slice, new_slice)) == build(new)``."""
+    from .incremental import merge_edge_counts
+
+    merged = merge_edge_counts(existing_edges, count_delta)
+    return merged.filter(F.col("count") > 0)
+
+
+def delta_stats(delta: DataFrame) -> DataFrame:
+    """Per-status url counts — the refresh job's headline metric (and the
+    guard: an 'unchanged' share far below the historical band means the
+    fingerprint recipe changed, not the web)."""
+    return delta.groupBy("status").agg(F.count("*").alias("n_urls"))

@@ -1557,6 +1557,87 @@ def _sql_web_domain_mixture() -> str:
     """
 
 
+def _crawl_snapshots(spark, sf_dir):
+    """Two deterministic crawl snapshots of the documents corpus, built to
+    exercise every crawl_delta path: urls missing from one side (added /
+    removed), content mutated between snapshots (changed), and stale extra
+    captures inside a snapshot that latest-capture dedup must discard."""
+    d = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    url = F.concat(F.lit("https://"), F.col("source"), F.lit("/d/"),
+                   F.col("doc_id").cast("string")).alias("url")
+    old_base = d.filter(F.col("doc_id") % 20 != 7).select(
+        url, (F.lit(1000) + F.col("doc_id") % 3).cast("long").alias("ts"),
+        F.col("text"))
+    old_stale = d.filter((F.col("doc_id") % 13 == 2)
+                         & (F.col("doc_id") % 20 != 7)).select(
+        url, F.lit(999).cast("long").alias("ts"),
+        F.concat(F.col("text"), F.lit(" OLDCAP")).alias("text"))
+    new_base = d.filter(F.col("doc_id") % 17 != 5).select(
+        url, F.lit(2000).cast("long").alias("ts"),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" v2")))
+         .otherwise(F.col("text")).alias("text"))
+    new_stale = d.filter((F.col("doc_id") % 13 == 6)
+                         & (F.col("doc_id") % 17 != 5)).select(
+        url, F.lit(1990).cast("long").alias("ts"),
+        F.lit("stale").alias("text"))
+    return old_base.unionByName(old_stale), new_base.unionByName(new_stale)
+
+
+def q_web_crawl_delta(spark, sf_dir):
+    """Crawl-refresh delta (crawl.crawl_delta): per-url added / removed /
+    changed / unchanged between two snapshots, latest capture per side,
+    pre-join md5 fingerprints so the full-outer join never carries page
+    bodies. The slice feeding re-extraction is refresh_targets(delta)."""
+    from .crawl import crawl_delta
+
+    old, new = _crawl_snapshots(spark, sf_dir)
+    return crawl_delta(old, new, key_col="url",
+                       content_cols=("text",), ts_col="ts")
+
+
+_SQL_CRAWL_OLD = """
+    SELECT source, doc_id, (1000 + doc_id % 3)::BIGINT AS ts, text
+    FROM documents WHERE doc_id % 20 <> 7
+    UNION ALL
+    SELECT source, doc_id, 999::BIGINT, text || ' OLDCAP'
+    FROM documents WHERE doc_id % 13 = 2 AND doc_id % 20 <> 7
+"""
+
+_SQL_CRAWL_NEW = """
+    SELECT source, doc_id, 2000::BIGINT AS ts,
+           CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+    FROM documents WHERE doc_id % 17 <> 5
+    UNION ALL
+    SELECT source, doc_id, 1990::BIGINT, 'stale'
+    FROM documents WHERE doc_id % 13 = 6 AND doc_id % 17 <> 5
+"""
+
+_SQL_CRAWL_LATEST = """
+    SELECT url, ts, fp FROM (
+        SELECT 'https://' || source || '/d/' || doc_id AS url, ts,
+               md5('1' || text) AS fp,
+               row_number() OVER (
+                   PARTITION BY 'https://' || source || '/d/' || doc_id
+                   ORDER BY ts DESC, md5('1' || text) DESC) AS rn
+        FROM ({snap})
+    ) WHERE rn = 1
+"""
+
+SQL_WEB_CRAWL_DELTA = f"""
+    WITH old_latest AS ({_SQL_CRAWL_LATEST.format(snap=_SQL_CRAWL_OLD)}),
+         new_latest AS ({_SQL_CRAWL_LATEST.format(snap=_SQL_CRAWL_NEW)})
+    SELECT coalesce(o.url, n.url) AS url,
+           CASE WHEN o.url IS NULL THEN 'added'
+                WHEN n.url IS NULL THEN 'removed'
+                WHEN o.fp = n.fp THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           o.fp AS old_fingerprint, n.fp AS new_fingerprint,
+           o.ts AS old_ts, n.ts AS new_ts
+    FROM old_latest o FULL OUTER JOIN new_latest n ON o.url = n.url
+"""
+
+
 def q_dedup_minhash_sigs(spark, sf_dir):
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 40)
     return dedup.minhash_signatures(d, num_hashes=8).select(
@@ -3357,6 +3438,7 @@ def extra_queries():
         "sample_pack_spans": q_sample_pack_spans,
         "web_url_canonical": q_web_url_canonical,
         "web_domain_mixture": q_web_domain_mixture,
+        "web_crawl_delta": q_web_crawl_delta,
     }
 
 
@@ -3383,4 +3465,5 @@ def extra_oracle_sql():
         "sample_pack_spans": _sql_sample_pack_spans(),
         "web_url_canonical": _sql_web_url_canonical(),
         "web_domain_mixture": _sql_web_domain_mixture(),
+        "web_crawl_delta": SQL_WEB_CRAWL_DELTA,
     }

@@ -1,0 +1,115 @@
+"""crawl.crawl_delta semantics + plan shape.
+
+The oracle-gated driver entry (web_crawl_delta in test_entry_oracles)
+checks the full diff against DuckDB at corpus scale; these tests pin the
+per-path semantics on hand-built frames where each status is one known
+row, plus the two plan properties the module docstring claims: the
+full-outer join reuses the window's hash partitioning (two exchanges
+total) and the join carries fingerprints, not page bodies."""
+
+from pyspark.sql import Row, functions as F
+
+from outbreak_kg_spark.crawl import (
+    content_fingerprint,
+    crawl_delta,
+    delta_stats,
+    latest_capture,
+    refresh_targets,
+)
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(
+        [Row(url=u, warc_ts=t, text=x) for u, t, x in rows],
+        "url string, warc_ts long, text string",
+    )
+
+
+def test_delta_statuses(spark):
+    old = _snap(spark, [
+        ("u/same", 10, "alpha"),
+        ("u/edit", 10, "before"),
+        ("u/gone", 10, "bye"),
+    ])
+    new = _snap(spark, [
+        ("u/same", 20, "alpha"),
+        ("u/edit", 20, "after"),
+        ("u/new", 20, "hi"),
+    ])
+    got = {r["url"]: r.asDict()
+           for r in crawl_delta(old, new, ts_col="warc_ts").collect()}
+    assert got["u/same"]["status"] == "unchanged"
+    assert got["u/edit"]["status"] == "changed"
+    assert got["u/gone"]["status"] == "removed"
+    assert got["u/new"]["status"] == "added"
+    # fingerprints present exactly on the sides that have a capture
+    assert got["u/new"]["old_fingerprint"] is None
+    assert got["u/gone"]["new_fingerprint"] is None
+    assert got["u/same"]["old_fingerprint"] == got["u/same"]["new_fingerprint"]
+    # timestamps surfaced from the surviving capture
+    assert got["u/edit"]["old_ts"] == 10 and got["u/edit"]["new_ts"] == 20
+
+    targets = {r["url"] for r in refresh_targets(
+        crawl_delta(old, new, ts_col="warc_ts")).collect()}
+    assert targets == {"u/edit", "u/new"}
+
+    stats = {r["status"]: r["n_urls"] for r in delta_stats(
+        crawl_delta(old, new, ts_col="warc_ts")).collect()}
+    assert stats == {"added": 1, "removed": 1, "changed": 1, "unchanged": 1}
+
+
+def test_latest_capture_wins(spark):
+    # the newer capture's content decides the status; a stale extra
+    # capture on either side must be invisible to the diff
+    old = _snap(spark, [
+        ("u/a", 10, "current"),
+        ("u/a", 5, "ancient"),
+    ])
+    new = _snap(spark, [
+        ("u/a", 30, "current"),
+        ("u/a", 25, "mid-edit"),
+    ])
+    [row] = crawl_delta(old, new, ts_col="warc_ts").collect()
+    assert row["status"] == "unchanged"
+    assert row["old_ts"] == 10 and row["new_ts"] == 30
+
+
+def test_equal_ts_ties_are_deterministic(spark):
+    # two captures of one url at the SAME timestamp: row_number ties break
+    # by fingerprint desc, so repeated runs (and both engines) agree
+    dup = _snap(spark, [("u/a", 10, "xx"), ("u/a", 10, "yy")])
+    fp = dup.select(
+        "url", "warc_ts",
+        content_fingerprint(["text"]).alias("fingerprint"))
+    [kept] = latest_capture(fp, "url", "warc_ts").collect()
+    expected = max(r["fingerprint"] for r in fp.collect())
+    assert kept["fingerprint"] == expected
+
+
+def test_null_vs_empty_content_differ(spark):
+    # a page whose body vanished (NULL) IS a change vs an empty body
+    old = _snap(spark, [("u/a", 10, "")])
+    new = spark.createDataFrame(
+        [Row(url="u/a", warc_ts=20, text=None)],
+        "url string, warc_ts long, text string",
+    )
+    [row] = crawl_delta(old, new, ts_col="warc_ts").collect()
+    assert row["status"] == "changed"
+
+
+def test_delta_plan_two_exchanges_no_bodies(spark):
+    import re
+
+    old = _snap(spark, [("u/a", 10, "x")])
+    new = _snap(spark, [("u/a", 20, "x")])
+    df = crawl_delta(old, new, ts_col="warc_ts")
+    simple = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple")
+    # one hash exchange per side for the latest-capture window; the
+    # full-outer SortMergeJoin reuses that partitioning (url is the key
+    # on both), so NO third exchange appears
+    assert len(re.findall(r"Exchange hashpartitioning", simple)) == 2
+    # the join inputs are (url, fingerprint, ts) projections — the page
+    # body never crosses the exchange
+    join_zone = simple[:simple.find("Exchange")]
+    assert "text" not in join_zone

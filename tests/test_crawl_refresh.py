@@ -1,0 +1,98 @@
+"""Incremental co-occurrence refresh invariant:
+
+    refresh(build(old_terms), delta(old_slice, new_slice)) == build(new_terms)
+
+for every churn shape a recrawl produces — docs added, docs removed, docs
+whose term set changed (pairs gained, pairs lost, pairs whose count moves
+both ways across docs), and edges whose count hits zero (they must
+VANISH, exactly as a rebuild would never emit them)."""
+
+from pyspark.sql import Row
+
+from outbreak_kg_spark.builders import build_cooccurrence
+from outbreak_kg_spark.crawl import (
+    cooccurrence_count_delta,
+    refresh_cooccurrence,
+)
+
+
+def _terms(spark, rows):
+    # (doc_id, ns, id, entry_name)
+    return spark.createDataFrame(
+        [Row(doc_id=d, ns="mesh", id=i, entry_name=n) for d, i, n in rows],
+        "doc_id string, ns string, id string, entry_name string",
+    )
+
+
+def _type_dim(spark):
+    types = {"D1": "disease", "D2": "disease", "P1": "pathogen",
+             "P2": "pathogen", "G1": "geoloc"}
+    return spark.createDataFrame(
+        [Row(curie=f"mesh:{i}", node_type=t) for i, t in types.items()],
+        "curie string, node_type string",
+    )
+
+
+OLD_ROWS = [
+    # doc a: (D1,P1) + (D1,G1) + (G1,P1)
+    ("a", "D1", "ebola"), ("a", "P1", "ebov"), ("a", "G1", "kinshasa"),
+    # doc b: (D1,P1) again -> count 2 for that pair
+    ("b", "D1", "ebola"), ("b", "P1", "ebov"),
+    # doc c: (D2,P2)
+    ("c", "D2", "cholera"), ("c", "P2", "vibrio"),
+    # doc d: (D2,G1)
+    ("d", "D2", "cholera"), ("d", "G1", "kinshasa"),
+]
+
+NEW_ROWS = [
+    # doc a unchanged
+    ("a", "D1", "ebola"), ("a", "P1", "ebov"), ("a", "G1", "kinshasa"),
+    # doc b CHANGED: drops P1, gains G1 -> (D1,P1) count falls to 1,
+    # (D1,G1) rises to 2
+    ("b", "D1", "ebola"), ("b", "G1", "kinshasa"),
+    # doc c REMOVED -> (D2,P2) count hits zero and must vanish
+    # doc d unchanged
+    ("d", "D2", "cholera"), ("d", "G1", "kinshasa"),
+    # doc e ADDED: brand-new pair (D2,P1)
+    ("e", "D2", "cholera"), ("e", "P1", "ebov"),
+]
+
+CHANGED_OR_REMOVED = {"b", "c"}
+ADDED_OR_CHANGED = {"b", "e"}
+
+
+def _edge_map(edges):
+    return {(r["subj"], r["obj"]): r["count"] for r in edges.collect()}
+
+
+def test_refresh_equals_rebuild(spark):
+    old_terms = _terms(spark, OLD_ROWS)
+    new_terms = _terms(spark, NEW_ROWS)
+    tdim = _type_dim(spark)
+
+    _, old_edges = build_cooccurrence(old_terms, tdim)
+    _, want_edges = build_cooccurrence(new_terms, tdim)
+
+    old_slice = old_terms.filter(
+        old_terms.doc_id.isin(list(CHANGED_OR_REMOVED)))
+    new_slice = new_terms.filter(
+        new_terms.doc_id.isin(list(ADDED_OR_CHANGED)))
+
+    delta = cooccurrence_count_delta(old_slice, new_slice, tdim)
+    got = refresh_cooccurrence(old_edges, delta)
+
+    assert _edge_map(got) == _edge_map(want_edges)
+    # the zero-count edge really vanished (not a 0-count row)
+    assert ("mesh:D2", "mesh:P2") not in _edge_map(got)
+    # schema parity with a rebuild (payload columns included)
+    assert sorted(got.columns) == sorted(want_edges.columns)
+
+
+def test_refresh_empty_delta_is_identity(spark):
+    old_terms = _terms(spark, OLD_ROWS)
+    tdim = _type_dim(spark)
+    _, old_edges = build_cooccurrence(old_terms, tdim)
+    empty = _terms(spark, [])
+    delta = cooccurrence_count_delta(empty, empty, tdim)
+    got = refresh_cooccurrence(old_edges, delta)
+    assert _edge_map(got) == _edge_map(old_edges)
