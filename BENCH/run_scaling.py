@@ -71,6 +71,13 @@ def _is_healthy(r: dict, cpus: int, min_health: float) -> bool:
     hypervisor has been observed degrading between a healthy probe and the
     run (a 16-core level probing 22.8 effective cores, then walling 3x
     slow and writing a bogus efficiency)."""
+    if "e2e_window_healthy" in r:
+        # bench.py now brackets EACH e2e sample with its own probes and
+        # publishes the min over healthy-bracketed samples; that flag is
+        # strictly stronger evidence than the run-level before/after pair
+        # (which has been observed reading healthy around a degraded
+        # window that swallowed every sample in between)
+        return bool(r["e2e_window_healthy"])
     before = r.get("host_effective_cores")
     after = r.get("host_effective_cores_after", before)
     if before is None:
@@ -122,7 +129,10 @@ def run_level(cpus: int, repl: int, sf_dir: str, trials: int = 2,
     in a degraded window, regardless of raw throughput."""
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
     cmd = [sys.executable, os.path.join(REPO, "bench.py"),
-           "--cpus", str(cpus), "--repl", str(repl), "--e2e-only"]
+           "--cpus", str(cpus), "--repl", str(repl), "--e2e-only",
+           # plain bracketed best-of-3 inside bench: the spaced degraded-
+           # window re-passes are THIS script's job, not the trial's
+           "--max-e2e-samples", "3"]
     if cpus < NCPU and shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     best = None

@@ -240,6 +240,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     e2e_only = "--e2e-only" in args
     modular = "--modular" in args
+    # 3 = plain bracketed best-of-3 (no retry sleeps — run_scaling drives
+    # its own spaced re-passes); the default 6 lets a standalone/driver
+    # invocation ride out one multi-minute degraded host window
+    max_e2e_samples = max(3, int(_arg("--max-e2e-samples", "6")))
 
     effective_cores = host_calibration(cpus)
 
@@ -297,12 +301,38 @@ def main() -> None:
     # time), so the min of three is the stable steady-state reading
     e2e_pages_to_triples(spark, sf_dir, repl=max(1, repl // 10),
                          modular=modular)
-    samples = [
-        e2e_pages_to_triples(spark, sf_dir, repl=repl, modular=modular)
-        for _ in range(3)
-    ]
-    n_docs = samples[0][1]
-    wall = min(w for w, _ in samples)
+    # probe-BRACKETED samples: the host's degraded windows last multiple
+    # minutes, so a single window can swallow all three samples while the
+    # run-level before/after probes (taken outside it) still read healthy
+    # — observed: per-query phase all at record walls, then e2e 127.8 s
+    # (vs 11.1 s re-measured minutes later) with 20.0/23.2 bracketing
+    # probes. Each sample carries its own adjacent probes; the reading is
+    # the min over samples whose bracket stayed healthy, with up to three
+    # spaced retries when no sample qualifies. If the host never
+    # recovers, fall back to the overall min and say so in the JSON
+    # (e2e_window_healthy=false) rather than publishing it silently.
+    probe_workers = min(cpus, 16)
+    health_bar = 0.72 * probe_workers
+    samples = []
+    probes = []
+    post = host_calibration(probe_workers)
+    for attempt in range(max_e2e_samples):
+        pre = post
+        s = e2e_pages_to_triples(spark, sf_dir, repl=repl, modular=modular)
+        post = host_calibration(probe_workers)
+        samples.append((s, pre, post))
+        probes.append((pre, post))
+        if attempt >= 2 and any(min(p, q) >= health_bar
+                                for _, p, q in samples):
+            break
+        if attempt >= 2 and attempt + 1 < max_e2e_samples:
+            time.sleep(45)
+    healthy = [(w, n) for (w, n), p, q in samples
+               if min(p, q) >= health_bar]
+    e2e_window_healthy = bool(healthy)
+    pool = healthy or [s for s, _, _ in samples]
+    n_docs = pool[0][1]
+    wall = min(w for w, _ in pool)
 
     # second host probe AFTER the timed work: the pre-JVM probe certifies
     # only its own instant, and the hypervisor has been observed degrading
@@ -328,6 +358,9 @@ def main() -> None:
         "cpus": cpus,
         "host_effective_cores": effective_cores,
         "host_effective_cores_after": effective_cores_after,
+        "e2e_sample_probes": [[p, q] for p, q in probes],
+        "e2e_probe_workers": probe_workers,
+        "e2e_window_healthy": e2e_window_healthy,
         "path": "modular" if modular else "fused",
     }
     print(json.dumps(out))
