@@ -22,7 +22,7 @@ overflow. The fingerprint is computed BEFORE the join, so the join
 carries two 32-char columns instead of the page bodies: at 10^12 rows the
 full-outer join exchanges ~100 bytes/row, not the corpus.
 
-Plan shape (asserted in test_plans): each side needs one hash exchange on
+Plan shape (asserted in test_crawl): each side needs one hash exchange on
 the url key for the latest-capture window, and the full-outer join REUSES
 that partitioning — two exchanges total, none corpus-width. With both
 snapshots bucketed at rest on url (catalog.write_bucketed), even those
