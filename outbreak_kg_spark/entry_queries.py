@@ -1638,6 +1638,65 @@ SQL_WEB_CRAWL_DELTA = f"""
 """
 
 
+def q_graph_pagerank(spark, sf_dir):
+    """Fixed-iteration damped PageRank (graphrank.pagerank) over a
+    deterministic link graph derived from the documents table, with
+    dangling nodes present by construction (src residues divisible by 10
+    are excluded, so those nodes appear only as link targets). The webtext
+    use is crawl prioritization: rank domains by the link graph so the
+    recrawl budget (crawl.crawl_delta) lands where it matters."""
+    from .graphrank import pagerank
+
+    d = _docs(spark, sf_dir)
+    edges = d.select(
+        (F.col("doc_id") % 101).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 101).alias("dst"),
+    ).filter(F.col("src") % 10 != 0)
+    out = pagerank(edges, iterations=10)
+    return out.select("node", F.round("rank", 8).alias("rank_r"))
+
+
+def _sql_graph_pagerank(iterations: int = 10,
+                        damping: float = 0.85) -> str:
+    """The identical recurrence unrolled as chained CTEs (DuckDB's
+    recursive term may reference the working table only once, but each
+    iteration needs it twice: contribution join + dangling mass)."""
+    its = []
+    for k in range(1, iterations + 1):
+        # MATERIALIZED is load-bearing: each iteration references its
+        # predecessor twice (contribution join + dangling mass), and
+        # DuckDB's default CTE inlining then copies the whole chain per
+        # reference — 2^iterations plans (measured: 10 iters ~700 s,
+        # 7 iters 11 s). Materialization makes it linear (10 iters <1 s).
+        its.append(f"""
+        it{k} AS MATERIALIZED (
+          SELECT n.node,
+                 (1-{damping})/c.n + {damping}*(
+                     coalesce(ct.contrib, 0) + dm.mass/c.n) AS r
+          FROM nodes n
+          CROSS JOIN cnt c
+          CROSS JOIN (SELECT coalesce(sum(p.r), 0) AS mass FROM it{k-1} p
+                      WHERE p.node NOT IN (SELECT src FROM outdeg)) dm
+          LEFT JOIN (SELECT e.dst AS node, sum(p.r/od.deg) AS contrib
+                     FROM it{k-1} p JOIN edges e ON p.node = e.src
+                     JOIN outdeg od ON od.src = p.node
+                     GROUP BY e.dst) ct USING (node)
+        )""")
+    return f"""
+    WITH edges AS (
+        SELECT DISTINCT doc_id % 101 AS src, (doc_id*7 + 3) % 101 AS dst
+        FROM documents WHERE (doc_id % 101) % 10 <> 0
+    ),
+    nodes AS (SELECT DISTINCT node FROM
+              (SELECT src AS node FROM edges UNION SELECT dst FROM edges)),
+    outdeg AS (SELECT src, count(*)::DOUBLE AS deg FROM edges GROUP BY src),
+    cnt AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    it0 AS (SELECT node, 1.0/(SELECT n FROM cnt) AS r FROM nodes),
+    {",".join(its)}
+    SELECT node, round(r, 8) AS rank_r FROM it{iterations}
+    """
+
+
 def q_dedup_minhash_sigs(spark, sf_dir):
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 40)
     return dedup.minhash_signatures(d, num_hashes=8).select(
@@ -3439,6 +3498,7 @@ def extra_queries():
         "web_url_canonical": q_web_url_canonical,
         "web_domain_mixture": q_web_domain_mixture,
         "web_crawl_delta": q_web_crawl_delta,
+        "graph_pagerank": q_graph_pagerank,
     }
 
 
@@ -3466,4 +3526,5 @@ def extra_oracle_sql():
         "web_url_canonical": _sql_web_url_canonical(),
         "web_domain_mixture": _sql_web_domain_mixture(),
         "web_crawl_delta": SQL_WEB_CRAWL_DELTA,
+        "graph_pagerank": _sql_graph_pagerank(),
     }

@@ -1,0 +1,63 @@
+"""graphrank.pagerank vs an independent dense numpy reference, plus the
+invariants that catch the classic implementation mistakes (lost dangling
+mass, duplicate-edge double counting, dropped no-inlink nodes)."""
+
+import numpy as np
+from pyspark.sql import Row
+
+from outbreak_kg_spark.graphrank import pagerank
+
+EDGES = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3), (4, 0)]
+# node 3 is dangling (no out-edges); node 4 has no in-links
+
+
+def _numpy_pagerank(edges, n, d=0.85, iters=10):
+    M = np.zeros((n, n))
+    for s, t in set(edges):
+        M[t, s] += 1.0
+    deg = M.sum(axis=0)
+    dangling = deg == 0
+    r = np.ones(n) / n
+    for _ in range(iters):
+        contrib = M @ np.where(dangling, 0.0, r / np.maximum(deg, 1.0))
+        r = (1 - d) / n + d * (contrib + r[dangling].sum() / n)
+    return r
+
+
+def _spark_ranks(spark, edges, **kw):
+    df = spark.createDataFrame([Row(src=s, dst=t) for s, t in edges],
+                               "src long, dst long")
+    return {r["node"]: r["rank"] for r in pagerank(df, **kw).collect()}
+
+
+def test_matches_dense_reference(spark):
+    got = _spark_ranks(spark, EDGES, iterations=10)
+    want = _numpy_pagerank(EDGES, 5)
+    assert set(got) == set(range(5))
+    for n in range(5):
+        assert abs(got[n] - want[n]) < 1e-12, (n, got[n], want[n])
+
+
+def test_mass_conserved(spark):
+    # damped PageRank with dangling redistribution conserves total mass
+    got = _spark_ranks(spark, EDGES, iterations=7)
+    assert abs(sum(got.values()) - 1.0) < 1e-12
+
+
+def test_duplicate_edges_collapse(spark):
+    # emitting the same link five times must not change the rank vector
+    got_dup = _spark_ranks(spark, EDGES + [(0, 1)] * 5, iterations=6)
+    got = _spark_ranks(spark, EDGES, iterations=6)
+    assert set(got_dup) == set(got)
+    # tolerance, not equality: the distinct() output partitioning (and so
+    # the float summation order) may differ between the two inputs
+    assert all(abs(got_dup[k] - got[k]) < 1e-12 for k in got)
+
+
+def test_no_inlink_node_keeps_teleport_rank(spark):
+    # node 4 receives nothing but must retain its teleport share every
+    # iteration (a contribution-only implementation silently drops it)
+    got = _spark_ranks(spark, EDGES, iterations=10)
+    want = _numpy_pagerank(EDGES, 5)
+    assert abs(got[4] - want[4]) < 1e-12
+    assert got[4] > 0
