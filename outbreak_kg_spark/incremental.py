@@ -92,8 +92,19 @@ def upsert_edges(
 
     The collect is dimension-sized (distinct predicates — single digits in
     this graph's vocabulary, reference kg/build.py emits 7). On a fresh
-    table root (first-ever increment) the delta bootstraps the table."""
+    table root (first-ever increment) the delta bootstraps the table.
+
+    Deltas may carry SIGNED counts (crawl.cooccurrence_count_delta emits
+    negative rows for content that vanished in a recrawl): an edge whose
+    summed count reaches zero or below is dropped from the rewritten
+    partition, exactly as a rebuild over the new corpus would never emit
+    it. Relation-only edges (null count on every side) are NOT counted
+    edges and always survive the drop."""
     from .lineage import _hadoop
+
+    def _drop_nonpositive(df: DataFrame) -> DataFrame:
+        return df.filter(F.col(count_col).isNull()
+                         | (F.col(count_col) > 0))
 
     touched = [
         r[0]
@@ -113,24 +124,24 @@ def upsert_edges(
         # summed row on the first write too, not as duplicate at-rest rows
         # that a later increment would then collapse (inconsistent at-rest
         # semantics depending on table existence).
-        boot = merge_edge_counts(
+        boot = _drop_nonpositive(merge_edge_counts(
             delta.limit(0), delta,
             keys=tuple(k for k in EDGE_KEYS if k != partition_col)
             + (partition_col,),
             count_col=count_col,
-        )
+        ))
         boot.write.partitionBy(partition_col).parquet(path)
         return _sorted(touched)
     cond = F.col(partition_col).isin(touched_vals)
     if has_null:
         cond = cond | F.col(partition_col).isNull()
     existing = spark.read.parquet(path).filter(cond)
-    merged = merge_edge_counts(
+    merged = _drop_nonpositive(merge_edge_counts(
         existing, delta,
         keys=tuple(k for k in EDGE_KEYS if k != partition_col)
         + (partition_col,),
         count_col=count_col,
-    )
+    ))
     # Break lineage before overwriting a path the plan also reads
     # (Spark refuses a self-overwrite otherwise). Materialization is
     # bounded by the touched partitions, not the table. On Iceberg this

@@ -96,3 +96,31 @@ def test_refresh_empty_delta_is_identity(spark):
     delta = cooccurrence_count_delta(empty, empty, tdim)
     got = refresh_cooccurrence(old_edges, delta)
     assert _edge_map(got) == _edge_map(old_edges)
+
+
+def test_refresh_through_at_rest_upsert(spark, tmp_path):
+    # the full at-rest story: write build(old) as the partitioned edges
+    # table, apply the SIGNED crawl-refresh delta through upsert_edges
+    # (dynamic partition overwrite), and the table now equals build(new) —
+    # including the (D2,P2) edge whose count reached zero being GONE from
+    # the rewritten partition, not sitting there as a 0-count row
+    from outbreak_kg_spark.incremental import upsert_edges
+
+    path = str(tmp_path / "edges")
+    old_terms = _terms(spark, OLD_ROWS)
+    new_terms = _terms(spark, NEW_ROWS)
+    tdim = _type_dim(spark)
+
+    _, old_edges = build_cooccurrence(old_terms, tdim)
+    upsert_edges(spark, path, old_edges)
+
+    delta = cooccurrence_count_delta(
+        old_terms.filter(old_terms.doc_id.isin(list(CHANGED_OR_REMOVED))),
+        new_terms.filter(new_terms.doc_id.isin(list(ADDED_OR_CHANGED))),
+        tdim)
+    upsert_edges(spark, path, delta)
+
+    got = spark.read.parquet(path)
+    _, want_edges = build_cooccurrence(new_terms, tdim)
+    assert _edge_map(got) == _edge_map(want_edges)
+    assert ("mesh:D2", "mesh:P2") not in _edge_map(got)
