@@ -41,13 +41,18 @@ def content_fingerprint(cols) -> "F.Column":
     """md5 over the given columns, null-safe and order-sensitive.
 
     NULL and '' must fingerprint differently (a page whose body vanished
-    IS a change), so each column is tagged with a presence bit before the
-    coalesce."""
+    IS a change), so each column is tagged with a presence bit; each
+    non-null value is also LENGTH-prefixed, which makes the multi-column
+    preimage unambiguous even when a value contains the separator (without
+    it, ('x\\x1f1y', 'z') and ('x', 'y\\x1f1z') would collide). DuckDB
+    twin of one text column: ``md5('1' || length(text) || ':' || text)``."""
     tagged = []
     for c in cols:
         col = F.col(c) if isinstance(c, str) else c
+        s = col.cast("string")
         tagged.append(F.when(col.isNull(), F.lit("0")).otherwise(
-            F.concat(F.lit("1"), col.cast("string"))))
+            F.concat(F.lit("1"), F.length(s).cast("string"),
+                     F.lit(":"), s)))
     return F.md5(F.concat_ws(_SEP, *tagged))
 
 

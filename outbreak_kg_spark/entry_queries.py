@@ -1616,10 +1616,10 @@ _SQL_CRAWL_NEW = """
 _SQL_CRAWL_LATEST = """
     SELECT url, ts, fp FROM (
         SELECT 'https://' || source || '/d/' || doc_id AS url, ts,
-               md5('1' || text) AS fp,
+               md5('1' || length(text) || ':' || text) AS fp,
                row_number() OVER (
                    PARTITION BY 'https://' || source || '/d/' || doc_id
-                   ORDER BY ts DESC, md5('1' || text) DESC) AS rn
+                   ORDER BY ts DESC, md5('1' || length(text) || ':' || text) DESC) AS rn
         FROM ({snap})
     ) WHERE rn = 1
 """
