@@ -1638,6 +1638,39 @@ SQL_WEB_CRAWL_DELTA = f"""
 """
 
 
+_HTML_WRAP_PRE = ("<html><head><style>p{color:red}</style>"
+                  "<script>var x = 1 &amp; 2;</script></head>"
+                  "<body><h1>Doc ")
+_HTML_WRAP_MID = "</h1><p>"
+_HTML_WRAP_POST = "</p><!-- trailing comment --></body></html>"
+
+
+def q_web_html_extract(spark, sf_dir):
+    """From-raw-crawl ingest hop: wrap each document's text in realistic
+    HTML boilerplate (script/style/comment payloads), ENCODE to the input
+    contract's binary html column, then strip back to text with the pure-
+    codegen htmltext.html_to_text chain — one projection, zero UDFs."""
+    from .htmltext import html_to_text
+
+    d = _docs(spark, sf_dir)
+    html_bin = F.encode(
+        F.concat(F.lit(_HTML_WRAP_PRE), F.col("doc_id").cast("string"),
+                 F.lit(_HTML_WRAP_MID), F.col("text"),
+                 F.lit(_HTML_WRAP_POST)),
+        "UTF-8")
+    return d.select("doc_id",
+                    html_to_text(html_bin).alias("extracted"))
+
+
+def _sql_web_html_extract() -> str:
+    from .htmltext import sql_html_to_text
+
+    wrapped = (f"'{_HTML_WRAP_PRE}' || doc_id || '{_HTML_WRAP_MID}' || "
+               f"text || '{_HTML_WRAP_POST}'")
+    return (f"SELECT doc_id, {sql_html_to_text(wrapped)} AS extracted "
+            f"FROM documents")
+
+
 def q_graph_pagerank(spark, sf_dir):
     """Fixed-iteration damped PageRank (graphrank.pagerank) over a
     deterministic link graph derived from the documents table, with
@@ -3499,6 +3532,7 @@ def extra_queries():
         "web_domain_mixture": q_web_domain_mixture,
         "web_crawl_delta": q_web_crawl_delta,
         "graph_pagerank": q_graph_pagerank,
+        "web_html_extract": q_web_html_extract,
     }
 
 
@@ -3527,4 +3561,5 @@ def extra_oracle_sql():
         "web_domain_mixture": _sql_web_domain_mixture(),
         "web_crawl_delta": SQL_WEB_CRAWL_DELTA,
         "graph_pagerank": _sql_graph_pagerank(),
+        "web_html_extract": _sql_web_html_extract(),
     }

@@ -1,0 +1,49 @@
+"""htmltext.html_to_text: rule-set cases + the synth self-consistency gate
+(synthetic pages wrap text in <pre> tags, so stripping must reproduce the
+whitespace-collapsed text byte-for-byte for every page)."""
+
+from pyspark.sql import Row, functions as F
+
+from outbreak_kg_spark.htmltext import html_to_text
+
+
+def _strip_one(spark, html: str) -> str:
+    df = spark.createDataFrame([Row(h=html.encode())], "h binary")
+    return df.select(html_to_text(F.col("h")).alias("t")).first()["t"]
+
+
+def test_rule_cases(spark):
+    cases = {
+        # script/style content dropped, not just tags
+        "<p>a</p><script type='x'>var s = '<b>not text</b>';</script>b":
+            "a b",
+        "<style>p { color: red }</style>hi": "hi",
+        # comments dropped; tags are soft separators
+        "a<!-- <p>gone</p> -->b": "a b",
+        "a<br>b": "a b",
+        # entity decode, &amp; last so double-escapes decode exactly once
+        "x &amp;lt; y &lt; z &nbsp;&quot;&#39;": "x &lt; y < z \"'",
+        # whitespace runs collapse, ends trim
+        "  a \t\n b  ": "a b",
+        # multi-line script blocks ((?s) coverage)
+        "<script>\nline1\nline2\n</script>ok": "ok",
+    }
+    for html, want in cases.items():
+        assert _strip_one(spark, html) == want, html
+
+
+def test_synth_pages_self_consistent(spark):
+    # the synthetic corpus generates html = <html><body><pre>text</pre>…;
+    # stripping the html must reproduce the collapsed text EXACTLY, for
+    # every page — the from-raw-crawl ingest and the text-column ingest
+    # agree on the synthetic corpus
+    from outbreak_kg_spark import synth
+
+    pages, _ = synth.frames_from_corpus(spark, synth.generate_corpus(120))
+    got = pages.select(
+        html_to_text(F.col("html")).alias("a"),
+        F.trim(F.regexp_replace(
+            F.col("text"), r"[ \t\n\r\f]+", " ")).alias("b"),
+    )
+    assert got.filter(F.col("a") != F.col("b")).count() == 0
+    assert got.count() > 0
