@@ -1,0 +1,77 @@
+"""WARC connector: synthetic ISO-28500 fixture bytes (plain + the
+multi-member gzip layout Common Crawl actually ships) -> page table rows,
+chained into the htmltext strip to prove the full raw-crawl ingest path."""
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from outbreak_kg_spark.htmltext import html_to_text
+from outbreak_kg_spark.warc import parse_warc_bytes, read_warc
+
+
+def _record(wtype: str, url: str, date: str, payload: bytes) -> bytes:
+    head = (f"WARC/1.0\r\n"
+            f"WARC-Type: {wtype}\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {date}\r\n"
+            f"Content-Length: {len(payload)}\r\n").encode()
+    return head + b"\r\n" + payload + b"\r\n\r\n"
+
+
+def _http(body: bytes) -> bytes:
+    return (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body)
+
+
+HTML_A = b"<html><body><p>alpha &amp; beta</p></body></html>"
+HTML_B = b"<html><body><script>x=1</script><p>gamma</p></body></html>"
+
+RECORDS = [
+    _record("request", "https://a.example/x", "2024-01-02T03:04:05Z",
+            b"GET /x HTTP/1.1\r\nHost: a.example\r\n\r\n"),
+    _record("response", "https://a.example/x", "2024-01-02T03:04:05Z",
+            _http(HTML_A)),
+    _record("metadata", "https://a.example/x", "2024-01-02T03:04:05Z",
+            b"fetchTimeMs: 12"),
+    _record("response", "https://b.example/y", "2024-06-07T08:09:10Z",
+            _http(HTML_B)),
+]
+
+
+def test_parse_plain_and_gzip_members():
+    plain = b"".join(RECORDS)
+    # CC layout: one gzip member per record, concatenated
+    gz = b"".join(gzip.compress(r) for r in RECORDS)
+    for raw in (plain, gz):
+        got = list(parse_warc_bytes(raw))
+        assert [u for u, _, _ in got] == ["https://a.example/x",
+                                          "https://b.example/y"]
+        assert got[0][2] == HTML_A  # HTTP headers stripped, body exact
+        assert got[1][2] == HTML_B
+        assert got[0][1] == "2024-01-02T03:04:05Z"
+
+
+def test_truncated_tail_tolerated():
+    raw = b"".join(RECORDS) + b"WARC/1.0\r\nWARC-Type: resp"  # cut mid-head
+    assert len(list(parse_warc_bytes(raw))) == 2
+
+
+def test_read_warc_to_page_table(spark, tmp_path):
+    (tmp_path / "a.warc").write_bytes(b"".join(RECORDS))
+    (tmp_path / "b.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in RECORDS))
+
+    df = read_warc(spark, str(tmp_path))
+    assert df.columns == ["url", "warc_ts", "html", "text", "lang"]
+    rows = sorted(df.collect(), key=lambda r: (r["url"], r["warc_ts"]))
+    assert len(rows) == 4  # 2 responses per file, request/metadata skipped
+    assert rows[0]["url"] == "https://a.example/x"
+    assert bytes(rows[0]["html"]) == HTML_A
+    assert rows[0]["warc_ts"].year == 2024
+    assert rows[0]["text"] is None and rows[0]["lang"] is None
+
+    # the full raw-crawl ingest: WARC -> html binary -> stripped text
+    stripped = {r["url"]: r["t"] for r in df.select(
+        "url", html_to_text(F.col("html")).alias("t")).distinct().collect()}
+    assert stripped["https://a.example/x"] == "alpha & beta"
+    assert stripped["https://b.example/y"] == "gamma"
