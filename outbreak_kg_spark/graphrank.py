@@ -60,7 +60,12 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     e_deg.count()
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
-    src_nodes = outdeg.select(F.col("src").alias("node"))
+    # persisted: the per-iteration dangling anti-join must probe a cached
+    # node set, not re-run the out-degree aggregation from the edge source
+    # ten times (at webgraph scale that is ten extra full edge scans)
+    src_nodes = (e_deg.select(F.col("src").alias("node"))
+                 .distinct().persist())
+    src_nodes.count()
     for i in range(iterations):
         # dangling mass: rank held by nodes with no out-edges, donated
         # uniformly. A 1-row frame cross-joined in — stays distributed.
@@ -86,4 +91,5 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
             ranks = ranks.localCheckpoint(eager=True)
     e_deg.unpersist()
     nodes.unpersist()
+    src_nodes.unpersist()
     return ranks
