@@ -53,6 +53,7 @@ HEADLINE = [
     "sample_pack_offsets",
     "web_url_canonical",
     "web_crawl_delta",
+    "web_html_extract",
 ]
 
 
