@@ -502,3 +502,59 @@ def contamination_flags(docs: DataFrame, benchmark: DataFrame,
             (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def line_dedup(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", min_docs: int = 5) -> DataFrame:
+    """Cross-document line-level dedup (RefinedWeb / CCNet boilerplate
+    strip): remove every line whose trimmed form appears in >= min_docs
+    DISTINCT documents — nav bars, cookie banners, copyright footers —
+    and reassemble each document's remaining lines in order.
+
+    Output: (doc_id, n_lines, n_kept, text_clean). Every input doc emits
+    a row; a doc whose lines are all boilerplate keeps n_kept=0 and
+    text_clean=''. Blank lines are never counted as boilerplate (they'd
+    otherwise always cross the threshold and merge adjacent paragraphs).
+
+    Scale shape (the reason this isn't a window function): lines explode
+    narrowly; the distinct-doc count per line is two cascaded hash aggs —
+    (line, doc) dedup with near-unique composite keys, then a count on
+    line hash whose hot keys (an empty nav line in 10^9 docs) compress in
+    the partial-agg stage — no single-key straggler. The strip itself is
+    a LEFT ANTI join against the over-threshold hash set: probe-side
+    skew is harmless in an anti join (no row expansion), and the build
+    side is bounded by the number of distinct boilerplate lines, not the
+    corpus. Reassembly is one agg keyed by doc (uniform). Hashing is
+    md5-48 style (engine-portable), so a DuckDB oracle can replay it."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("_k", F.md5(F.trim(F.col("line"))))
+    hot = (
+        lines.filter(F.trim("line") != "")
+        .select("_k", id_col).distinct()
+        .groupBy("_k").agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_docs)
+        .select("_k")
+    )
+    kept = lines.join(hot, "_k", "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text_clean"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        totals.join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_lines").cast("int").alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )

@@ -1671,6 +1671,64 @@ def _sql_web_html_extract() -> str:
             f"FROM documents")
 
 
+def q_web_line_dedup(spark, sf_dir):
+    """Cross-document boilerplate-line strip (dedup.line_dedup,
+    RefinedWeb/CCNet-style): lines whose trimmed form recurs in >=5
+    distinct documents are removed corpus-wide and the survivors are
+    reassembled in order. The word-soup base docs are single-line, so the
+    gate injects the web shape it exists for — a per-site nav header and
+    copyright footer (shared by the ~1/7 of docs on each site, far over
+    threshold) around two unique body chunks; the oracle replays the
+    identical construction."""
+    d = _docs(spark, sf_dir)
+    site = F.pmod("doc_id", F.lit(7)).cast("string")
+    lined = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("(c) site-"), site,
+                     F.lit(" nav home about contact")),
+            F.substring("text", 1, 80),
+            F.substring("text", 81, 80),
+            F.concat(F.lit("all rights reserved site-"), site),
+        ).alias("text"),
+    )
+    return dedup.line_dedup(lined, min_docs=5)
+
+
+def _sql_web_line_dedup() -> str:
+    return """
+        WITH base AS (
+            SELECT doc_id,
+                   '(c) site-' || (doc_id % 7) || ' nav home about contact'
+                   || chr(10) || substr(text, 1, 80)
+                   || chr(10) || substr(text, 81, 80)
+                   || chr(10) || 'all rights reserved site-' || (doc_id % 7)
+                     AS t
+            FROM documents),
+        l AS (
+            SELECT doc_id,
+                   unnest(string_split(t, chr(10))) AS line,
+                   unnest(range(0, len(string_split(t, chr(10))))) AS pos
+            FROM base),
+        k AS (SELECT doc_id, pos, line, md5(trim(line)) AS h FROM l),
+        hot AS (
+            SELECT h FROM (
+                SELECT h, count(DISTINCT doc_id) AS c
+                FROM k WHERE trim(line) <> '' GROUP BY h)
+            WHERE c >= 5),
+        kept AS (SELECT * FROM k WHERE h NOT IN (SELECT h FROM hot)),
+        agg AS (SELECT doc_id, count(*) AS n_kept,
+                       string_agg(line, chr(10) ORDER BY pos) AS text_clean
+                FROM kept GROUP BY doc_id),
+        tot AS (SELECT doc_id, count(*) AS n_lines FROM k GROUP BY doc_id)
+        SELECT tot.doc_id, tot.n_lines::INT AS n_lines,
+               coalesce(agg.n_kept, 0)::INT AS n_kept,
+               coalesce(agg.text_clean, '') AS text_clean
+        FROM tot LEFT JOIN agg USING (doc_id)
+    """
+
+
 def q_graph_pagerank(spark, sf_dir):
     """Fixed-iteration damped PageRank (graphrank.pagerank) over a
     deterministic link graph derived from the documents table, with
@@ -3533,6 +3591,7 @@ def extra_queries():
         "web_crawl_delta": q_web_crawl_delta,
         "graph_pagerank": q_graph_pagerank,
         "web_html_extract": q_web_html_extract,
+        "web_line_dedup": q_web_line_dedup,
     }
 
 
@@ -3562,4 +3621,5 @@ def extra_oracle_sql():
         "web_crawl_delta": SQL_WEB_CRAWL_DELTA,
         "graph_pagerank": _sql_graph_pagerank(),
         "web_html_extract": _sql_web_html_extract(),
+        "web_line_dedup": _sql_web_line_dedup(),
     }

@@ -526,3 +526,31 @@ def test_jaccard_pairs_fuzz_vs_reference(spark):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-12, (k, got[k], want[k])
+
+
+def test_line_dedup_cross_doc(spark):
+    # "NAV" recurs in 3 distinct docs (>= min_docs=3, with within-doc
+    # repeats in doc 4 counting once); "body N" lines are unique; blank
+    # lines sit under threshold protection; doc 4 is all-boilerplate.
+    rows = [
+        {"doc_id": 1, "text": "NAV\nbody 1a\n\nbody 1b"},
+        {"doc_id": 2, "text": "NAV\nbody 2a"},
+        {"doc_id": 3, "text": " NAV \nbody 3a"},  # trimmed form matches
+        {"doc_id": 4, "text": "NAV\nNAV"},
+    ]
+    out = {r.doc_id: r for r in
+           dedup.line_dedup(spark.createDataFrame(rows),
+                            min_docs=3).collect()}
+    assert len(out) == 4  # all-boilerplate doc still emits a row
+    assert (out[1].n_lines, out[1].n_kept) == (4, 3)
+    assert out[1].text_clean == "body 1a\n\nbody 1b"  # order + blank kept
+    assert out[2].text_clean == "body 2a"
+    assert out[3].text_clean == "body 3a"
+    assert (out[4].n_kept, out[4].text_clean) == (0, "")
+
+
+def test_line_dedup_blank_never_boilerplate(spark):
+    # blank lines recur everywhere but must never cross the threshold
+    rows = [{"doc_id": i, "text": f"u{i}\n\nv{i}"} for i in range(6)]
+    out = dedup.line_dedup(spark.createDataFrame(rows), min_docs=2)
+    assert all(r.n_kept == 3 for r in out.collect())
