@@ -521,11 +521,15 @@ def line_dedup(df: DataFrame, text_col: str = "text",
     (line, doc) dedup with near-unique composite keys, then a count on
     line hash whose hot keys (an empty nav line in 10^9 docs) compress in
     the partial-agg stage — no single-key straggler. The strip itself is
-    a LEFT ANTI join against the over-threshold hash set: probe-side
-    skew is harmless in an anti join (no row expansion), and the build
-    side is bounded by the number of distinct boilerplate lines, not the
-    corpus. Reassembly is one agg keyed by doc (uniform). Hashing is
-    md5-48 style (engine-portable), so a DuckDB oracle can replay it."""
+    a LEFT join against the over-threshold hash set (kept rows have a
+    null mark): probe-side skew is harmless when the build side's keys
+    are unique (no row expansion), and the build side is bounded by the
+    number of distinct boilerplate lines, not the corpus. Marking
+    instead of anti-joining lets ONE reassembly agg produce n_lines,
+    n_kept, and text_clean together — two corpus scans total (the
+    count pass is inherent to any two-pass threshold), no separate
+    totals join. Hashing is md5-48 style (engine-portable), so a DuckDB
+    oracle can replay it."""
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
@@ -535,26 +539,23 @@ def line_dedup(df: DataFrame, text_col: str = "text",
         .select("_k", id_col).distinct()
         .groupBy("_k").agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") >= min_docs)
-        .select("_k")
+        .select("_k", F.lit(True).alias("_hot"))
     )
-    kept = lines.join(hot, "_k", "left_anti")
-    reassembled = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_kept"),
+    marked = lines.join(hot, "_k", "left")
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_lines"),
+        F.count(F.when(F.col("_hot").isNull(), F.lit(1)))
+        .cast("int").alias("n_kept"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "line", "_hot"))
+                    ),
+                    lambda s: s["_hot"].isNull(),
+                ),
                 lambda s: s["line"],
             ),
             "\n",
         ).alias("text_clean"),
-    )
-    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
-    return (
-        totals.join(reassembled, id_col, "left")
-        .select(
-            id_col,
-            F.col("n_lines").cast("int").alias("n_lines"),
-            F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
-            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
-        )
     )
