@@ -63,9 +63,20 @@ def curate_corpus(
     bands: int = 4,
     shingle_n: int = 2,
     max_bucket_size: int | None = 256,
+    line_dedup_min_docs: int | None = None,
 ) -> DataFrame:
     """One row per input doc: (id, lang_pred, quality_score, drop_stage,
     keep). See module docstring for stage semantics.
+
+    line_dedup_min_docs (default None = off) switches on a stage-0 text
+    TRANSFORM before any filter: cross-document boilerplate-line strip
+    (dedup.line_dedup) — the RefinedWeb/CCNet ordering, where line-wise
+    correction precedes quality scoring so nav/footer lines can't prop up
+    (or sink) a doc's quality signals, and a doc reduced to nothing by
+    the strip falls out at the lang/quality stages like any other empty
+    doc. It transforms text, never drops rows, so drop-stage attribution
+    is unchanged in shape; downstream stages (incl. exact/near dedup)
+    see the cleaned text.
 
     max_bucket_size (default 256) caps degenerate LSH buckets in the
     near-dup stage: a web corpus's boilerplate pages form million-doc
@@ -74,6 +85,10 @@ def curate_corpus(
     candidate STAR that still passes the Jaccard verify (see
     dedup._bucket_pairs), so small-scale results are identical and a
     false LSH collision never merges unverified."""
+    if line_dedup_min_docs is not None:
+        df = dedup.line_dedup(
+            df, text_col, id_col, min_docs=line_dedup_min_docs
+        ).select(id_col, F.col("text_clean").alias(text_col))
     # stage the token list once (textstats.tokens_col): the lang votes and
     # the quality gate would otherwise re-tokenize every doc ~5x (codegen
     # subexpression elimination skips lambda-bearing expressions); the

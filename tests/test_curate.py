@@ -70,3 +70,34 @@ def test_lang_gate_respects_langs_param(spark):
     # dropped at the near-dup stage instead (4 is the min-id canonical)
     assert rows[4].drop_stage is None and rows[4].keep
     assert rows[6].drop_stage == "near_dup"
+
+
+def test_line_dedup_pre_stage(spark):
+    # Stage-0 boilerplate strip (line_dedup_min_docs): the shared nav
+    # line is removed before any filter, so (a) a boilerplate-only doc
+    # empties out and drops at quality like any empty doc, and (b) two
+    # docs identical except for their nav lines become EXACT duplicates
+    # after the strip. An emptied doc votes no language -> 'und' -> drops
+    # at the lang stage.
+    nav_a = "HOME | ABOUT | CONTACT"
+    rows = [
+        (1, f"{nav_a}\n{EN}"),
+        (2, f" {nav_a} \n{EN}"),   # trimmed nav matches; body identical
+        (3, f"{nav_a}\n{EN[:-25]}"),
+        (4, nav_a),                # boilerplate-only
+    ]
+    out = curate_corpus(spark.createDataFrame(rows, ["doc_id", "text"]),
+                        min_quality=0.7, neardup_threshold=0.3,
+                        num_hashes=8, bands=4, shingle_n=2,
+                        line_dedup_min_docs=3)
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[1].keep and got[1].drop_stage is None
+    assert got[2].drop_stage == "exact_dup"  # nav stripped -> exact dup of 1
+    assert got[3].drop_stage == "near_dup"
+    assert got[4].drop_stage == "lang"       # emptied by the strip
+    # off by default: without the strip, 2 differs from 1 (nav padding)
+    off = curate_corpus(spark.createDataFrame(rows, ["doc_id", "text"]),
+                        min_quality=0.7, neardup_threshold=0.3,
+                        num_hashes=8, bands=4, shingle_n=2)
+    got_off = {r.doc_id: r for r in off.collect()}
+    assert got_off[2].drop_stage != "exact_dup"
