@@ -181,3 +181,21 @@ def test_signals_tokenize_once(spark):
         assert plan.count("split(lower(") == 1, plan
         assert "Exchange" not in df._jdf.queryExecution(
         ).executedPlan().toString()
+
+
+def test_line_dedup_two_scans_one_join_no_python(spark):
+    """line_dedup's claimed shape: exactly TWO corpus scans (the count
+    pass is inherent to a two-pass threshold; the totals join was fused
+    into the reassembly agg), exactly one join (the hot-set mark), the
+    hot-set count as partial+final cascaded aggs, and zero Python UDFs
+    anywhere."""
+    from outbreak_kg_spark import dedup
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    plan = _plan(dedup.line_dedup(d))
+    assert plan.count("Scan parquet") // 2 == 2  # tree + detail sections
+    joins = re.findall(r"\(\d+\) (?:BroadcastHash|SortMerge|ShuffledHash)Join",
+                       plan)
+    assert len(joins) == 1
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
