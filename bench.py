@@ -54,6 +54,7 @@ HEADLINE = [
     "web_url_canonical",
     "web_crawl_delta",
     "web_html_extract",
+    "web_line_dedup",
 ]
 
 
