@@ -1671,6 +1671,60 @@ def _sql_web_html_extract() -> str:
             f"FROM documents")
 
 
+_QW_BUCKETS = 64
+
+
+def q_text_quality_classifier(spark, sf_dir):
+    """CCNet-style hashed linear quality classifier
+    (textstats.hashed_linear_score): fastText's architecture — sigmoid of
+    bias + mean of weights[md5-48(ngram) % D] over (1,2)-gram features —
+    as one codegen projection with the weight vector as a plan literal.
+    Deterministic demo weights stand in for an offline-trained model; the
+    oracle replays the identical hashing, weights, and mean in DuckDB.
+    Score rounded to 6 (sigma differs only in the last ulp between
+    libm implementations)."""
+    w = textstats.demo_classifier_weights(_QW_BUCKETS)
+    out = textstats.hashed_linear_score(
+        _docs(spark, sf_dir), weights=w, bias=-0.1)
+    return out.select(
+        "doc_id", "n_features", F.round("score", 6).alias("score_r"))
+
+
+def _sql_text_quality_classifier() -> str:
+    w = textstats.demo_classifier_weights(_QW_BUCKETS)
+    wlit = "[" + ", ".join(repr(x) for x in w) + "]"
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '),
+                               x -> x <> '') AS toks
+            FROM documents),
+        f AS (
+            SELECT doc_id,
+                   list_concat(
+                       list_transform(toks, t ->
+                           ('0x' || substr(md5('u:' || t), 1, 12))::BIGINT
+                           % {_QW_BUCKETS}),
+                       list_transform(range(1, len(toks)), i ->
+                           ('0x' || substr(md5('b:' || toks[i] || ' '
+                                               || toks[i + 1]), 1, 12))
+                           ::BIGINT % {_QW_BUCKETS})
+                   ) AS feats
+            FROM base),
+        s AS (
+            SELECT doc_id, len(feats)::INT AS n_features,
+                   -0.1 + coalesce(
+                       list_aggregate(
+                           list_transform(feats, b -> ({wlit})[b + 1]),
+                           'sum'),
+                       0.0) / greatest(len(feats), 1) AS z
+            FROM f)
+        SELECT doc_id, n_features,
+               round(1.0 / (1.0 + exp(-z)), 6) AS score_r
+        FROM s
+    """
+
+
 def q_web_line_dedup(spark, sf_dir):
     """Cross-document boilerplate-line strip (dedup.line_dedup,
     RefinedWeb/CCNet-style): lines whose trimmed form recurs in >=5
@@ -3592,6 +3646,7 @@ def extra_queries():
         "graph_pagerank": q_graph_pagerank,
         "web_html_extract": q_web_html_extract,
         "web_line_dedup": q_web_line_dedup,
+        "text_quality_classifier": q_text_quality_classifier,
     }
 
 
@@ -3622,4 +3677,5 @@ def extra_oracle_sql():
         "graph_pagerank": _sql_graph_pagerank(),
         "web_html_extract": _sql_web_html_extract(),
         "web_line_dedup": _sql_web_line_dedup(),
+        "text_quality_classifier": _sql_text_quality_classifier(),
     }

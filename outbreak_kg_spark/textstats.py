@@ -497,3 +497,120 @@ def unigram_surprisal(df: DataFrame, text_col: str = "text",
         F.avg("_s").alias("mean_surprisal"),
         F.max("_s").alias("max_surprisal"),
     )
+
+
+def demo_classifier_weights(n_buckets: int = 64,
+                            seed: str = "qw-v1") -> list[float]:
+    """Deterministic placeholder weights in [-0.5, 0.5) for the hashed
+    linear classifier — md5-derived so tests and cross-engine oracles
+    reproduce them exactly. Real deployments train offline (fastText /
+    logistic regression on labeled pages) and pass the learned vector."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:12], 16)
+        / float(1 << 48) - 0.5
+        for i in range(n_buckets)
+    ]
+
+
+def _hashed_feature_buckets(toks, n_buckets: int):
+    """array<long> of hashed 1-gram + 2-gram feature buckets (md5-48 mod
+    n_buckets, engine-portable; 'u:'/'b:' prefixes keep the two feature
+    spaces from aliasing)."""
+    def bucket(s):
+        return F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
+            F.lit(n_buckets),
+        )
+
+    n_toks = F.size(toks)
+    uni = F.transform(toks, lambda t: bucket(F.concat(F.lit("u:"), t)))
+    bi = F.when(
+        n_toks >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n_toks - 2),
+            lambda i: bucket(
+                F.concat(
+                    F.lit("b:"),
+                    F.array_join(F.slice(toks, i + F.lit(1), F.lit(2)), " "),
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return F.concat(uni, bi)
+
+
+def hashed_linear_score(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", *,
+                        weights: list[float], bias: float = 0.0,
+                        toks=None) -> DataFrame:
+    """CCNet-style quality classifier: fastText's architecture — a linear
+    model over hashed bag-of-ngram features, sigmoid output — as ONE
+    codegen projection. z = bias + mean over (1,2)-gram feature buckets
+    of weights[bucket]; score = sigmoid(z). Output: (id, n_features,
+    score).
+
+    The weight vector rides the plan as an array literal, so this path
+    is for bucket counts up to the tens of thousands (a 2^16 float array
+    is ~0.5 MB of plan — fine; fastText's default 2M-bucket hash table
+    is not: use hashed_linear_score_join, same result, for that). Zero
+    exchanges, zero Python: at 10^12 docs this scores at scan speed,
+    which is exactly why CCNet/GPT-3-class pipelines put this filter
+    before anything quadratic."""
+    toks = tokens_col(text_col) if toks is None else toks
+    feats = _hashed_feature_buckets(toks, len(weights))
+    warr = F.array(*[F.lit(float(w)) for w in weights])
+    pre = df.select(
+        id_col, F.col(text_col), feats.alias("_feats")
+    )
+    n_feats = F.size("_feats")
+    z = F.lit(float(bias)) + F.aggregate(
+        F.col("_feats"),
+        F.lit(0.0),
+        lambda acc, b: acc + F.element_at(warr, (b + 1).cast("int")),
+    ) / F.greatest(n_feats, F.lit(1))
+    return pre.select(
+        id_col,
+        n_feats.alias("n_features"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("score"),
+    )
+
+
+def hashed_linear_score_join(df: DataFrame, weights_df: DataFrame,
+                             text_col: str = "text",
+                             id_col: str = "doc_id", *,
+                             n_buckets: int, bias: float = 0.0) -> DataFrame:
+    """hashed_linear_score for vocabulary-scale weight tables (fastText's
+    default 2M buckets): weights live in a (bucket, weight) DataFrame
+    instead of a plan literal. Explode features -> broadcast-join the
+    weight dim -> per-doc sum — ONE exchange (the per-doc agg), and the
+    weight table ships once per executor. weights_df must cover every
+    bucket in [0, n_buckets) (a trained model's table does). Scores
+    equal the literal path up to float-sum reassociation — the shuffle
+    sums in partition order, the literal path in array order
+    (property-tested at 1e-12)."""
+    toks = tokens_col(text_col)
+    feats = _hashed_feature_buckets(toks, n_buckets)
+    base = df.select(id_col, feats.alias("_feats"))
+    exploded = base.select(
+        id_col, F.explode("_feats").alias("bucket")
+    )
+    per_doc = (
+        exploded.join(F.broadcast(weights_df), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("weight").alias("_wsum"), F.count(F.lit(1)).alias("_n"))
+    )
+    z = F.lit(float(bias)) + (
+        F.coalesce("_wsum", F.lit(0.0))
+        / F.greatest(F.coalesce("_n", F.lit(0)), F.lit(1))
+    )
+    return (
+        base.select(id_col, F.size("_feats").alias("n_features"))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_features",
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("score"),
+        )
+    )

@@ -554,3 +554,50 @@ def test_line_dedup_blank_never_boilerplate(spark):
     rows = [{"doc_id": i, "text": f"u{i}\n\nv{i}"} for i in range(6)]
     out = dedup.line_dedup(spark.createDataFrame(rows), min_docs=2)
     assert all(r.n_kept == 3 for r in out.collect())
+
+
+def test_hashed_linear_score_matches_python_reference(spark):
+    import hashlib
+    import math
+
+    w = textstats.demo_classifier_weights(16, seed="t-v1")
+    bias = 0.25
+    rows = [{"doc_id": 1, "text": "Alpha beta gamma"},
+            {"doc_id": 2, "text": "solo"},
+            {"doc_id": 3, "text": ""}]
+    got = {r.doc_id: r for r in textstats.hashed_linear_score(
+        spark.createDataFrame(rows), weights=w, bias=bias).collect()}
+
+    def bucket(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16) % 16
+
+    def ref(text):
+        toks = [t for t in text.lower().split() if t]
+        feats = [bucket(f"u:{t}") for t in toks] + [
+            bucket(f"b:{toks[i]} {toks[i + 1]}")
+            for i in range(len(toks) - 1)]
+        z = bias + sum(w[b] for b in feats) / max(len(feats), 1)
+        return len(feats), 1.0 / (1.0 + math.exp(-z))
+
+    for doc_id, text in [(1, "Alpha beta gamma"), (2, "solo"), (3, "")]:
+        n, s = ref(text)
+        assert got[doc_id].n_features == n
+        assert got[doc_id].score == pytest.approx(s, abs=1e-12)
+    assert got[3].n_features == 0  # empty doc scores sigmoid(bias)
+
+
+def test_hashed_linear_score_join_path_agrees(spark):
+    n_buckets = 32
+    w = textstats.demo_classifier_weights(n_buckets)
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(100)
+    lit_scores = {r.doc_id: r.score for r in textstats.hashed_linear_score(
+        docs, weights=w, bias=-0.1).collect()}
+    wdf = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(w)], ["bucket", "weight"])
+    join_scores = {r.doc_id: r.score
+                   for r in textstats.hashed_linear_score_join(
+                       docs, wdf, n_buckets=n_buckets, bias=-0.1).collect()}
+    assert set(lit_scores) == set(join_scores)
+    for k in lit_scores:
+        assert join_scores[k] == pytest.approx(lit_scores[k], abs=1e-12)
