@@ -1671,6 +1671,69 @@ def _sql_web_html_extract() -> str:
             f"FROM documents")
 
 
+def q_web_link_graph(spark, sf_dir):
+    """Outlink extraction (weburl.extract_links): deterministic HTML with
+    one absolute cross-site href, one single-quoted root-relative href,
+    one protocol-relative CDN href, and one mailto (dropped), encoded to
+    the input contract's binary html column — 3 resolved canonical edges
+    per page, zero exchanges. The injected URLs are already canonical, so
+    canonical_url is identity on them (idempotence is property-tested in
+    test_weburl); the oracle replays extraction + resolution verbatim."""
+    d = _docs(spark, sf_dir)
+    site = F.pmod("doc_id", F.lit(7)).cast("string")
+    nxt = F.pmod(F.col("doc_id") + 1, F.lit(7)).cast("string")
+    cdn = F.pmod("doc_id", F.lit(3)).cast("string")
+    html = F.concat(
+        F.lit('<html><body><a href="https://site-'), nxt,
+        F.lit(".example/p/"), F.pmod("doc_id", F.lit(50)).cast("string"),
+        F.lit('">x</a> <a href=\'/about\'>y</a> '),
+        F.lit('<a href="mailto:a@b.example">skip</a> '),
+        F.lit('<a href="//cdn-'), cdn, F.lit('.example/lib.js">z</a> '),
+        F.col("text"), F.lit("</body></html>"),
+    )
+    url = F.concat(F.lit("https://site-"), site, F.lit(".example/d/"),
+                   F.col("doc_id").cast("string"))
+    pages = d.select("doc_id", url.alias("url"),
+                     F.encode(html, "UTF-8").alias("html"))
+    return weburl.extract_links(pages, id_col="doc_id")
+
+
+def _sql_web_link_graph() -> str:
+    return """
+        WITH base AS (
+            SELECT doc_id,
+                   'https://site-' || (doc_id % 7) || '.example/d/'
+                     || doc_id AS src,
+                   '<html><body><a href="https://site-'
+                     || ((doc_id + 1) % 7) || '.example/p/'
+                     || (doc_id % 50)
+                     || '">x</a> <a href=''/about''>y</a> '
+                     || '<a href="mailto:a@b.example">skip</a> '
+                     || '<a href="//cdn-' || (doc_id % 3)
+                     || '.example/lib.js">z</a> '
+                     || text || '</body></html>' AS html
+            FROM documents),
+        l AS (
+            SELECT doc_id, src,
+                   unnest(list_concat(
+                       regexp_extract_all(html, 'href="([^"]*)"', 1),
+                       regexp_extract_all(html,
+                                          'href=''([^'']*)''', 1))) AS lnk
+            FROM base),
+        r AS (
+            SELECT doc_id, src,
+                   CASE WHEN lnk LIKE 'http://%'
+                             OR lnk LIKE 'https://%' THEN lnk
+                        WHEN lnk LIKE '//%' THEN 'https:' || lnk
+                        WHEN lnk LIKE '/%' THEN
+                            'https://site-' || (doc_id % 7)
+                            || '.example' || lnk
+                        ELSE NULL END AS dst
+            FROM l)
+        SELECT doc_id, src, dst FROM r WHERE dst IS NOT NULL
+    """
+
+
 _QW_BUCKETS = 64
 
 
@@ -3647,6 +3710,7 @@ def extra_queries():
         "web_html_extract": q_web_html_extract,
         "web_line_dedup": q_web_line_dedup,
         "text_quality_classifier": q_text_quality_classifier,
+        "web_link_graph": q_web_link_graph,
     }
 
 
@@ -3678,4 +3742,5 @@ def extra_oracle_sql():
         "web_html_extract": _sql_web_html_extract(),
         "web_line_dedup": _sql_web_line_dedup(),
         "text_quality_classifier": _sql_text_quality_classifier(),
+        "web_link_graph": _sql_web_link_graph(),
     }

@@ -158,3 +158,51 @@ def domain_mixture(df: DataFrame, domain_col: str, tok_col: str,
     per = per.withColumn("_w", F.pow("share", F.lit(float(temperature))))
     per = per.withColumn("weight", F.col("_w") / F.sum("_w").over(whole))
     return per.drop("_tot", "_w")
+
+
+def extract_links(df: DataFrame, html_col: str = "html",
+                  url_col: str = "url", id_col: str | None = None,
+                  canonicalize: bool = True) -> DataFrame:
+    """Outlink extraction from raw HTML: one row per (src, dst) link —
+    the web-graph construction hop between the page table and
+    graphrank.pagerank (rank domains -> spend the crawl_delta recrawl
+    budget where it matters).
+
+    Hrefs in either quote style are taken from anchor attributes;
+    absolute ``http(s)://``, protocol-relative ``//host/...`` and
+    root-relative ``/path`` forms are resolved against the source URL's
+    scheme+host; everything else (dot-relative, bare-relative, mailto:,
+    javascript:, pure fragments) is dropped — full RFC 3986 merge needs
+    stateful path surgery that doesn't fit a codegen expression, and
+    absolute + root-relative dominate crawl link mass. With
+    ``canonicalize`` both endpoints go through canonical_url so the graph
+    keys match the page table's.
+
+    Scale shape: binary->string cast, two regexp_extract_all, one narrow
+    explode — NO exchange; pagerank's contribution join is the first
+    wide op downstream. Binary html decodes via the string cast (UTF-8),
+    same as htmltext.html_to_text."""
+    html_s = F.col(html_col).cast("string")
+    hrefs = F.concat(
+        F.regexp_extract_all(html_s, F.lit(r'href="([^"]*)"'), 1),
+        F.regexp_extract_all(html_s, F.lit(r"href='([^']*)'"), 1),
+    )
+    lead = [F.col(id_col)] if id_col else []
+    ex = df.select(*lead, F.col(url_col).alias("src"),
+                   F.explode(hrefs).alias("_l"))
+    l, s = F.col("_l"), F.col("src")
+    scheme, host = url_scheme(s), url_host(s, strip_www=False)
+    dst = (
+        F.when(l.rlike(r"^https?://"), l)
+        .when(l.startswith("//"), F.concat(scheme, F.lit(":"), l))
+        .when(l.startswith("/"), F.concat(scheme, F.lit("://"), host, l))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    if canonicalize:
+        src_out, dst_out = canonical_url(s), canonical_url(dst)
+    else:
+        src_out, dst_out = s, dst
+    return (
+        ex.select(*lead, src_out.alias("src"), dst_out.alias("dst"))
+        .filter(F.col("dst").isNotNull())
+    )

@@ -155,3 +155,45 @@ def test_domain_mixture_rejects_bad_temperature(mixture_input):
     with pytest.raises(ValueError):
         weburl.domain_mixture(mixture_input, "domain", "n_tok",
                               temperature=0.0)
+
+
+def test_extract_links_resolution_rules(spark):
+    html = ('<a href="https://Other.com/A?utm_source=x&b=1">abs</a>'
+            "<a href='/rel/path'>root-rel</a>"
+            '<a href="//cdn.example/x.js">proto-rel</a>'
+            '<a href="mailto:a@b">no</a>'
+            '<a href="javascript:void(0)">no</a>'
+            '<a href="../up">no</a>'
+            '<a href="bare.html">no</a>')
+    rows = [(1, "http://www.Site.example:80/d/1?utm_campaign=z", html)]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "html"]) \
+        .withColumn("html", F.encode("html", "UTF-8"))
+    got = weburl.extract_links(df, id_col="doc_id").collect()
+    dsts = sorted(r.dst for r in got)
+    # src canonicalized (www/port/tracking stripped), root-relative
+    # resolves against the RAW host (www kept) then canonicalizes to the
+    # same site key; scheme of the source carries to // and / forms
+    assert all(r.src == "http://site.example/d/1" for r in got)
+    assert dsts == [
+        "http://cdn.example/x.js",
+        "http://site.example/rel/path",
+        "https://other.com/A?b=1",
+    ]
+
+
+def test_extract_links_feed_pagerank(spark):
+    """The web-graph loop composes: pages -> links -> domain edges ->
+    pagerank, with rank mass flowing to the linked-to domain."""
+    from outbreak_kg_spark.graphrank import pagerank
+
+    rows = [(i,
+             f"https://site-{i % 3}.example/d/{i}",
+             f'<a href="https://hub.example/p/{i}">x</a>') for i in range(9)]
+    pages = spark.createDataFrame(rows, ["doc_id", "url", "html"])
+    links = weburl.extract_links(pages, id_col="doc_id")
+    edges = links.select(
+        weburl.registered_domain(weburl.url_host(F.col("src"))).alias("src"),
+        weburl.registered_domain(weburl.url_host(F.col("dst"))).alias("dst"),
+    )
+    ranks = {r.node: r.rank for r in pagerank(edges, iterations=5).collect()}
+    assert ranks["hub.example"] == max(ranks.values())
