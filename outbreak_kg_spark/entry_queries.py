@@ -1674,17 +1674,20 @@ def _sql_web_html_extract() -> str:
 def q_web_link_graph(spark, sf_dir):
     """Outlink extraction (weburl.extract_links): deterministic HTML with
     one absolute cross-site href, one single-quoted root-relative href,
-    one protocol-relative CDN href, and one mailto (dropped), encoded to
-    the input contract's binary html column — 3 resolved canonical edges
-    per page, zero exchanges. The injected URLs are already canonical, so
-    canonical_url is identity on them (idempotence is property-tested in
-    test_weburl); the oracle replays extraction + resolution verbatim."""
+    one protocol-relative CDN href, one mailto (dropped at resolution),
+    and one <link rel=stylesheet> (dropped by the <a>-tag scoping — a
+    bare href scan would emit it), encoded to the input contract's binary
+    html column — 3 resolved canonical edges per page, zero exchanges.
+    The injected URLs are already canonical, so canonical_url is identity
+    on them (idempotence is property-tested in test_weburl); the oracle
+    replays the tag-scoped extraction + resolution verbatim."""
     d = _docs(spark, sf_dir)
     site = F.pmod("doc_id", F.lit(7)).cast("string")
     nxt = F.pmod(F.col("doc_id") + 1, F.lit(7)).cast("string")
     cdn = F.pmod("doc_id", F.lit(3)).cast("string")
     html = F.concat(
-        F.lit('<html><body><a href="https://site-'), nxt,
+        F.lit('<html><head><link rel="stylesheet" href="/style.css">'
+              '</head><body><a href="https://site-'), nxt,
         F.lit(".example/p/"), F.pmod("doc_id", F.lit(50)).cast("string"),
         F.lit('">x</a> <a href=\'/about\'>y</a> '),
         F.lit('<a href="mailto:a@b.example">skip</a> '),
@@ -1704,7 +1707,8 @@ def _sql_web_link_graph() -> str:
             SELECT doc_id,
                    'https://site-' || (doc_id % 7) || '.example/d/'
                      || doc_id AS src,
-                   '<html><body><a href="https://site-'
+                   '<html><head><link rel="stylesheet" href="/style.css">'
+                     || '</head><body><a href="https://site-'
                      || ((doc_id + 1) % 7) || '.example/p/'
                      || (doc_id % 50)
                      || '">x</a> <a href=''/about''>y</a> '
@@ -1713,13 +1717,21 @@ def _sql_web_link_graph() -> str:
                      || '.example/lib.js">z</a> '
                      || text || '</body></html>' AS html
             FROM documents),
+        e AS (
+            SELECT doc_id, src,
+                   unnest(regexp_extract_all(
+                       html, '(?i)(<a\\b[^>]*>[^<]*)', 1)) AS el
+            FROM base),
         l AS (
             SELECT doc_id, src,
-                   unnest(list_concat(
-                       regexp_extract_all(html, 'href="([^"]*)"', 1),
-                       regexp_extract_all(html,
-                                          'href=''([^'']*)''', 1))) AS lnk
-            FROM base),
+                   CASE WHEN regexp_extract(el,
+                            '(?i)href\\s*=\\s*"([^"]*)"', 1) <> ''
+                        THEN regexp_extract(el,
+                            '(?i)href\\s*=\\s*"([^"]*)"', 1)
+                        ELSE regexp_extract(el,
+                            '(?i)href\\s*=\\s*''([^'']*)''', 1)
+                   END AS lnk
+            FROM e),
         r AS (
             SELECT doc_id, src,
                    CASE WHEN lnk LIKE 'http://%'

@@ -162,35 +162,59 @@ def domain_mixture(df: DataFrame, domain_col: str, tok_col: str,
 
 def extract_links(df: DataFrame, html_col: str = "html",
                   url_col: str = "url", id_col: str | None = None,
-                  canonicalize: bool = True) -> DataFrame:
+                  canonicalize: bool = True,
+                  with_anchor_text: bool = False) -> DataFrame:
     """Outlink extraction from raw HTML: one row per (src, dst) link —
     the web-graph construction hop between the page table and
     graphrank.pagerank (rank domains -> spend the crawl_delta recrawl
     budget where it matters).
 
-    Hrefs in either quote style are taken from anchor attributes;
-    absolute ``http(s)://``, protocol-relative ``//host/...`` and
-    root-relative ``/path`` forms are resolved against the source URL's
-    scheme+host; everything else (dot-relative, bare-relative, mailto:,
-    javascript:, pure fragments) is dropped — full RFC 3986 merge needs
-    stateful path surgery that doesn't fit a codegen expression, and
-    absolute + root-relative dominate crawl link mass. With
-    ``canonicalize`` both endpoints go through canonical_url so the graph
-    keys match the page table's.
+    Extraction is scoped to ``<a>`` tags — a bare href scan would also
+    sweep up ``<link rel=stylesheet>``/``<base>``/``<area>`` hrefs, and
+    at crawl scale the stylesheet edges alone would dwarf the real link
+    graph. Hrefs in either quote style; absolute ``http(s)://``,
+    protocol-relative ``//host/...`` and root-relative ``/path`` forms
+    are resolved against the source URL's scheme+host; everything else
+    (dot-relative, bare-relative, mailto:, javascript:, pure fragments)
+    is dropped — full RFC 3986 merge needs stateful path surgery that
+    doesn't fit a codegen expression, and absolute + root-relative
+    dominate crawl link mass. With ``canonicalize`` both endpoints go
+    through canonical_url so the graph keys match the page table's.
 
-    Scale shape: binary->string cast, two regexp_extract_all, one narrow
-    explode — NO exchange; pagerank's contribution join is the first
-    wide op downstream. Binary html decodes via the string cast (UTF-8),
-    same as htmltext.html_to_text."""
+    ``with_anchor_text`` adds the link's immediate text node as an
+    ``anchor`` column (trimmed; '' when the anchor wraps markup, e.g. an
+    image link) — the entity-linking / alias signal a KG built from the
+    web mines from anchors.
+
+    Scale shape: binary->string cast, one regexp_extract_all over
+    ``<a>`` tags, per-element scalar regexps inside a transform, one
+    narrow explode — NO exchange; pagerank's contribution join is the
+    first wide op downstream. Binary html decodes via the string cast
+    (UTF-8), same as htmltext.html_to_text."""
     html_s = F.col(html_col).cast("string")
-    hrefs = F.concat(
-        F.regexp_extract_all(html_s, F.lit(r'href="([^"]*)"'), 1),
-        F.regexp_extract_all(html_s, F.lit(r"href='([^']*)'"), 1),
+    # each match: the <a ...> opening tag plus its immediate text node
+    elems = F.regexp_extract_all(
+        html_s, F.lit(r"(?i)(<a\b[^>]*>[^<]*)"), 1)
+
+    def _href(e):
+        dq = F.regexp_extract(e, r'(?i)href\s*=\s*"([^"]*)"', 1)
+        sq = F.regexp_extract(e, r"(?i)href\s*=\s*'([^']*)'", 1)
+        return F.when(dq != "", dq).otherwise(sq)
+
+    pairs = F.filter(
+        F.transform(
+            elems,
+            lambda e: F.struct(
+                _href(e).alias("href"),
+                F.trim(F.regexp_extract(e, r">([^<]*)$", 1)).alias("anchor"),
+            ),
+        ),
+        lambda p: p["href"] != "",
     )
     lead = [F.col(id_col)] if id_col else []
     ex = df.select(*lead, F.col(url_col).alias("src"),
-                   F.explode(hrefs).alias("_l"))
-    l, s = F.col("_l"), F.col("src")
+                   F.explode(pairs).alias("_p"))
+    l, s = F.col("_p.href"), F.col("src")
     scheme, host = url_scheme(s), url_host(s, strip_www=False)
     dst = (
         F.when(l.rlike(r"^https?://"), l)
@@ -202,7 +226,8 @@ def extract_links(df: DataFrame, html_col: str = "html",
         src_out, dst_out = canonical_url(s), canonical_url(dst)
     else:
         src_out, dst_out = s, dst
+    tail = [F.col("_p.anchor").alias("anchor")] if with_anchor_text else []
     return (
-        ex.select(*lead, src_out.alias("src"), dst_out.alias("dst"))
+        ex.select(*lead, src_out.alias("src"), dst_out.alias("dst"), *tail)
         .filter(F.col("dst").isNotNull())
     )

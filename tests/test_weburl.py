@@ -197,3 +197,21 @@ def test_extract_links_feed_pagerank(spark):
     )
     ranks = {r.node: r.rank for r in pagerank(edges, iterations=5).collect()}
     assert ranks["hub.example"] == max(ranks.values())
+
+
+def test_extract_links_anchor_scope_and_text(spark):
+    html = ('<head><link rel="stylesheet" href="/style.css">'
+            '<base href="https://cdn.example/"></head>'
+            '<A HREF="https://x.example/a">Anchor Text </A>'
+            '<a class="nav" href="/img"><img src="/i.png"></a>'
+            '<a name="no-href">plain</a>')
+    rows = [(1, "https://site.example/d/1", html)]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "html"])
+    got = weburl.extract_links(df, id_col="doc_id",
+                               with_anchor_text=True).collect()
+    by_dst = {r.dst: r.anchor for r in got}
+    # <link>/<base> hrefs excluded (stylesheet edges would dwarf the real
+    # graph); case-insensitive <A>; img-anchor kept with '' anchor text;
+    # href-less <a> dropped
+    assert by_dst == {"https://x.example/a": "Anchor Text",
+                      "https://site.example/img": ""}
