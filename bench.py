@@ -55,6 +55,8 @@ HEADLINE = [
     "web_crawl_delta",
     "web_html_extract",
     "web_line_dedup",
+    "text_quality_classifier",
+    "web_link_graph",
 ]
 
 

@@ -557,13 +557,19 @@ def hashed_linear_score(df: DataFrame, text_col: str = "text",
     is not: use hashed_linear_score_join, same result, for that). Zero
     exchanges, zero Python: at 10^12 docs this scores at scan speed,
     which is exactly why CCNet/GPT-3-class pipelines put this filter
-    before anything quadratic."""
+    before anything quadratic.
+
+    The token array is staged as a column BEFORE the feature expression:
+    tokens_col carries a lambda, which codegen's subexpression
+    elimination skips, and the bigram builder references the array once
+    per element — inlined, that re-tokenizes the doc O(tokens) times
+    (measured 5x wall on the classifier gate; same staging rule as
+    minhash_sig_array and signals())."""
     toks = tokens_col(text_col) if toks is None else toks
-    feats = _hashed_feature_buckets(toks, len(weights))
+    staged = df.select(id_col, toks.alias("_toks"))
+    feats = _hashed_feature_buckets(F.col("_toks"), len(weights))
     warr = F.array(*[F.lit(float(w)) for w in weights])
-    pre = df.select(
-        id_col, F.col(text_col), feats.alias("_feats")
-    )
+    pre = staged.select(id_col, feats.alias("_feats"))
     n_feats = F.size("_feats")
     z = F.lit(float(bias)) + F.aggregate(
         F.col("_feats"),
@@ -590,9 +596,9 @@ def hashed_linear_score_join(df: DataFrame, weights_df: DataFrame,
     equal the literal path up to float-sum reassociation — the shuffle
     sums in partition order, the literal path in array order
     (property-tested at 1e-12)."""
-    toks = tokens_col(text_col)
-    feats = _hashed_feature_buckets(toks, n_buckets)
-    base = df.select(id_col, feats.alias("_feats"))
+    staged = df.select(id_col, tokens_col(text_col).alias("_toks"))
+    feats = _hashed_feature_buckets(F.col("_toks"), n_buckets)
+    base = staged.select(id_col, feats.alias("_feats"))
     exploded = base.select(
         id_col, F.explode("_feats").alias("bucket")
     )
