@@ -64,6 +64,8 @@ def curate_corpus(
     shingle_n: int = 2,
     max_bucket_size: int | None = 256,
     line_dedup_min_docs: int | None = None,
+    classifier_weights: list[float] | None = None,
+    classifier_bias: float = 0.0,
 ) -> DataFrame:
     """One row per input doc: (id, lang_pred, quality_score, drop_stage,
     keep). See module docstring for stage semantics.
@@ -77,6 +79,14 @@ def curate_corpus(
     doc. It transforms text, never drops rows, so drop-stage attribution
     is unchanged in shape; downstream stages (incl. exact/near dedup)
     see the cleaned text.
+
+    classifier_weights (default None = heuristic gate) swaps the quality
+    stage's score for the hashed linear classifier
+    (textstats.hashed_linear_score) — the CCNet configuration, where a
+    trained fastText-style model replaces hand rules. The output's
+    quality_score column then holds sigmoid(z) in (0,1) and min_quality
+    gates on it (pass a probability threshold, e.g. 0.5). Same staged
+    token array, still one narrow projection — no plan-shape change.
 
     max_bucket_size (default 256) caps degenerate LSH buckets in the
     near-dup stage: a web corpus's boilerplate pages form million-doc
@@ -99,6 +109,18 @@ def curate_corpus(
     ).withColumn(
         "_lang", textstats.lang_best_struct(text_col, toks=F.col("_toks"))
     )
+    if classifier_weights is not None:
+        # feature buckets staged like _toks (the score references the
+        # array twice: sum + size)
+        pre = pre.withColumn(
+            "_feats",
+            textstats._hashed_feature_buckets(
+                F.col("_toks"), len(classifier_weights)),
+        )
+        quality = textstats.hashed_linear_score_col(
+            F.col("_feats"), classifier_weights, classifier_bias)
+    else:
+        quality = textstats.quality_score_col(text_col, toks=F.col("_toks"))
     best = F.col("_lang")
     base = (
         pre.select(
@@ -106,8 +128,7 @@ def curate_corpus(
             text_col,
             F.when(best["votes"] > 0, best["lang"]).otherwise(F.lit("und"))
             .alias("lang_pred"),
-            textstats.quality_score_col(
-                text_col, toks=F.col("_toks")).alias("quality_score"),
+            quality.alias("quality_score"),
         )
         .withColumn("_lang_ok", F.col("lang_pred").isin(*langs))
         .withColumn("_qual_ok", F.col("quality_score") >= F.lit(min_quality))

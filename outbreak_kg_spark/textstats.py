@@ -568,19 +568,30 @@ def hashed_linear_score(df: DataFrame, text_col: str = "text",
     toks = tokens_col(text_col) if toks is None else toks
     staged = df.select(id_col, toks.alias("_toks"))
     feats = _hashed_feature_buckets(F.col("_toks"), len(weights))
-    warr = F.array(*[F.lit(float(w)) for w in weights])
     pre = staged.select(id_col, feats.alias("_feats"))
-    n_feats = F.size("_feats")
-    z = F.lit(float(bias)) + F.aggregate(
-        F.col("_feats"),
-        F.lit(0.0),
-        lambda acc, b: acc + F.element_at(warr, (b + 1).cast("int")),
-    ) / F.greatest(n_feats, F.lit(1))
     return pre.select(
         id_col,
-        n_feats.alias("n_features"),
-        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("score"),
+        F.size("_feats").alias("n_features"),
+        hashed_linear_score_col(F.col("_feats"), weights, bias)
+        .alias("score"),
     )
+
+
+def hashed_linear_score_col(feats_col, weights: list[float],
+                            bias: float = 0.0):
+    """sigmoid(bias + mean of weights[bucket]) over a STAGED feature-
+    bucket array column, as one Column — the scoring kernel shared by
+    hashed_linear_score and curate.curate_corpus's classifier gate.
+    feats_col must be a real (staged) column: the expression references
+    it twice (sum + size), and a lambda-bearing inline expression would
+    re-evaluate per reference."""
+    warr = F.array(*[F.lit(float(w)) for w in weights])
+    z = F.lit(float(bias)) + F.aggregate(
+        feats_col,
+        F.lit(0.0),
+        lambda acc, b: acc + F.element_at(warr, (b + 1).cast("int")),
+    ) / F.greatest(F.size(feats_col), F.lit(1))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 
 def hashed_linear_score_join(df: DataFrame, weights_df: DataFrame,

@@ -101,3 +101,34 @@ def test_line_dedup_pre_stage(spark):
                         num_hashes=8, bands=4, shingle_n=2)
     got_off = {r.doc_id: r for r in off.collect()}
     assert got_off[2].drop_stage != "exact_dup"
+
+
+def test_classifier_quality_gate(spark):
+    """classifier_weights swaps the quality stage for the hashed linear
+    scorer: quality_score becomes sigmoid(z), min_quality gates on it,
+    and the rest of the chain is unchanged."""
+    from outbreak_kg_spark import textstats
+
+    rows = [(1, EN), (2, EN), (3, "zz qq ww rr tt yy uu ii oo pp")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    w = textstats.demo_classifier_weights(32)
+    ref = {r.doc_id: r.score for r in textstats.hashed_linear_score(
+        df, weights=w, bias=0.0).collect()}
+    # threshold between doc 1's score and 1.0 so gating is observable
+    thr = ref[1] + 1e-9
+    out = {r.doc_id: r for r in curate_corpus(
+        df, langs=("en", "und"), min_quality=thr, neardup_threshold=0.3,
+        num_hashes=8, bands=4, shingle_n=2,
+        classifier_weights=w).collect()}
+    # quality_score column now IS the classifier score
+    for i in (1, 2, 3):
+        assert out[i].quality_score == pytest.approx(ref[i], abs=1e-12)
+    # every doc scores below thr at this corpus -> all drop at quality
+    assert all(out[i].drop_stage == "quality"
+               for i in (1, 2, 3) if ref[i] < thr)
+    # and with a permissive threshold the exact-dup stage still runs
+    out2 = {r.doc_id: r for r in curate_corpus(
+        df, langs=("en", "und"), min_quality=0.0, neardup_threshold=0.3,
+        num_hashes=8, bands=4, shingle_n=2,
+        classifier_weights=w).collect()}
+    assert out2[1].keep and out2[2].drop_stage == "exact_dup"
