@@ -1746,6 +1746,64 @@ def _sql_web_link_graph() -> str:
     """
 
 
+def q_web_robots_filter(spark, sf_dir):
+    """Robots-compliance filter (weburl.parse_robots + robots_filter):
+    per-host robots.txt with UA-grouped Disallow rules parsed by the
+    codegen fold, then the page table filtered by host-rule prefix
+    match. Injection: even-residue sites also disallow /p/; paths cycle
+    public//p//private by doc residue. The oracle replays the PREFIX
+    FILTER semantics over the same per-host disallow sets (the parse
+    fold itself is pytest-gated on adversarial robots texts — UA groups,
+    ':' in paths, empty Disallow)."""
+    d = _docs(spark, sf_dir)
+    site = F.pmod("doc_id", F.lit(7)).cast("string")
+    path = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("/p/"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.lit("/private/"), F.col("doc_id").cast("string")))
+        .otherwise(F.concat(F.lit("/d/"), F.col("doc_id").cast("string")))
+    )
+    pages = d.select(
+        "doc_id",
+        F.concat(F.lit("https://site-"), site, F.lit(".example"), path)
+        .alias("url"),
+    )
+    hosts = spark.range(0, 7).select(
+        F.concat(F.lit("site-"), F.col("id").cast("string"),
+                 F.lit(".example")).alias("host"),
+        F.concat(
+            F.lit("User-agent: googlebot\nDisallow: /\n"
+                  "User-agent: *\nDisallow: /private\n"),
+            F.when(F.col("id") % 2 == 0, F.lit("Disallow: /p/\n"))
+            .otherwise(F.lit("")),
+        ).alias("robots_txt"),
+    )
+    rules = weburl.parse_robots(hosts)
+    return weburl.robots_filter(pages, rules)
+
+
+def _sql_web_robots_filter() -> str:
+    return """
+        WITH u AS (
+            SELECT doc_id,
+                   'site-' || (doc_id % 7) || '.example' AS host,
+                   CASE WHEN doc_id % 3 = 0 THEN '/p/' || doc_id
+                        WHEN doc_id % 3 = 1 THEN '/private/' || doc_id
+                        ELSE '/d/' || doc_id END AS path
+            FROM documents),
+        r AS (
+            SELECT 'site-' || h || '.example' AS host,
+                   CASE WHEN h % 2 = 0 THEN ['/private', '/p/']
+                        ELSE ['/private'] END AS dis
+            FROM range(0, 7) t(h))
+        SELECT u.doc_id, 'https://' || u.host || u.path AS url
+        FROM u JOIN r USING (host)
+        WHERE len(list_filter(r.dis,
+                              p -> u.path LIKE p || '%')) = 0
+    """
+
+
 _QW_BUCKETS = 64
 
 
@@ -3723,6 +3781,7 @@ def extra_queries():
         "web_line_dedup": q_web_line_dedup,
         "text_quality_classifier": q_text_quality_classifier,
         "web_link_graph": q_web_link_graph,
+        "web_robots_filter": q_web_robots_filter,
     }
 
 
@@ -3755,4 +3814,5 @@ def extra_oracle_sql():
         "web_line_dedup": _sql_web_line_dedup(),
         "text_quality_classifier": _sql_text_quality_classifier(),
         "web_link_graph": _sql_web_link_graph(),
+        "web_robots_filter": _sql_web_robots_filter(),
     }

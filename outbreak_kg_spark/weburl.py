@@ -231,3 +231,78 @@ def extract_links(df: DataFrame, html_col: str = "html",
         ex.select(*lead, src_out.alias("src"), dst_out.alias("dst"), *tail)
         .filter(F.col("dst").isNotNull())
     )
+
+
+def parse_robots(df: DataFrame, host_col: str = "host",
+                 txt_col: str = "robots_txt") -> DataFrame:
+    """(host, robots.txt bytes/string) -> (host, disallow array<string>):
+    the Disallow path prefixes that apply to User-agent: * — the rule set
+    a compliant crawler enforces before fetching (RFC 9309, simplified:
+    groups are delimited by User-agent lines, consecutive UA lines share
+    a group, Allow precedence and wildcards are not modeled — the
+    dominant real-world robots.txt is exactly UA-* + Disallow prefixes).
+
+    The parse is a per-row array FOLD (aggregate over split lines with a
+    struct accumulator), entirely inside codegen — robots.txt files are
+    small per-host documents, so a window/shuffle formulation would be
+    pure overhead; this is the same stateful-fold idiom as
+    textstats.repetition_stats' duplicate-run scan."""
+    lines = F.split(F.col(txt_col).cast("string"), r"\r?\n")
+    init = F.struct(
+        F.lit(False).alias("star"),
+        F.lit(False).alias("in_ua_run"),
+        F.array().cast("array<string>").alias("dis"),
+    )
+
+    def step(acc, raw):
+        line = F.trim(raw)
+        low = F.lower(line)
+        is_ua = low.startswith("user-agent:")
+        is_dis = low.startswith("disallow:")
+        # value = after the FIRST colon (a Disallow path may itself
+        # contain ':'; substring_index(-1) would split at the last one)
+        val = F.trim(F.regexp_replace(line, r"^[^:]*:", ""))
+        # consecutive UA lines accumulate one group; a UA line after
+        # anything else starts a fresh group
+        star = (
+            F.when(is_ua & acc["in_ua_run"], acc["star"] | (val == "*"))
+            .when(is_ua, val == "*")
+            .otherwise(acc["star"])
+        )
+        dis = F.when(
+            is_dis & acc["star"] & (val != ""),
+            F.array_append(acc["dis"], val),
+        ).otherwise(acc["dis"])
+        return F.struct(
+            star.alias("star"), is_ua.alias("in_ua_run"), dis.alias("dis")
+        )
+
+    folded = F.aggregate(lines, init, step)
+    return df.select(
+        F.col(host_col).alias("host"), folded["dis"].alias("disallow")
+    )
+
+
+def robots_filter(df: DataFrame, rules: DataFrame,
+                  url_col: str = "url") -> DataFrame:
+    """Drop rows whose URL path falls under a Disallow prefix of its
+    host's rules (parse_robots output). Hosts with no rules row pass.
+
+    Scale shape: rules are host-dimension-sized (one skinny row per
+    host), so the join is an explicit broadcast; the prefix test is an
+    `exists` over the (short) per-host prefix array — no explode, no
+    second exchange. Compliance filtering belongs BEFORE fetch/extract
+    in a real crawl; here it gates an already-captured page table the
+    same way."""
+    host = url_host(F.col(url_col), strip_www=True)
+    path = F.regexp_extract(F.col(url_col), _PATH_RE, 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    joined = df.withColumn("_h", host).join(
+        F.broadcast(rules.select(F.col("host").alias("_h"), "disallow")),
+        "_h", "left",
+    )
+    blocked = F.when(
+        F.col("disallow").isNotNull(),
+        F.exists("disallow", lambda p: path.startswith(p)),
+    ).otherwise(F.lit(False))
+    return joined.filter(~blocked).drop("_h", "disallow")

@@ -215,3 +215,45 @@ def test_extract_links_anchor_scope_and_text(spark):
     # href-less <a> dropped
     assert by_dst == {"https://x.example/a": "Anchor Text",
                       "https://site.example/img": ""}
+
+
+ROBOTS = """# crawl policy
+User-agent: googlebot
+Disallow: /gbot-only
+User-agent: *
+Disallow: /private
+Disallow: /tmp:cache
+Disallow:
+Allow: /private/ok
+
+User-agent: otherbot
+User-agent: *
+Disallow: /shared
+"""
+
+
+def test_parse_robots_fold(spark):
+    df = spark.createDataFrame([("site.example", ROBOTS)],
+                               ["host", "robots_txt"])
+    got = weburl.parse_robots(df).collect()[0]
+    # star group rules collected (incl. a value containing ':'); the
+    # googlebot-only group ignored; empty Disallow ignored; the
+    # consecutive-UA group (otherbot + *) applies to *
+    assert got.disallow == ["/private", "/tmp:cache", "/shared"]
+
+
+def test_robots_filter_prefix_semantics(spark):
+    rules = weburl.parse_robots(spark.createDataFrame(
+        [("site.example", "User-agent: *\nDisallow: /private\n")],
+        ["host", "robots_txt"]))
+    urls = [
+        ("https://site.example/private/x", False),
+        ("https://www.site.example/private", False),  # www-folded host
+        ("https://site.example/privateer", False),    # prefix, per RFC
+        ("https://site.example/public", True),
+        ("https://other.example/private", True),      # no rules -> pass
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in urls], ["url"])
+    kept = {r.url for r in weburl.robots_filter(df, rules).collect()}
+    for u, expect in urls:
+        assert (u in kept) == expect, u
