@@ -126,3 +126,19 @@ def test_entry_smoke(spark):
     assert df.columns == [
         "alert_curie", "disease", "disease_isa", "geolocation", "geolocation_isa"
     ]
+
+
+# keys whose rows-only contract is INTENTIONAL (genuinely non-SQL ops);
+# currently none — every entry has an exact oracle
+ROWS_ONLY_OK: set = set()
+
+
+def test_every_entry_has_an_oracle():
+    """Drift guard: _ALL_SQL.get(name) silently downgrades a query to the
+    rows-only contract, so a forgotten oracle entry would pass the suite
+    while weakening the gate. Any intentional rows-only op must be listed
+    in ROWS_ONLY_OK."""
+    missing = set(_ALL_Q) - set(_ALL_SQL) - ROWS_ONLY_OK
+    assert not missing, f"entries without oracle SQL: {sorted(missing)}"
+    stale = set(_ALL_SQL) - set(_ALL_Q)
+    assert not stale, f"oracle SQL without a query: {sorted(stale)}"
