@@ -254,14 +254,19 @@ def parse_robots(df: DataFrame, host_col: str = "host",
         F.array().cast("array<string>").alias("dis"),
     )
 
+    def _ws_trim(c):
+        # F.trim strips 0x20 only; robots files in the wild indent with
+        # tabs too
+        return F.regexp_replace(c, r"^[\s]+|[\s]+$", "")
+
     def step(acc, raw):
-        line = F.trim(raw)
+        line = _ws_trim(raw)
         low = F.lower(line)
         is_ua = low.startswith("user-agent:")
         is_dis = low.startswith("disallow:")
         # value = after the FIRST colon (a Disallow path may itself
         # contain ':'; substring_index(-1) would split at the last one)
-        val = F.trim(F.regexp_replace(line, r"^[^:]*:", ""))
+        val = _ws_trim(F.regexp_replace(line, r"^[^:]*:", ""))
         # consecutive UA lines accumulate one group; a UA line after
         # anything else starts a fresh group
         star = (

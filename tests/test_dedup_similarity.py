@@ -601,3 +601,39 @@ def test_hashed_linear_score_join_path_agrees(spark):
     assert set(lit_scores) == set(join_scores)
     for k in lit_scores:
         assert join_scores[k] == pytest.approx(lit_scores[k], abs=1e-12)
+
+
+def test_line_dedup_fuzz_batch(spark):
+    """300 seeded random docs over a small line vocabulary in ONE Spark
+    job vs a pure-Python reference of the cross-doc threshold semantics
+    (note: trimming is space-only on both sides, matching the DuckDB
+    oracle's trim)."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(20260819)
+    vocab = ["NAV BAR", " NAV BAR ", "footer (c)", "", " ", "body-{}",
+             "x y z", "  x y z"]
+    docs = {}
+    for i in range(300):
+        lines = [rng.choice(vocab).format(rng.randint(0, 40))
+                 for _ in range(rng.randint(1, 8))]
+        docs[i] = "\n".join(lines)
+
+    k = 5
+    cnt = Counter()
+    for t in docs.values():
+        for ln in {l.strip(" ") for l in t.split("\n")}:
+            if ln:
+                cnt[ln] += 1
+    hot = {l for l, c in cnt.items() if c >= k}
+
+    out = {r.doc_id: r for r in dedup.line_dedup(
+        spark.createDataFrame(list(docs.items()), ["doc_id", "text"]),
+        min_docs=k).collect()}
+    for i, t in docs.items():
+        lines = t.split("\n")
+        kept = [l for l in lines if l.strip(" ") not in hot]
+        assert out[i].n_lines == len(lines), i
+        assert out[i].n_kept == len(kept), i
+        assert out[i].text_clean == "\n".join(kept), i

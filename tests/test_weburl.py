@@ -257,3 +257,56 @@ def test_robots_filter_prefix_semantics(spark):
     kept = {r.url for r in weburl.robots_filter(df, rules).collect()}
     for u, expect in urls:
         assert (u in kept) == expect, u
+
+
+def _ref_parse_robots(txt: str) -> list:
+    """Pure-Python reference of parse_robots' simplified RFC 9309."""
+    import re as _re
+
+    star, in_ua, dis = False, False, []
+    for raw in _re.split(r"\r?\n", txt):
+        line = raw.strip()
+        low = line.lower()
+        if low.startswith("user-agent:"):
+            val = _re.sub(r"^[^:]*:", "", line).strip()
+            star = (star if in_ua else False) or (val == "*")
+            in_ua = True
+        else:
+            if low.startswith("disallow:"):
+                val = _re.sub(r"^[^:]*:", "", line).strip()
+                if star and val:
+                    dis.append(val)
+            in_ua = False
+    return dis
+
+
+def test_parse_robots_fuzz_batch(spark):
+    """200 seeded random robots-ish texts in ONE Spark job vs the Python
+    reference — UA/Disallow/Allow/comment/blank/garbage lines, mixed
+    case, tab indentation, ':' in values."""
+    import random
+
+    rng = random.Random(20260819)
+    uas = ["*", "googlebot", "BadBot", "*  "]
+    paths = ["/", "/a", "/a/b:c", "/private", "", "/x?y=1"]
+    line_makers = [
+        lambda: f"User-agent: {rng.choice(uas)}",
+        lambda: f"user-AGENT:\t{rng.choice(uas)}",
+        lambda: f"Disallow: {rng.choice(paths)}",
+        lambda: f"  disallow:{rng.choice(paths)}",
+        lambda: f"Allow: {rng.choice(paths)}",
+        lambda: "# comment",
+        lambda: "",
+        lambda: "Sitemap: https://x.example/s.xml",
+        lambda: "garbage line without colon",
+    ]
+    texts = [
+        "\n".join(rng.choice(line_makers)() for _ in range(rng.randint(0, 20)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)], ["host", "robots_txt"])
+    got = {r.host: list(r.disallow)
+           for r in weburl.parse_robots(df).collect()}
+    for i, t in enumerate(texts):
+        assert got[str(i)] == _ref_parse_robots(t), (i, t)
