@@ -1804,6 +1804,43 @@ def _sql_web_robots_filter() -> str:
     """
 
 
+def q_text_tfidf_topk(spark, sf_dir):
+    """Per-doc top-5 keywords by tf-idf (textstats.tfidf_topk): corpus
+    document frequency via the distinct-then-count cascade, smoothed idf
+    with N from a 1-row crossJoin (no collect), windowed top-k with the
+    token-asc tie-break. Oracle replays tf/df/idf/rank in DuckDB."""
+    out = textstats.tfidf_topk(_docs(spark, sf_dir), k=5)
+    return out.select(
+        "doc_id", "token", "tf", "df",
+        F.round("score", 6).alias("score_r"), "rank")
+
+
+def _sql_text_tfidf_topk() -> str:
+    return """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '')) AS token
+            FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf
+               FROM toks GROUP BY 1, 2),
+        dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        s AS (
+            SELECT tf.doc_id, tf.token, tf.tf, dfr.df,
+                   tf.tf * (ln((n.n + 1.0) / (dfr.df + 1.0)) + 1.0)
+                     AS score
+            FROM tf JOIN dfr USING (token), n),
+        r AS (SELECT *, row_number() OVER (
+                  PARTITION BY doc_id
+                  ORDER BY score DESC, token ASC) AS rank
+              FROM s)
+        SELECT doc_id, token, tf, df, round(score, 6) AS score_r,
+               rank::INT AS rank
+        FROM r WHERE rank <= 5
+    """
+
+
 _QW_BUCKETS = 64
 
 
@@ -3782,6 +3819,7 @@ def extra_queries():
         "text_quality_classifier": q_text_quality_classifier,
         "web_link_graph": q_web_link_graph,
         "web_robots_filter": q_web_robots_filter,
+        "text_tfidf_topk": q_text_tfidf_topk,
     }
 
 
@@ -3815,4 +3853,5 @@ def extra_oracle_sql():
         "text_quality_classifier": _sql_text_quality_classifier(),
         "web_link_graph": _sql_web_link_graph(),
         "web_robots_filter": _sql_web_robots_filter(),
+        "text_tfidf_topk": _sql_text_tfidf_topk(),
     }

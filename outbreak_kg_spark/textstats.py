@@ -631,3 +631,51 @@ def hashed_linear_score_join(df: DataFrame, weights_df: DataFrame,
             (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("score"),
         )
     )
+
+
+def tfidf_topk(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", k: int = 5) -> DataFrame:
+    """Per-document top-k keywords by tf-idf (smoothed idf
+    ln((N+1)/(df+1)) + 1, the scikit-learn convention). Output: one row
+    per (doc, keyword) — (id, token, tf, df, score, rank), rank 1..k by
+    score desc with token-asc tie-break (deterministic output for the
+    cross-engine oracle).
+
+    Scale shape: tokens explode narrowly; tf is a partial-combined
+    (doc, token) agg on near-unique composite keys; document frequency
+    is the same two-cascade agg as line_dedup's hot-line count (per-doc
+    distinct first, so a token repeated in one doc can't inflate df and
+    the second agg's hot keys arrive pre-combined). N rides a 1-row
+    count crossJoined onto the vocab-sized df relation — never a driver
+    collect. The tf<->df join keys on token: the df side is UNIQUE per
+    token, so probe-side skew ('the' in every doc) causes no row
+    expansion and AQE splits the hot partitions. Top-k is one window
+    partitioned by doc — uniform keys, bounded partitions."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("token")
+    )
+    tf = toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tf.select("token", id_col)  # already distinct per (doc, token)
+        .groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = df.select(
+        F.count(F.lit(1)).cast("double").alias("_n"))
+    dfreq = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "token", "df",
+        (F.log((F.col("_n") + 1.0) / (F.col("df") + 1.0)) + 1.0)
+        .alias("_idf"),
+    )
+    scored = tf.join(dfreq, "token").select(
+        id_col, "token", "tf", "df",
+        (F.col("tf") * F.col("_idf")).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -637,3 +637,32 @@ def test_line_dedup_fuzz_batch(spark):
         assert out[i].n_lines == len(lines), i
         assert out[i].n_kept == len(kept), i
         assert out[i].text_clean == "\n".join(kept), i
+
+
+def test_tfidf_topk_hand_computed(spark):
+    import math
+
+    rows = [
+        {"doc_id": 1, "text": "apple apple banana"},
+        {"doc_id": 2, "text": "banana cherry"},
+        {"doc_id": 3, "text": "cherry cherry cherry durian"},
+    ]
+    out = textstats.tfidf_topk(spark.createDataFrame(rows), k=2)
+    got = {(r.doc_id, r.rank): (r.token, r.tf, r.df, r.score)
+           for r in out.collect()}
+
+    def idf(df_):
+        return math.log((3 + 1) / (df_ + 1)) + 1
+
+    # doc 1: apple tf=2 df=1 beats banana tf=1 df=2
+    assert got[(1, 1)][0] == "apple"
+    assert got[(1, 1)][3] == pytest.approx(2 * idf(1), abs=1e-12)
+    assert got[(1, 2)][0] == "banana"
+    # doc 2: equal tf=1 -> higher idf (cherry df=2 == banana df=2) ->
+    # token-asc tie-break on identical scores
+    assert got[(2, 1)][0] == "banana" and got[(2, 2)][0] == "cherry"
+    # doc 3: cherry tf=3 wins over rare durian (tf=1, df=1)
+    assert got[(3, 1)][0] == "cherry"
+    assert got[(3, 2)] == ("durian", 1, 1, pytest.approx(idf(1)))
+    # exactly k rows per doc
+    assert len(got) == 6
