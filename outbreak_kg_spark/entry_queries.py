@@ -1841,6 +1841,79 @@ def _sql_text_tfidf_topk() -> str:
     """
 
 
+_NEG_SPAN = (1 << 48) // 8 + 1
+
+
+def q_kg_negative_samples(spark, sf_dir):
+    """Filtered-protocol negative sampling for KG-embedding training
+    (sampling.negative_triples): nearest-hash entity lookup via
+    asof_join in 48-bit md5 space with bucket/global wrap, parity-split
+    head/tail corruption, no-op and true-edge negatives removed. The
+    oracle replays the identical hashes with DuckDB's native ASOF JOIN
+    plus the same coalesce chain and anti-join."""
+    d = _docs(spark, sf_dir)
+    edges = d.select(
+        F.concat(F.lit("E"), F.pmod("doc_id", F.lit(50)).cast("string"))
+        .alias("subj"),
+        F.concat(F.lit("r"), F.pmod("doc_id", F.lit(3)).cast("string"))
+        .alias("pred"),
+        F.concat(F.lit("E"),
+                 (F.lit(50) + F.pmod("doc_id", F.lit(40))).cast("string"))
+        .alias("obj"),
+    ).distinct()
+    out = sampling.negative_triples(edges, n_per_pos=2, n_buckets=8)
+    return out.select("subj", "pred", "obj", "side",
+                      F.col("sample_idx").cast("int").alias("sample_idx"))
+
+
+def _sql_kg_negative_samples() -> str:
+    return f"""
+        WITH edges AS (
+            SELECT DISTINCT 'E' || (doc_id % 50) AS subj,
+                   'r' || (doc_id % 3) AS pred,
+                   'E' || (50 + doc_id % 40) AS obj
+            FROM documents),
+        ents AS (
+            SELECT entity,
+                   ('0x' || substr(md5('neg-v1:e:' || entity), 1, 12))
+                     ::BIGINT AS he
+            FROM (SELECT subj AS entity FROM edges
+                  UNION SELECT obj FROM edges)),
+        entsb AS (SELECT *, he // {_NEG_SPAN} AS bucket FROM ents),
+        probes AS (
+            SELECT subj, pred, obj, j AS sample_idx,
+                   ('0x' || substr(md5('neg-v1:p' || chr(0) || subj
+                        || chr(0) || pred || chr(0) || obj || chr(0)
+                        || j), 1, 12))::BIGINT AS hp
+            FROM edges, unnest([0, 1]) t(j)),
+        probesb AS (SELECT *, hp // {_NEG_SPAN} AS bucket FROM probes),
+        m AS (
+            SELECT p.*, e.entity AS entity_asof
+            FROM probesb p ASOF LEFT JOIN entsb e
+              ON p.bucket = e.bucket AND p.hp >= e.he),
+        bmax AS (SELECT bucket, max_by(entity, he) AS bmax
+                 FROM entsb GROUP BY bucket),
+        gmax AS (SELECT max_by(entity, he) AS gmax FROM entsb),
+        c AS (
+            SELECT m.subj AS osubj, m.pred, m.obj AS oobj, m.sample_idx,
+                   coalesce(m.entity_asof, b.bmax, g.gmax) AS neg,
+                   CASE WHEN m.sample_idx % 2 = 0
+                        THEN 'tail' ELSE 'head' END AS side
+            FROM m LEFT JOIN bmax b USING (bucket), gmax g),
+        neg AS (
+            SELECT CASE WHEN side = 'head' THEN neg ELSE osubj END AS subj,
+                   pred,
+                   CASE WHEN side = 'tail' THEN neg ELSE oobj END AS obj,
+                   side, sample_idx::INT AS sample_idx
+            FROM c
+            WHERE neg <> CASE WHEN side = 'head' THEN osubj ELSE oobj END)
+        SELECT n.* FROM neg n
+        WHERE NOT EXISTS (
+            SELECT 1 FROM edges t
+            WHERE t.subj = n.subj AND t.pred = n.pred AND t.obj = n.obj)
+    """
+
+
 _QW_BUCKETS = 64
 
 
@@ -3820,6 +3893,7 @@ def extra_queries():
         "web_link_graph": q_web_link_graph,
         "web_robots_filter": q_web_robots_filter,
         "text_tfidf_topk": q_text_tfidf_topk,
+        "kg_negative_samples": q_kg_negative_samples,
     }
 
 
@@ -3854,4 +3928,5 @@ def extra_oracle_sql():
         "web_link_graph": _sql_web_link_graph(),
         "web_robots_filter": _sql_web_robots_filter(),
         "text_tfidf_topk": _sql_text_tfidf_topk(),
+        "kg_negative_samples": _sql_kg_negative_samples(),
     }

@@ -340,3 +340,90 @@ def deterministic_shuffle(df: DataFrame, id_col: str, n_shards: int,
             .withColumn(shard_col, _range_shard(F.col("_h"), n_shards))
             .withColumn(pos_col, F.row_number().over(w))
             .drop("_h"))
+
+
+def negative_triples(edges: DataFrame, n_per_pos: int = 2,
+                     n_buckets: int = 1024,
+                     salt: str = "neg-v1") -> DataFrame:
+    """Deterministic negative sampling for KG-embedding training: for
+    each true (subj, pred, obj) edge emit n_per_pos corrupted triples —
+    even sample indices replace the tail, odd the head — with the
+    replacement entity drawn pseudo-uniformly from the graph's entity
+    set, filtered so no emitted negative is a true edge (the standard
+    "filtered" protocol) or a no-op corruption. Output:
+    (subj, pred, obj, side, sample_idx), where (subj, pred, obj) is the
+    NEGATIVE triple and side in {'head','tail'}.
+
+    Sampling is a nearest-hash lookup, not a random-number join: every
+    entity gets a 48-bit md5 point; each (edge, j) probe gets its own
+    point and takes the greatest entity hash <= it (temporal.asof_join in
+    hash space), wrapping via the bucket's max entity and finally a
+    global max — deterministic across runs/engines/partitionings, and
+    gap-proportional (near-uniform once |entities| >> n_buckets).
+
+    Scale shape: the entity set is ONE distinct over the edge endpoints;
+    the asof lookup is the single-shuffle union+window plan keyed on
+    hash-RANGE buckets (uniform by construction — probes and entities
+    both ~1/n_buckets per key, no skew); the wrap fallbacks are a
+    bucket-dimension broadcast and a 1-row crossJoin; the filtered
+    protocol is one LEFT ANTI join against the true edges (unique build
+    keys — no expansion). Nothing touches the driver."""
+    from .temporal import asof_join
+
+    def _h48(col):
+        return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+    span = (1 << 48) // n_buckets + 1
+    ents = (
+        edges.select(F.explode(F.array("subj", "obj")).alias("entity"))
+        .distinct()
+        .withColumn("he", _h48(F.concat(F.lit(f"{salt}:e:"), F.col("entity"))))
+        .withColumn("bucket", F.expr(f"he div {span}"))
+    )
+    idx = F.explode(
+        F.array(*[F.lit(j) for j in range(n_per_pos)])).alias("sample_idx")
+    probes = edges.select("subj", "pred", "obj", idx).withColumn(
+        "hp",
+        _h48(F.concat_ws("\x00", F.lit(f"{salt}:p"), "subj", "pred", "obj",
+                         F.col("sample_idx").cast("string"))),
+    ).withColumn("bucket", F.expr(f"hp div {span}"))
+
+    matched = asof_join(
+        probes, ents.select("bucket", "he", "entity"),
+        key_cols=["bucket"], left_ts="hp", right_ts="he",
+        right_value_cols=["entity"],
+    )
+    bucket_max = ents.groupBy("bucket").agg(
+        F.max_by("entity", "he").alias("_bmax"))
+    global_max = ents.select(
+        F.max_by("entity", "he").alias("_gmax"))
+    neg_entity = F.coalesce("entity_asof", "_bmax", "_gmax")
+    corrupted = (
+        matched.join(F.broadcast(bucket_max), "bucket", "left")
+        .crossJoin(F.broadcast(global_max))
+        .withColumn("_neg", neg_entity)
+        .withColumn(
+            "side",
+            F.when(F.col("sample_idx") % 2 == 0, F.lit("tail"))
+            .otherwise(F.lit("head")),
+        )
+        .select(
+            F.when(F.col("side") == "head", F.col("_neg"))
+            .otherwise(F.col("subj")).alias("subj"),
+            "pred",
+            F.when(F.col("side") == "tail", F.col("_neg"))
+            .otherwise(F.col("obj")).alias("obj"),
+            "side", "sample_idx",
+            F.when(F.col("side") == "head", F.col("subj"))
+            .otherwise(F.col("obj")).alias("_orig"),
+            F.col("_neg"),
+        )
+        .filter(F.col("_neg") != F.col("_orig"))  # no-op corruption
+        .drop("_orig", "_neg")
+    )
+    # filtered protocol: a corrupted triple that happens to be a true
+    # edge is not a negative
+    return corrupted.join(
+        edges.select("subj", "pred", "obj").distinct(),
+        ["subj", "pred", "obj"], "left_anti",
+    )

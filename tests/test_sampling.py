@@ -235,3 +235,42 @@ def test_pack_spans_conserve_tokens_and_partition_docs(spark):
         for a, b in zip(rs, rs[1:]):
             assert a.doc_to == b.doc_from
     assert all(d % 41 > 0 for d in by_doc)
+
+
+def test_negative_triples_properties(spark):
+    """Filtered-protocol negative sampling: every emitted triple differs
+    from every true edge, corruption side matches sample parity, output
+    is deterministic, and the replacement entities spread across the
+    entity pool."""
+    from pyspark.sql import functions as F
+
+    from outbreak_kg_spark.sampling import negative_triples
+
+    edges = spark.createDataFrame(
+        [(f"E{i % 13}", f"r{i % 2}", f"E{13 + i % 11}") for i in range(60)],
+        ["subj", "pred", "obj"]).distinct()
+    true_set = {(r.subj, r.pred, r.obj) for r in edges.collect()}
+    out = negative_triples(edges, n_per_pos=2, n_buckets=4)
+    rows = out.collect()
+    assert rows, "sampler emitted nothing"
+    for r in rows:
+        assert (r.subj, r.pred, r.obj) not in true_set
+        assert r.side == ("tail" if r.sample_idx % 2 == 0 else "head")
+    # tail corruption keeps (subj, pred) from some true edge; head keeps
+    # (pred, obj)
+    sp = {(s, p) for s, p, _ in true_set}
+    po = {(p, o) for _, p, o in true_set}
+    for r in rows:
+        if r.side == "tail":
+            assert (r.subj, r.pred) in sp
+        else:
+            assert (r.pred, r.obj) in po
+    # deterministic
+    again = {(r.subj, r.pred, r.obj, r.sample_idx)
+             for r in negative_triples(edges, n_per_pos=2,
+                                       n_buckets=4).collect()}
+    assert {(r.subj, r.pred, r.obj, r.sample_idx) for r in rows} == again
+    # spread: many distinct replacement entities
+    repl = {r.obj for r in rows if r.side == "tail"} | {
+        r.subj for r in rows if r.side == "head"}
+    assert len(repl) >= 8
