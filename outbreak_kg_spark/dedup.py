@@ -559,3 +559,114 @@ def line_dedup(df: DataFrame, text_col: str = "text",
             "\n",
         ).alias("text_clean"),
     )
+
+
+def passage_dedup(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 8,
+                  min_docs: int = 2) -> DataFrame:
+    """Cross-document duplicate-PASSAGE detection (exact n-gram span
+    dedup, the "Deduplicating Training Data Makes Language Models
+    Better" signal): find every token n-gram appearing in >= min_docs
+    DISTINCT documents and measure, per document, how much of its token
+    stream the union of those duplicated spans covers.
+
+    Distinct from its neighbors: minhash_dedup flags whole near-dup
+    DOCS, line_dedup strips exact duplicate LINES; this catches copied
+    paragraphs and quoted boilerplate that cross line boundaries inside
+    otherwise-unique pages — the per-doc coverage fraction is what a
+    curation pipeline thresholds for span-level filtering or loss
+    down-weighting. Tokenization matches textstats.tokens_col
+    (lowercase, split \\s+, empties dropped).
+
+    Output: (doc_id, n_tokens, dup_positions, covered_tokens,
+    dup_coverage_r). Every input doc emits a row; docs shorter than n
+    tokens report zeros. A position is "duplicated" when its n-gram
+    occurs in >= min_docs distinct docs; covered_tokens is the size of
+    the union of the [pos, pos+n-1] intervals (overlaps merged), so the
+    ratio never exceeds 1.
+
+    Scale shape — NOTHING here is quadratic. Shingling is a narrow map
+    (token array staged once per the shingle_array O(tokens^2) lesson;
+    O(1)-amortized slices). The duplicated-shingle set is two cascaded
+    hash aggs on a 16-hex md5 prefix: (hash, doc) dedup — near-unique
+    composite key — then a threshold count whose hot keys (a cookie-
+    banner 8-gram in 10^9 pages) collapse in the map-side partial agg.
+    The mark-back is a LEFT-SEMI join on that same hash: the build side
+    is bounded by the count of distinct duplicated n-grams (vocabulary-
+    like, not corpus-like), and each (doc, pos) probe matches at most
+    one build row, so a shingle shared by 10^7 docs costs 10^7 linear
+    probe hits, never pairs. Interval union rides a lag window — the
+    per-doc exchange any per-doc statistic needs — with no per-doc
+    arrays collected. Hashing is md5-prefix (engine-portable), so a
+    DuckDB oracle replays the whole thing exactly."""
+    pre = df.select(
+        id_col,
+        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                 lambda t: t != "").alias("_toks"),
+    )
+    toks = F.col("_toks")
+    base = pre.select(
+        id_col,
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.struct(
+                    i.cast("int").alias("pos"),
+                    F.substring(
+                        F.md5(F.array_join(
+                            F.slice(toks, i + F.lit(1), F.lit(n)), " ")),
+                        1, 16,
+                    ).alias("h"),
+                ),
+            ),
+        ).otherwise(
+            F.array().cast("array<struct<pos:int,h:string>>")
+        ).alias("_sh"),
+    )
+    sh = base.select(
+        id_col, F.explode("_sh").alias("_s")
+    ).select(id_col, F.col("_s.pos").alias("pos"), F.col("_s.h").alias("h"))
+    dup = (
+        sh.select("h", id_col).distinct()
+        .groupBy("h").agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("h")
+    )
+    hits = sh.join(dup, "h", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    cov = (
+        hits.withColumn(
+            "_c",
+            F.coalesce(
+                F.least(F.lit(n), F.col("pos") - F.lag("pos").over(w)),
+                F.lit(n),
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("dup_positions"),
+            F.sum("_c").cast("int").alias("covered_tokens"),
+        )
+    )
+    return (
+        base.select(id_col, "n_tokens")
+        .join(cov, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("dup_positions", F.lit(0)).cast("int")
+            .alias("dup_positions"),
+            F.coalesce("covered_tokens", F.lit(0)).cast("int")
+            .alias("covered_tokens"),
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.coalesce("covered_tokens", F.lit(0))
+                    / F.col("n_tokens"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_coverage_r"),
+        )
+    )

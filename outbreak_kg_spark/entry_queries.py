@@ -2026,6 +2026,86 @@ def _sql_web_line_dedup() -> str:
     """
 
 
+# Shared passage injected by the passage-dedup gate: 11 tokens -> 4 fully
+# interior 8-gram positions per doc, shared by every doc on the same
+# (doc_id % 5) "site". Spliced mid-text so duplicated spans sit BETWEEN
+# unique soup spans (interval-union actually exercised), with one doc_id
+# dimension of variation in the site token so not everything collides.
+_PASSAGE_QUOTE = ("official advisory site-{s} please wash hands "
+                  "avoid contact report cases promptly")
+
+
+def q_text_passage_dedup(spark, sf_dir):
+    """Cross-document duplicate-passage coverage (dedup.passage_dedup,
+    the Lee-et-al exact-substring-dedup signal): token 8-grams occurring
+    in >=2 distinct documents, reduced to per-doc duplicated-span
+    coverage via interval union. The word-soup base shares no natural
+    8-grams, so the gate splices a per-site 11-token advisory passage
+    into the middle of each doc (~100 docs/site at sf0.01 — far over
+    threshold); boundary shingles mixing soup and passage stay unique,
+    interior ones duplicate. The oracle replays the identical splice and
+    the md5-prefix hashing exactly."""
+    d = _docs(spark, sf_dir)
+    site = F.pmod("doc_id", F.lit(5)).cast("string")
+    spliced = d.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.substring("text", 1, 120),
+            F.concat(F.lit("official advisory site-"), site,
+                     F.lit(" please wash hands avoid contact report "
+                           "cases promptly")),
+            F.substring("text", 121, 120),
+        ).alias("text"),
+    )
+    return dedup.passage_dedup(spliced, n=8, min_docs=2)
+
+
+def _sql_text_passage_dedup(n: int = 8, min_docs: int = 2) -> str:
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   substr(text, 1, 120) || ' ' ||
+                   'official advisory site-' || (doc_id % 5) ||
+                   ' please wash hands avoid contact report cases promptly'
+                   || ' ' || substr(text, 121, 120) AS t
+            FROM documents),
+        toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(t), '\\s+'),
+                               x -> x <> '') AS tk
+            FROM base),
+        sh AS (
+            SELECT doc_id, u.pos AS pos,
+                   substr(md5(array_to_string(
+                       tk[u.pos+1 : u.pos+{n}], ' ')), 1, 16) AS h
+            FROM toks, LATERAL unnest(
+                range(0, greatest(len(tk) - {n} + 1, 0))) AS u(pos)),
+        dup AS (
+            SELECT h FROM sh GROUP BY h
+            HAVING count(DISTINCT doc_id) >= {min_docs}),
+        hits AS (SELECT sh.doc_id, sh.pos FROM sh SEMI JOIN dup USING (h)),
+        cov AS (
+            SELECT doc_id, pos,
+                   coalesce(least({n}, pos - lag(pos) OVER (
+                       PARTITION BY doc_id ORDER BY pos)), {n}) AS c
+            FROM hits),
+        agg AS (
+            SELECT doc_id, count(*)::INT AS dup_positions,
+                   sum(c)::INT AS covered_tokens
+            FROM cov GROUP BY doc_id)
+        SELECT toks.doc_id,
+               len(tk)::INT AS n_tokens,
+               coalesce(agg.dup_positions, 0)::INT AS dup_positions,
+               coalesce(agg.covered_tokens, 0)::INT AS covered_tokens,
+               round(CASE WHEN len(tk) > 0
+                          THEN coalesce(agg.covered_tokens, 0)
+                               / len(tk)
+                          ELSE 0.0 END, 6) AS dup_coverage_r
+        FROM toks LEFT JOIN agg USING (doc_id)
+    """
+
+
 def q_graph_pagerank(spark, sf_dir):
     """Fixed-iteration damped PageRank (graphrank.pagerank) over a
     deterministic link graph derived from the documents table, with
@@ -3894,6 +3974,7 @@ def extra_queries():
         "web_robots_filter": q_web_robots_filter,
         "text_tfidf_topk": q_text_tfidf_topk,
         "kg_negative_samples": q_kg_negative_samples,
+        "text_passage_dedup": q_text_passage_dedup,
     }
 
 
@@ -3929,4 +4010,5 @@ def extra_oracle_sql():
         "web_robots_filter": _sql_web_robots_filter(),
         "text_tfidf_topk": _sql_text_tfidf_topk(),
         "kg_negative_samples": _sql_kg_negative_samples(),
+        "text_passage_dedup": _sql_text_passage_dedup(),
     }

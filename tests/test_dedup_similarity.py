@@ -666,3 +666,83 @@ def test_tfidf_topk_hand_computed(spark):
     assert got[(3, 2)] == ("durian", 1, 1, pytest.approx(idf(1)))
     # exactly k rows per doc
     assert len(got) == 6
+
+
+def test_passage_dedup_interval_union(spark):
+    # "a b c" (n=3) occurs in docs 0 and 1 -> duplicated. Doc 0 carries it
+    # at pos 0 and pos 3 (gap 3 = n, intervals exactly adjacent: union is
+    # 6 tokens of 7); doc 1 at pos 1 only (3 of 5); doc 2 is shorter than
+    # n and reports zeros but still emits a row.
+    rows = [
+        {"doc_id": 0, "text": "a b c a b c d"},
+        {"doc_id": 1, "text": "x a b c y"},
+        {"doc_id": 2, "text": "q r"},
+    ]
+    out = {r.doc_id: r for r in
+           dedup.passage_dedup(spark.createDataFrame(rows),
+                               n=3, min_docs=2).collect()}
+    assert len(out) == 3
+    assert (out[0].n_tokens, out[0].dup_positions,
+            out[0].covered_tokens) == (7, 2, 6)
+    assert out[0].dup_coverage_r == pytest.approx(6 / 7, abs=1e-6)
+    assert (out[1].dup_positions, out[1].covered_tokens) == (1, 3)
+    assert (out[2].n_tokens, out[2].dup_positions,
+            out[2].covered_tokens, out[2].dup_coverage_r) == (2, 0, 0, 0.0)
+
+
+def test_passage_dedup_overlap_merges_and_within_doc_excluded(spark):
+    # Doc 0 repeats "p q r" internally but NO other doc has it: within-doc
+    # repetition alone must not cross the min_docs=2 DISTINCT-doc bar.
+    # Docs 1 and 2 share the 4-token run "w x y z" -> two overlapping
+    # 3-gram positions each (pos gap 1 < n): union is 4 tokens, not 6.
+    rows = [
+        {"doc_id": 0, "text": "p q r p q r"},
+        {"doc_id": 1, "text": "w x y z one"},
+        {"doc_id": 2, "text": "two w x y z"},
+    ]
+    out = {r.doc_id: r for r in
+           dedup.passage_dedup(spark.createDataFrame(rows),
+                               n=3, min_docs=2).collect()}
+    assert (out[0].dup_positions, out[0].covered_tokens) == (0, 0)
+    assert (out[1].dup_positions, out[1].covered_tokens) == (2, 4)
+    assert (out[2].dup_positions, out[2].covered_tokens) == (2, 4)
+    assert out[1].dup_coverage_r == pytest.approx(0.8, abs=1e-6)
+
+
+def test_passage_dedup_fuzz_python_reference(spark):
+    # Differential fuzz vs a pure-Python reimplementation on random small
+    # corpora: shared vocabulary is tiny so cross-doc n-gram collisions
+    # are common and the interval-union path is exercised hard.
+    import random
+
+    rng = random.Random(20260819)
+    vocab = ["aa", "bb", "cc", "dd"]
+    n, min_docs = 3, 2
+    rows = [{"doc_id": i,
+             "text": " ".join(rng.choice(vocab)
+                              for _ in range(rng.randint(0, 12)))}
+            for i in range(30)]
+
+    def ref():
+        toks = {r["doc_id"]: [t for t in r["text"].lower().split()
+                              if t] for r in rows}
+        grams = {}
+        for d, t in toks.items():
+            for i in range(len(t) - n + 1):
+                grams.setdefault(" ".join(t[i:i + n]), set()).add(d)
+        dup = {g for g, ds in grams.items() if len(ds) >= min_docs}
+        exp = {}
+        for d, t in toks.items():
+            pos = [i for i in range(len(t) - n + 1)
+                   if " ".join(t[i:i + n]) in dup]
+            covered = set()
+            for p in pos:
+                covered.update(range(p, p + n))
+            exp[d] = (len(t), len(pos), len(covered))
+        return exp
+
+    got = {r.doc_id: (r.n_tokens, r.dup_positions, r.covered_tokens)
+           for r in dedup.passage_dedup(
+               spark.createDataFrame(rows), n=n, min_docs=min_docs
+           ).collect()}
+    assert got == ref()
