@@ -199,3 +199,20 @@ def test_line_dedup_two_scans_one_join_no_python(spark):
     assert len(joins) == 1
     assert "partial_count" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_passage_dedup_semi_join_no_python(spark):
+    """passage_dedup's claimed shape: the mark-back is a LEFT SEMI join
+    (each (doc,pos) matches at most one build row — no pair expansion on
+    hot shingles), the duplicated-set threshold is a partial+final
+    cascaded count, the interval union is one window (no collect_list of
+    positions), and there is zero Python anywhere."""
+    from outbreak_kg_spark import dedup
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    plan = _plan(dedup.passage_dedup(d, n=8, min_docs=2))
+    assert "LeftSemi" in plan
+    assert "partial_count" in plan
+    assert re.search(r"\(\d+\) Window", plan)
+    assert "collect_list" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
