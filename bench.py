@@ -57,6 +57,9 @@ HEADLINE = [
     "web_line_dedup",
     "text_quality_classifier",
     "web_link_graph",
+    # r5 second half: cross-document duplicate-passage coverage (the
+    # Lee-et-al exact-substring signal; semi-join mark-back, no pairs)
+    "text_passage_dedup",
 ]
 
 

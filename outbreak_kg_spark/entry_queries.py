@@ -2106,6 +2106,36 @@ def _sql_text_passage_dedup(n: int = 8, min_docs: int = 2) -> str:
     """
 
 
+def q_corpus_length_profile(spark, sf_dir):
+    """Per-(lang, source) corpus length reconnaissance
+    (textstats.length_profile): doc counts, token totals, mean and EXACT
+    p10/p50/p90 token-count percentiles — the pass that picks curation
+    thresholds. The gate runs the exact-percentile mode (engine-portable:
+    Spark `percentile` and DuckDB `quantile_cont` are both linearly
+    interpolated); the mergeable percentile_approx scale path is
+    sketch-vs-exact bounded in pytest instead."""
+    return textstats.length_profile(_docs(spark, sf_dir))
+
+
+def _sql_corpus_length_profile() -> str:
+    return """
+        WITH t AS (
+            SELECT lang, source,
+                   len(list_filter(regexp_split_to_array(lower(text),
+                                                         '\\s+'),
+                                   x -> x <> ''))::INT AS nt
+            FROM documents)
+        SELECT lang, source,
+               count(*)::INT AS n_docs,
+               sum(nt)::BIGINT AS total_tokens,
+               round(avg(nt), 6) AS mean_tokens_r,
+               round(quantile_cont(nt, 0.1), 6) AS p10_r,
+               round(quantile_cont(nt, 0.5), 6) AS p50_r,
+               round(quantile_cont(nt, 0.9), 6) AS p90_r
+        FROM t GROUP BY lang, source
+    """
+
+
 def q_graph_pagerank(spark, sf_dir):
     """Fixed-iteration damped PageRank (graphrank.pagerank) over a
     deterministic link graph derived from the documents table, with
@@ -3975,6 +4005,7 @@ def extra_queries():
         "text_tfidf_topk": q_text_tfidf_topk,
         "kg_negative_samples": q_kg_negative_samples,
         "text_passage_dedup": q_text_passage_dedup,
+        "corpus_length_profile": q_corpus_length_profile,
     }
 
 
@@ -4011,4 +4042,5 @@ def extra_oracle_sql():
         "text_tfidf_topk": _sql_text_tfidf_topk(),
         "kg_negative_samples": _sql_kg_negative_samples(),
         "text_passage_dedup": _sql_text_passage_dedup(),
+        "corpus_length_profile": _sql_corpus_length_profile(),
     }

@@ -679,3 +679,46 @@ def tfidf_topk(df: DataFrame, text_col: str = "text",
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def length_profile(df: DataFrame, text_col: str = "text",
+                   by: tuple[str, ...] = ("lang", "source"),
+                   probs: tuple[float, ...] = (0.1, 0.5, 0.9),
+                   approx: bool = False) -> DataFrame:
+    """Per-group corpus length profile — the pre-curation reconnaissance
+    pass every large pipeline runs before choosing filter thresholds:
+    doc counts, token totals, mean and exact token-count percentiles per
+    (lang, source) stratum. Thresholding on fixed constants (textstats
+    quality filters) assumes you already KNOW the corpus's shape; this is
+    the operator that tells you.
+
+    approx=False (default, the gate/oracle path) uses Spark's exact
+    `percentile`, which buffers each group's values — fine when groups
+    are strata (lang x source: thousands, each fitting an executor).
+    approx=True swaps in `percentile_approx` — a single-pass, MERGEABLE
+    sketch (map-side partial aggregation works, memory O(1/accuracy) per
+    group regardless of group size), the right call at 10^12 docs or
+    when grouping by something unbounded. Same schema either way; a test
+    asserts the sketch lands within its accuracy bound of exact.
+
+    Scale shape: one narrow projection (token count per doc — the staged
+    tokens_col discipline), one partial+final group agg. No joins, no
+    windows, nothing per-doc retained beyond the percentile buffers the
+    chosen mode implies."""
+    n_toks = F.size(tokens_col(text_col)).cast("int")
+    t = df.select(*by, n_toks.alias("_nt"))
+    if approx:
+        def pct(p):
+            return F.percentile_approx("_nt", F.lit(p), F.lit(10000))
+    else:
+        def pct(p):
+            return F.percentile("_nt", F.lit(p))
+    aggs = [
+        F.count(F.lit(1)).cast("int").alias("n_docs"),
+        F.sum("_nt").cast("long").alias("total_tokens"),
+        F.round(F.avg("_nt"), 6).alias("mean_tokens_r"),
+    ] + [
+        F.round(pct(p).cast("double"), 6).alias(f"p{int(p * 100)}_r")
+        for p in probs
+    ]
+    return t.groupBy(*by).agg(*aggs)

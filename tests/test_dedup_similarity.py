@@ -746,3 +746,59 @@ def test_passage_dedup_fuzz_python_reference(spark):
                spark.createDataFrame(rows), n=n, min_docs=min_docs
            ).collect()}
     assert got == ref()
+
+
+def test_length_profile_exact_percentiles(spark):
+    # group (en, s1) token counts [1, 2, 3, 10]: linear-interp p50 = 2.5,
+    # p10 = 1.3, p90 = 7.9; singleton group reports its value everywhere.
+    def doc(i, lang, src, k):
+        return {"doc_id": i, "lang": lang, "source": src,
+                "text": " ".join(["w"] * k)}
+    rows = [doc(0, "en", "s1", 1), doc(1, "en", "s1", 2),
+            doc(2, "en", "s1", 3), doc(3, "en", "s1", 10),
+            doc(4, "de", "s2", 7)]
+    out = {(r.lang, r.source): r for r in
+           textstats.length_profile(spark.createDataFrame(rows)).collect()}
+    en = out[("en", "s1")]
+    assert (en.n_docs, en.total_tokens) == (4, 16)
+    assert en.mean_tokens_r == pytest.approx(4.0, abs=1e-6)
+    assert (en.p10_r, en.p50_r, en.p90_r) == (
+        pytest.approx(1.3), pytest.approx(2.5), pytest.approx(7.9))
+    de = out[("de", "s2")]
+    assert (de.n_docs, de.p10_r, de.p50_r, de.p90_r) == (1, 7.0, 7.0, 7.0)
+
+
+def test_length_profile_approx_within_rank_bound(spark):
+    # The mergeable scale path (percentile_approx) returns an ACTUAL
+    # dataset element with rank error <= n/accuracy — at accuracy 10000
+    # and n=200 that's < 1 rank. Non-sketch columns must agree exactly;
+    # each sketch percentile must be a group element whose rank window
+    # covers p*(n-1) within one position.
+    import random
+    rng = random.Random(7)
+    rows = [{"doc_id": i, "lang": "en", "source": f"s{i % 3}",
+             "text": " ".join(["w"] * rng.randint(1, 40))}
+            for i in range(200)]
+    d = spark.createDataFrame(rows)
+    counts = {}
+    for i, r in enumerate(rows):
+        counts.setdefault(("en", f"s{i % 3}"), []).append(
+            len(r["text"].split()))
+    exact = {(r.lang, r.source): r for r in
+             textstats.length_profile(d).collect()}
+    approx = {(r.lang, r.source): r for r in
+              textstats.length_profile(d, approx=True).collect()}
+    assert exact.keys() == approx.keys() == counts.keys()
+    for k, vals in counts.items():
+        vals.sort()
+        n = len(vals)
+        for c in ("n_docs", "total_tokens", "mean_tokens_r"):
+            assert approx[k][c] == pytest.approx(exact[k][c], abs=1e-6), (
+                k, c)
+        for p, c in ((0.1, "p10_r"), (0.5, "p50_r"), (0.9, "p90_r")):
+            v = approx[k][c]
+            assert v in vals, (k, c, v)
+            lo = min(i for i, x in enumerate(vals) if x == v)
+            hi = max(i for i, x in enumerate(vals) if x == v)
+            target = p * (n - 1)
+            assert lo - 1.5 <= target <= hi + 1.5, (k, c, v, target)
