@@ -2136,6 +2136,80 @@ def _sql_corpus_length_profile() -> str:
     """
 
 
+# Fixed query set for the BM25 retrieval gate — soup-vocabulary phrases so
+# every term has real postings; literal VALUES on both engines.
+ENTRY_BM25_QUERIES = (
+    (1, "spark table join"),
+    (2, "window sort order"),
+    (3, "customer query filter"),
+    (4, "stream batch merge group"),
+)
+
+
+def q_retrieval_bm25_topk(spark, sf_dir):
+    """BM25 top-10 docs per query (retrieval.bm25_topk) over the
+    documents corpus with a fixed 4-query set — the lexical-retrieval
+    hop of RAG / attribution / decontamination pipelines. The Spark side
+    runs the two-phase (salt-bucketed) top-k; the oracle ranks globally —
+    identical output by the superset property, which is exactly the
+    claim worth gating."""
+    from outbreak_kg_spark import retrieval
+
+    q = spark.createDataFrame(
+        list(ENTRY_BM25_QUERIES), "query_id long, query_text string"
+    )
+    return retrieval.bm25_topk(_docs(spark, sf_dir), q, k=10)
+
+
+def _sql_retrieval_bm25_topk(k: int = 10, k1: float = 1.2,
+                             b: float = 0.75) -> str:
+    vals = ", ".join(f"({i}, '{t}')" for i, t in ENTRY_BM25_QUERIES)
+    return f"""
+        WITH q(query_id, query_text) AS (VALUES {vals}),
+        toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS t
+            FROM documents),
+        dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM toks),
+        stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+        qt AS (
+            SELECT query_id::BIGINT AS query_id,
+                   unnest(list_distinct(list_filter(
+                       regexp_split_to_array(lower(query_text), '\\s+'),
+                       x -> x <> ''))) AS term
+            FROM q),
+        tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+        tf AS (
+            SELECT doc_id, term, count(*)::DOUBLE AS tf
+            FROM tok WHERE term IN (SELECT term FROM qt)
+            GROUP BY 1, 2),
+        dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+        scored AS (
+            SELECT qt.query_id, tf.doc_id,
+                   count(*)::INT AS n_terms_matched,
+                   round(sum(
+                       ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                       * tf.tf * ({k1} + 1.0)
+                       / (tf.tf + {k1} * (1.0 - {b}
+                                          + {b} * dl.dl / stats.avgdl))
+                   ), 6) AS score_r
+            FROM tf
+            JOIN qt USING (term)
+            JOIN dfq USING (term)
+            JOIN dl ON dl.doc_id = tf.doc_id, stats
+            GROUP BY 1, 2),
+        ranked AS (
+            SELECT query_id, doc_id, n_terms_matched, score_r,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score_r DESC, doc_id ASC) AS rank
+            FROM scored)
+        SELECT query_id, doc_id, n_terms_matched, score_r, rank::INT AS rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
 def q_graph_pagerank(spark, sf_dir):
     """Fixed-iteration damped PageRank (graphrank.pagerank) over a
     deterministic link graph derived from the documents table, with
@@ -4006,6 +4080,7 @@ def extra_queries():
         "kg_negative_samples": q_kg_negative_samples,
         "text_passage_dedup": q_text_passage_dedup,
         "corpus_length_profile": q_corpus_length_profile,
+        "retrieval_bm25_topk": q_retrieval_bm25_topk,
     }
 
 
@@ -4043,4 +4118,5 @@ def extra_oracle_sql():
         "kg_negative_samples": _sql_kg_negative_samples(),
         "text_passage_dedup": _sql_text_passage_dedup(),
         "corpus_length_profile": _sql_corpus_length_profile(),
+        "retrieval_bm25_topk": _sql_retrieval_bm25_topk(),
     }

@@ -1,0 +1,113 @@
+"""Lexical retrieval over the corpus — BM25 top-k per query, the operator a
+RAG / attribution / decontamination pipeline runs against the training set
+("which training documents does this eval question retrieve?").
+
+Spark-first shape: the query set is tiny (a dimension) and the corpus is the
+fact side, so EVERYTHING narrows at the earliest possible point — exploded
+tokens are semi-joined against the broadcast query vocabulary before any
+aggregation, meaning the per-(doc, term) tf agg, the df agg, and the scoring
+join all run over query-vocabulary postings only, never the corpus vocab.
+Document length (the one signal needing unmatched tokens) is a narrow
+`size(tokens)` projection, not an agg. Top-k per query is TWO-PHASE: a
+handful of query keys would otherwise funnel every matched posting of a
+query through one window partition — rank within (query, md5-salt bucket)
+first, then rank the <= buckets*k survivors globally (every global top-k row
+is in its bucket's top-k, so the phases are exact, not approximate).
+
+All hashing/rounding is engine-portable (md5-48 salt, round-6 scores ranked
+AFTER rounding with doc-id tie-break), so a DuckDB oracle replays the exact
+ranked output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import _md5_48
+from .textstats import tokens_col
+
+
+def bm25_topk(docs: DataFrame, queries: DataFrame,
+              text_col: str = "text", id_col: str = "doc_id",
+              query_id_col: str = "query_id",
+              query_text_col: str = "query_text",
+              k: int = 10, k1: float = 1.2, b: float = 0.75,
+              salt_buckets: int = 32) -> DataFrame:
+    """BM25 (Robertson idf, ln(1 + (N-df+0.5)/(df+0.5)) — always
+    positive) top-k docs per query. Query term sets are DISTINCT per
+    query (standard for short queries: query-side tf ignored). Output:
+    (query_id, doc_id, n_terms_matched, score_r, rank), rank 1..k by
+    score_r desc then doc_id asc; queries matching nothing emit no rows.
+
+    df is computed AFTER the query-vocabulary semi join — a term's
+    document frequency over docs containing it is unchanged by the
+    filter, and the corpus-vocabulary agg never runs. N and avgdl ride a
+    1-row broadcast crossJoin (no collect). The dl join keys on doc_id
+    with a UNIQUE build side. Scores are rounded to 6 BEFORE ranking so
+    rank boundaries are identical cross-engine."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("_toks")
+    )
+    dl = base.select("doc_id", F.size("_toks").cast("double").alias("_dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+    )
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.array_distinct(tokens_col(query_text_col)))
+        .alias("term"),
+    )
+    qvocab = qterms.select("term").distinct()
+    tf = (
+        base.select("doc_id", F.explode("_toks").alias("term"))
+        .join(F.broadcast(qvocab), "term", "left_semi")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("_tf"))
+    )
+    dfreq = (
+        tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("_df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term", "_n", "_avgdl",
+            F.log(
+                F.lit(1.0)
+                + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+            ).alias("_idf"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .select(
+            "query_id", "doc_id",
+            (
+                F.col("_idf") * F.col("_tf") * (k1 + 1.0)
+                / (
+                    F.col("_tf")
+                    + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+                )
+            ).alias("_s"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_terms_matched"),
+            F.round(F.sum("_s"), 6).alias("score_r"),
+        )
+    )
+    salt = F.pmod(_md5_48(F.col("doc_id").cast("string")),
+                  F.lit(salt_buckets))
+    w1 = Window.partitionBy("query_id", "_salt").orderBy(
+        F.col("score_r").desc(), F.col("doc_id").asc())
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score_r").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("_salt", salt)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "n_terms_matched", "score_r", "rank")
+    )

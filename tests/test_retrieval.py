@@ -1,0 +1,90 @@
+"""BM25 retrieval: pure-Python reference parity, two-phase top-k exactness,
+and no-match behavior."""
+
+import math
+import random
+
+import pytest
+
+from outbreak_kg_spark import retrieval
+
+
+def _ref_bm25(docs, queries, k=10, k1=1.2, b=0.75):
+    """Reference BM25 (Robertson idf) over token lists; returns
+    {(query_id, doc_id): (n_matched, score_r, rank)}."""
+    toks = {d: t.lower().split() for d, t in docs.items()}
+    n = float(len(toks))
+    avgdl = sum(len(t) for t in toks.values()) / n
+    out = {}
+    for qid, qtext in queries.items():
+        terms = sorted(set(qtext.lower().split()))
+        scored = []
+        for d, t in toks.items():
+            s, m = 0.0, 0
+            for term in terms:
+                tf = float(t.count(term))
+                if tf == 0:
+                    continue
+                df = float(sum(1 for tt in toks.values() if term in tt))
+                idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+                s += idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * len(t) / avgdl))
+                m += 1
+            if m:
+                scored.append((d, m, round(s, 6)))
+        scored.sort(key=lambda x: (-x[2], x[0]))
+        for rank, (d, m, s) in enumerate(scored[:k], 1):
+            out[(qid, d)] = (m, s, rank)
+    return out
+
+
+def test_bm25_matches_python_reference(spark):
+    rng = random.Random(42)
+    vocab = ["spark", "table", "join", "window", "sort", "scan", "agg",
+             "row", "key", "batch"]
+    docs = {i: " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 25)))
+            for i in range(40)}
+    queries = {1: "spark table join", 2: "window sort", 3: "key"}
+    d = spark.createDataFrame(
+        [{"doc_id": i, "text": t} for i, t in docs.items()])
+    q = spark.createDataFrame(
+        [{"query_id": i, "query_text": t} for i, t in queries.items()])
+    got = {(r.query_id, r.doc_id): (r.n_terms_matched, r.score_r, r.rank)
+           for r in retrieval.bm25_topk(d, q, k=10).collect()}
+    want = _ref_bm25(docs, queries, k=10)
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key][0] == want[key][0], key
+        assert got[key][1] == pytest.approx(want[key][1], abs=2e-6), key
+        assert got[key][2] == want[key][2], key
+
+
+def test_bm25_two_phase_equals_global(spark):
+    # salt_buckets=1 degenerates to a single global window; the bucketed
+    # run must produce the identical ranked set (exact two-phase claim).
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "d", "e"]
+    d = spark.createDataFrame(
+        [{"doc_id": i,
+          "text": " ".join(rng.choice(vocab)
+                           for _ in range(rng.randint(2, 15)))}
+         for i in range(60)])
+    q = spark.createDataFrame(
+        [{"query_id": 1, "query_text": "a c e"}])
+    bucketed = sorted(map(tuple, retrieval.bm25_topk(
+        d, q, k=7, salt_buckets=8).collect()))
+    single = sorted(map(tuple, retrieval.bm25_topk(
+        d, q, k=7, salt_buckets=1).collect()))
+    assert bucketed == single
+    assert len(bucketed) == 7
+
+
+def test_bm25_no_match_query_emits_nothing(spark):
+    d = spark.createDataFrame(
+        [{"doc_id": 0, "text": "x y z"}, {"doc_id": 1, "text": "x x"}])
+    q = spark.createDataFrame(
+        [{"query_id": 1, "query_text": "unseen tokens"},
+         {"query_id": 2, "query_text": "x"}])
+    rows = retrieval.bm25_topk(d, q, k=5).collect()
+    assert {r.query_id for r in rows} == {2}
+    assert all(r.n_terms_matched == 1 for r in rows)
