@@ -2210,6 +2210,41 @@ def _sql_retrieval_bm25_topk(k: int = 10, k1: float = 1.2,
     """
 
 
+def q_sample_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (sampling.chunk_tokens,
+    window=32 stride=24 so the ~50-token soup docs emit 1-3 chunks):
+    the RAG-indexing / long-doc split layout, with start/len metadata
+    derivable without materializing text."""
+    return sampling.chunk_tokens(
+        _docs(spark, sf_dir), window=32, stride=24)
+
+
+def _sql_sample_chunks(window: int = 32, stride: int = 24) -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS t
+            FROM documents),
+        meta AS (
+            SELECT doc_id, t, len(t) AS n,
+                   CASE WHEN len(t) <= 0 THEN 0
+                        WHEN len(t) <= {window} THEN 1
+                        ELSE ceil((len(t) - {window})
+                                  / {stride}::DOUBLE)::INT + 1
+                   END AS n_chunks
+            FROM toks)
+        SELECT doc_id,
+               u.i::INT AS chunk_id,
+               (u.i * {stride})::INT AS start_pos,
+               least({window}, n - u.i * {stride})::INT AS n_tokens,
+               array_to_string(
+                   t[u.i * {stride} + 1 : u.i * {stride} + {window}],
+                   ' ') AS chunk_text
+        FROM meta, LATERAL unnest(range(0, n_chunks)) AS u(i)
+    """
+
+
 def q_graph_pagerank(spark, sf_dir):
     """Fixed-iteration damped PageRank (graphrank.pagerank) over a
     deterministic link graph derived from the documents table, with
@@ -4081,6 +4116,7 @@ def extra_queries():
         "text_passage_dedup": q_text_passage_dedup,
         "corpus_length_profile": q_corpus_length_profile,
         "retrieval_bm25_topk": q_retrieval_bm25_topk,
+        "sample_chunks": q_sample_chunks,
     }
 
 
@@ -4119,4 +4155,5 @@ def extra_oracle_sql():
         "text_passage_dedup": _sql_text_passage_dedup(),
         "corpus_length_profile": _sql_corpus_length_profile(),
         "retrieval_bm25_topk": _sql_retrieval_bm25_topk(),
+        "sample_chunks": _sql_sample_chunks(),
     }

@@ -427,3 +427,61 @@ def negative_triples(edges: DataFrame, n_per_pos: int = 2,
         edges.select("subj", "pred", "obj").distinct(),
         ["subj", "pred", "obj"], "left_anti",
     )
+
+
+def chunk_tokens(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", window: int = 64,
+                 stride: int = 48) -> DataFrame:
+    """Overlapping token-window chunking — the RAG-indexing / long-doc
+    training split: chunk i covers tokens [i*stride, i*stride + window).
+    Chunk count is the standard sliding-window formula — 1 when the doc
+    fits one window, else ceil((n - window) / stride) + 1 — so every
+    token is covered and no chunk's fresh (non-overlap) portion is empty;
+    empty docs emit no chunks.
+
+    Output: (doc_id, chunk_id, start_pos, n_tokens, chunk_text), all
+    per-chunk values derivable from (n, i) so the layout can be planned
+    (and oracle-replayed) without materializing text at all.
+
+    Scale shape: entirely NARROW — the token array is staged once per the
+    shingle_array lesson, chunk structs are a per-row transform, and the
+    explode multiplies rows by ~n/stride without any exchange; whatever
+    partitioning the corpus scan had is what the chunk table has. The
+    guard on the chunk sequence matters: Spark's sequence(0, -1) counts
+    DOWN (yielding [0,-1]), so the empty-doc case must short-circuit
+    before sequence is evaluated rather than rely on an empty range."""
+    if stride <= 0 or window <= 0 or stride > window:
+        raise ValueError("need 0 < stride <= window")
+    pre = df.select(
+        F.col(id_col),
+        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                 lambda t: t != "").alias("_toks"),
+    )
+    n = F.size("_toks")
+    n_chunks = (
+        F.when(n <= 0, F.lit(0))
+        .when(n <= window, F.lit(1))
+        .otherwise(
+            F.ceil((n - window) / F.lit(float(stride))).cast("int") + 1)
+    )
+    chunks = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_id"),
+                (i * stride).cast("int").alias("start_pos"),
+                F.least(F.lit(window), n - i * stride).cast("int")
+                .alias("n_tokens"),
+                F.array_join(
+                    F.slice(F.col("_toks"), i * stride + 1, window), " "
+                ).alias("chunk_text"),
+            ),
+        ),
+    ).otherwise(F.array().cast(
+        "array<struct<chunk_id:int,start_pos:int,n_tokens:int,"
+        "chunk_text:string>>"))
+    return pre.select(id_col, F.explode(chunks).alias("_c")).select(
+        id_col, "_c.chunk_id", "_c.start_pos", "_c.n_tokens",
+        "_c.chunk_text",
+    )

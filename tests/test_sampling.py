@@ -274,3 +274,49 @@ def test_negative_triples_properties(spark):
     repl = {r.obj for r in rows if r.side == "tail"} | {
         r.subj for r in rows if r.side == "head"}
     assert len(repl) >= 8
+
+
+def test_chunk_tokens_windows_and_edges(spark):
+    from outbreak_kg_spark.sampling import chunk_tokens
+
+    # 10 tokens, window 4 stride 3 -> chunks at 0,3,6 cover 0-9 fully
+    # (ceil((10-4)/3)+1 = 3); last chunk is the 4-token suffix 6-9.
+    # 3-token doc fits one window; empty doc emits nothing.
+    rows = [
+        {"doc_id": 0, "text": " ".join(f"t{i}" for i in range(10))},
+        {"doc_id": 1, "text": "a b c"},
+        {"doc_id": 2, "text": "   "},
+    ]
+    out = chunk_tokens(spark.createDataFrame(rows), window=4, stride=3)
+    got = {(r.doc_id, r.chunk_id): (r.start_pos, r.n_tokens, r.chunk_text)
+           for r in out.collect()}
+    assert set(got) == {(0, 0), (0, 1), (0, 2), (1, 0)}
+    assert got[(0, 0)] == (0, 4, "t0 t1 t2 t3")
+    assert got[(0, 1)] == (3, 4, "t3 t4 t5 t6")
+    assert got[(0, 2)] == (6, 4, "t6 t7 t8 t9")
+    assert got[(1, 0)] == (0, 3, "a b c")
+
+
+def test_chunk_tokens_full_coverage_property(spark):
+    from outbreak_kg_spark.sampling import chunk_tokens
+    import random
+
+    rng = random.Random(11)
+    rows = [{"doc_id": i,
+             "text": " ".join("w" for _ in range(rng.randint(0, 40)))}
+            for i in range(25)]
+    out = chunk_tokens(spark.createDataFrame(rows), window=8, stride=5)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, row in enumerate(rows):
+        n = len(row["text"].split())
+        chunks = sorted(by_doc.get(i, []), key=lambda r: r.chunk_id)
+        if n == 0:
+            assert not chunks
+            continue
+        covered = set()
+        for c in chunks:
+            assert c.n_tokens == min(8, n - c.start_pos) > 0
+            covered.update(range(c.start_pos, c.start_pos + c.n_tokens))
+        assert covered == set(range(n))  # every token in some chunk
