@@ -2245,6 +2245,33 @@ def _sql_sample_chunks(window: int = 32, stride: int = 24) -> str:
     """
 
 
+def q_sample_temperature(spark, sf_dir):
+    """Temperature-flattened language resampling
+    (sampling.temperature_resample, alpha=0.5): per-doc deterministic
+    acceptance at p_lang^(alpha-1)-proportional rates normalized so the
+    rarest language keeps everything — the multilingual-pretraining
+    mixture recipe over the documents table."""
+    out = sampling.temperature_resample(
+        _docs(spark, sf_dir), strata_col="lang", alpha=0.5, salt="temp")
+    return out.select("doc_id", "lang", "accept_rate_r")
+
+
+def _sql_sample_temperature(alpha: float = 0.5, salt: str = "temp") -> str:
+    h = sampling.sql_hash_hex("d.doc_id", salt)
+    denom = float(1 << 48)
+    return f"""
+        WITH c AS (
+            SELECT lang, count(*)::DOUBLE AS n_s FROM documents GROUP BY 1),
+        t AS (SELECT sum(n_s) AS n FROM c),
+        r0 AS (SELECT lang, pow(n_s / t.n, {alpha} - 1.0) AS w FROM c, t),
+        m AS (SELECT max(w) AS wmax FROM r0),
+        r AS (SELECT lang, w / m.wmax AS rate FROM r0, m)
+        SELECT d.doc_id, d.lang, round(r.rate, 6) AS accept_rate_r
+        FROM documents d JOIN r USING (lang)
+        WHERE ('0x' || {h})::BIGINT::DOUBLE / {denom} < r.rate
+    """
+
+
 def q_graph_pagerank(spark, sf_dir):
     """Fixed-iteration damped PageRank (graphrank.pagerank) over a
     deterministic link graph derived from the documents table, with
@@ -4117,6 +4144,7 @@ def extra_queries():
         "corpus_length_profile": q_corpus_length_profile,
         "retrieval_bm25_topk": q_retrieval_bm25_topk,
         "sample_chunks": q_sample_chunks,
+        "sample_temperature": q_sample_temperature,
     }
 
 
@@ -4156,4 +4184,5 @@ def extra_oracle_sql():
         "corpus_length_profile": _sql_corpus_length_profile(),
         "retrieval_bm25_topk": _sql_retrieval_bm25_topk(),
         "sample_chunks": _sql_sample_chunks(),
+        "sample_temperature": _sql_sample_temperature(),
     }

@@ -485,3 +485,55 @@ def chunk_tokens(df: DataFrame, text_col: str = "text",
         id_col, "_c.chunk_id", "_c.start_pos", "_c.n_tokens",
         "_c.chunk_text",
     )
+
+
+def temperature_resample(df: DataFrame, strata_col: str = "lang",
+                         id_col: str = "doc_id", alpha: float = 0.5,
+                         salt: str = "temp") -> DataFrame:
+    """Temperature-flattened stratum resampling — the mBERT/XLM-R
+    multilingual recipe: target stratum shares proportional to
+    p_s^alpha (alpha<1 flattens the head, lifts the tail). Realized as
+    deterministic per-doc acceptance at rate
+    r_s = p_s^(alpha-1) / max_t p_t^(alpha-1): the rarest stratum keeps
+    rate 1 (sampling never UPsamples — repetition is an epoch-weighting
+    concern, not a filter's), every other stratum is thinned so the
+    kept shares land on the alpha-tempered distribution.
+
+    Output: the kept rows, with `accept_rate_r` (round-6) attached.
+
+    Unlike hash_split's Python-precomputed thresholds, the rates here
+    are DATA-dependent, so the acceptance compares the md5-48 hash
+    fraction (hash/2^48, engine-portable to the bit) against an in-plan
+    double. Cross-engine pow/div can differ in the last ulp, but a flip
+    needs a doc hash inside that ~1e-16-wide window of a rate — measure
+    ~2^-48-per-doc, zero observed; the same argument the p-value gates
+    already rely on.
+
+    Scale shape: one partial-combined stratum count, two 1-row broadcast
+    crossJoins (total and max-rate — never a collect), one broadcast
+    join of the stratum-dimension rates onto the corpus, one narrow
+    filter. The corpus is touched twice (count pass + filter pass), the
+    minimum for any exact-share scheme."""
+    counts = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).cast("double").alias("_n_s"))
+    total = counts.agg(F.sum("_n_s").alias("_n"))
+    rates = counts.crossJoin(F.broadcast(total)).select(
+        strata_col,
+        F.pow(F.col("_n_s") / F.col("_n"), F.lit(alpha - 1.0))
+        .alias("_w"),
+    )
+    wmax = rates.agg(F.max("_w").alias("_wmax"))
+    rates = rates.crossJoin(F.broadcast(wmax)).select(
+        strata_col,
+        (F.col("_w") / F.col("_wmax")).alias("_rate"),
+    )
+    frac = (
+        F.conv(hash_hex(id_col, salt), 16, 10).cast("double")
+        / F.lit(float(1 << (4 * HASH_HEX_WIDTH)))
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(frac < F.col("_rate"))
+        .withColumn("accept_rate_r", F.round("_rate", 6))
+        .drop("_rate")
+    )
