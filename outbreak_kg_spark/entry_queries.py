@@ -2272,6 +2272,71 @@ def _sql_sample_temperature(alpha: float = 0.5, salt: str = "temp") -> str:
     """
 
 
+def q_graph_triangles(spark, sf_dir):
+    """Per-node triangle counts + local clustering coefficient
+    (graphrank.triangle_counts, compact-forward oriented) over a
+    deterministic 3-family modular link graph on the documents table —
+    community density for link-ring / template-farm detection."""
+    from .graphrank import triangle_counts
+
+    d = _docs(spark, sf_dir)
+    fams = [(7, 3), (13, 5), (3, 11)]
+    edges = None
+    for a, c in fams:
+        e = d.select(
+            (F.col("doc_id") % 101).alias("src"),
+            ((F.col("doc_id") * a + c) % 101).alias("dst"),
+        )
+        edges = e if edges is None else edges.unionAll(e)
+    return triangle_counts(edges)
+
+
+def _sql_graph_triangles() -> str:
+    return """
+        WITH raw AS (
+            SELECT doc_id % 101 AS src, (doc_id*7+3) % 101 AS dst
+            FROM documents
+            UNION ALL
+            SELECT doc_id % 101, (doc_id*13+5) % 101 FROM documents
+            UNION ALL
+            SELECT doc_id % 101, (doc_id*3+11) % 101 FROM documents),
+        und AS (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM raw WHERE src <> dst),
+        deg AS (
+            SELECT node, count(*) AS degree FROM (
+                SELECT u AS node FROM und
+                UNION ALL SELECT v FROM und) GROUP BY 1),
+        ed AS (
+            SELECT und.u, und.v, du.degree AS du, dv.degree AS dv
+            FROM und
+            JOIN deg du ON du.node = und.u
+            JOIN deg dv ON dv.node = und.v),
+        oriented AS (
+            SELECT CASE WHEN (du, u) < (dv, v) THEN u ELSE v END AS s,
+                   CASE WHEN (du, u) < (dv, v) THEN v ELSE u END AS t
+            FROM ed),
+        wedges AS (
+            SELECT e1.s AS x, e1.t AS y, e2.t AS z
+            FROM oriented e1
+            JOIN oriented e2 ON e1.s = e2.s AND e1.t < e2.t),
+        tri AS (SELECT x, y, z FROM wedges JOIN und ON y = u AND z = v),
+        pn AS (
+            SELECT node, count(*) AS triangles FROM (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri) GROUP BY 1)
+        SELECT deg.node,
+               deg.degree::INT AS degree,
+               coalesce(pn.triangles, 0)::INT AS triangles,
+               round(CASE WHEN deg.degree >= 2
+                          THEN 2.0 * coalesce(pn.triangles, 0)
+                               / (deg.degree * (deg.degree - 1.0))
+                          ELSE 0.0 END, 6) AS clustering_r
+        FROM deg LEFT JOIN pn USING (node)
+    """
+
+
 def q_graph_pagerank(spark, sf_dir):
     """Fixed-iteration damped PageRank (graphrank.pagerank) over a
     deterministic link graph derived from the documents table, with
@@ -4145,6 +4210,7 @@ def extra_queries():
         "retrieval_bm25_topk": q_retrieval_bm25_topk,
         "sample_chunks": q_sample_chunks,
         "sample_temperature": q_sample_temperature,
+        "graph_triangles": q_graph_triangles,
     }
 
 
@@ -4185,4 +4251,5 @@ def extra_oracle_sql():
         "retrieval_bm25_topk": _sql_retrieval_bm25_topk(),
         "sample_chunks": _sql_sample_chunks(),
         "sample_temperature": _sql_sample_temperature(),
+        "graph_triangles": _sql_graph_triangles(),
     }

@@ -61,3 +61,50 @@ def test_no_inlink_node_keeps_teleport_rank(spark):
     want = _numpy_pagerank(EDGES, 5)
     assert abs(got[4] - want[4]) < 1e-12
     assert got[4] > 0
+
+
+def test_triangle_counts_hand_graph(spark):
+    from outbreak_kg_spark.graphrank import triangle_counts
+
+    # K4 on {1,2,3,4} (4 triangles, every node in 3, clustering 1.0)
+    # plus a pendant 5-1 (node 5: degree 1, clustering 0; node 1 degree 4,
+    # clustering 3/6 = 0.5). Direction/dupes/self-loops must not matter.
+    edges = [(1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (3, 4), (2, 4),
+             (4, 2), (5, 1), (3, 3)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    out = {r.node: r for r in triangle_counts(df).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert (out[2].degree, out[2].triangles, out[2].clustering_r) == (
+        3, 3, 1.0)
+    assert (out[3].degree, out[3].triangles, out[3].clustering_r) == (
+        3, 3, 1.0)
+    assert (out[1].degree, out[1].triangles) == (4, 3)
+    assert out[1].clustering_r == 0.5
+    assert (out[5].degree, out[5].triangles, out[5].clustering_r) == (
+        1, 0, 0.0)
+
+
+def test_triangle_counts_fuzz_python_reference(spark):
+    from outbreak_kg_spark.graphrank import triangle_counts
+    import itertools
+    import random
+
+    rng = random.Random(3)
+    nodes = list(range(12))
+    edges = [(a, b) for a in nodes for b in nodes
+             if a != b and rng.random() < 0.3]
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for n, nb in adj.items():
+        t = sum(1 for x, y in itertools.combinations(sorted(nb), 2)
+                if y in adj.get(x, ()))
+        d = len(nb)
+        want[n] = (d, t, round(2.0 * t / (d * (d - 1)), 6) if d >= 2
+                   else 0.0)
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r.node: (r.degree, r.triangles, r.clustering_r)
+           for r in triangle_counts(df).collect()}
+    assert got == want
