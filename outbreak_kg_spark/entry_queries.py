@@ -2272,6 +2272,22 @@ def _sql_sample_temperature(alpha: float = 0.5, salt: str = "temp") -> str:
     """
 
 
+def q_corpus_cardinality(spark, sf_dir):
+    """Exact-mode twin of textstats.cardinality_profile: distinct doc
+    texts per language (the dedup-dashboard measure). The HLL sketch
+    path shares this schema and is evidence-gated in pytest (4-sigma
+    exact-vs-sketch bound) — register layouts are engine-specific, so
+    the sketch itself cannot value-hash against DuckDB by design."""
+    return textstats.cardinality_profile(
+        _docs(spark, sf_dir), "text", by=("lang",), exact=True)
+
+
+SQL_CORPUS_CARDINALITY = """
+    SELECT lang, count(DISTINCT text)::BIGINT AS n_distinct
+    FROM documents GROUP BY lang
+"""
+
+
 def q_graph_triangles(spark, sf_dir):
     """Per-node triangle counts + local clustering coefficient
     (graphrank.triangle_counts, compact-forward oriented) over a
@@ -4211,6 +4227,7 @@ def extra_queries():
         "sample_chunks": q_sample_chunks,
         "sample_temperature": q_sample_temperature,
         "graph_triangles": q_graph_triangles,
+        "corpus_cardinality": q_corpus_cardinality,
     }
 
 
@@ -4252,4 +4269,5 @@ def extra_oracle_sql():
         "sample_chunks": _sql_sample_chunks(),
         "sample_temperature": _sql_sample_temperature(),
         "graph_triangles": _sql_graph_triangles(),
+        "corpus_cardinality": SQL_CORPUS_CARDINALITY,
     }

@@ -722,3 +722,34 @@ def length_profile(df: DataFrame, text_col: str = "text",
         for p in probs
     ]
     return t.groupBy(*by).agg(*aggs)
+
+
+def cardinality_profile(df: DataFrame, key_col: str,
+                        by: tuple[str, ...] = (),
+                        rsd: float = 0.02,
+                        exact: bool = False) -> DataFrame:
+    """Distinct-cardinality profile — per-group distinct counts of
+    `key_col` (distinct URLs per domain, distinct domains per language,
+    vocabulary size per source): the sketch every crawl/corpus dashboard
+    is built on.
+
+    exact=False (default, THE scale path) uses HyperLogLog++
+    (`approx_count_distinct`, relative standard deviation `rsd`): a
+    MERGEABLE fixed-size sketch, so the partial+final agg works at any
+    group size with O(1/rsd^2) bytes per group and no giant
+    distinct-shuffle. exact=True swaps in count(DISTINCT ...) — the
+    two-cascade agg — for gates and small strata. Same schema either
+    way: (*by, n_distinct).
+
+    Cross-engine note: HLL register layouts are engine-specific, so the
+    sketch path has NO DuckDB value oracle by design; its evidence is
+    the pytest bound |sketch - exact| / exact <= 4*rsd on real data (a
+    >4-sigma miss means a broken sketch, not noise) plus this exact-mode
+    twin, which IS oracle-gated."""
+    agg = (
+        F.count_distinct(F.col(key_col)) if exact
+        else F.approx_count_distinct(key_col, rsd)
+    ).cast("long").alias("n_distinct")
+    if by:
+        return df.groupBy(*by).agg(agg)
+    return df.agg(agg)

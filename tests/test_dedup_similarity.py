@@ -802,3 +802,26 @@ def test_length_profile_approx_within_rank_bound(spark):
             hi = max(i for i, x in enumerate(vals) if x == v)
             target = p * (n - 1)
             assert lo - 1.5 <= target <= hi + 1.5, (k, c, v, target)
+
+
+def test_cardinality_profile_exact_and_sketch_bound(spark):
+    # exact mode: hand-checkable distinct counts per group; sketch mode:
+    # HLL++ at rsd=0.02 must land within 4 sigma of exact on a 5k-key
+    # column (a miss means a broken sketch, not noise), and ungrouped
+    # mode returns the single-row total.
+    rows = [{"k": f"key{i % 5000}", "g": f"g{i % 2}"}
+            for i in range(12000)]
+    d = spark.createDataFrame(rows)
+    exact = {r.g: r.n_distinct for r in
+             textstats.cardinality_profile(
+                 d, "k", by=("g",), exact=True).collect()}
+    # 5000 is even, so i%2 fixes the parity of i%5000: each group
+    # sees exactly the 2500 same-parity keys
+    assert exact == {"g0": 2500, "g1": 2500}
+    sketch = {r.g: r.n_distinct for r in
+              textstats.cardinality_profile(
+                  d, "k", by=("g",), rsd=0.02).collect()}
+    for g, n in exact.items():
+        assert abs(sketch[g] - n) / n <= 4 * 0.02, (g, sketch[g], n)
+    total = textstats.cardinality_profile(d, "k", exact=True).collect()
+    assert len(total) == 1 and total[0].n_distinct == 5000
