@@ -2353,6 +2353,61 @@ def _sql_graph_triangles() -> str:
     """
 
 
+def q_retrieval_rrf_fuse(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion (retrieval.rrf_fuse):
+    the BM25 lexical top-10 fused with the embedding cosine top-10 over
+    the SAME id space (vec_id == doc_id on the synthetic tables), query
+    vectors = embeddings of ids 1-4 matching the fixed BM25 query ids.
+    Rank-only combination — the two systems' raw scores are never
+    compared, which is what makes the fusion exactly replayable."""
+    from outbreak_kg_spark import retrieval
+
+    bm = q_retrieval_bm25_topk(spark, sf_dir).select(
+        "query_id", "doc_id", "rank")
+    emb = _tbl(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id").isin([1, 2, 3, 4])).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    cos = similarity.cosine_topk(emb, qv, k=10).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return retrieval.rrf_fuse(bm, cos, k=10)
+
+
+def _sql_retrieval_rrf_fuse(k: int = 10, c: int = 60) -> str:
+    return f"""
+        WITH bm AS ({_sql_retrieval_bm25_topk()}),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        qe AS (SELECT vec_id AS query_id, v AS qv FROM e
+               WHERE vec_id IN (1, 2, 3, 4)),
+        cs AS (
+            SELECT qe.query_id, e.vec_id AS doc_id,
+                   list_dot_product(e.v, qe.qv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(qe.qv, qe.qv))) AS cosine
+            FROM e CROSS JOIN qe),
+        cr AS (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, doc_id ASC)
+                     AS rank
+            FROM cs),
+        u AS (
+            SELECT query_id, doc_id, rank FROM bm
+            UNION ALL
+            SELECT query_id, doc_id, rank FROM cr WHERE rank <= {k}),
+        sc AS (
+            SELECT query_id, doc_id, count(*)::INT AS n_systems,
+                   round(sum(1.0 / ({c}.0 + rank)), 9) AS rrf_r
+            FROM u GROUP BY 1, 2),
+        r AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY rrf_r DESC, doc_id ASC)
+                        AS rank
+            FROM sc)
+        SELECT query_id, doc_id, n_systems, rrf_r, rank::INT AS rank
+        FROM r WHERE rank <= {k}
+    """
+
+
 def q_graph_pagerank(spark, sf_dir):
     """Fixed-iteration damped PageRank (graphrank.pagerank) over a
     deterministic link graph derived from the documents table, with
@@ -4228,6 +4283,7 @@ def extra_queries():
         "sample_temperature": q_sample_temperature,
         "graph_triangles": q_graph_triangles,
         "corpus_cardinality": q_corpus_cardinality,
+        "retrieval_rrf_fuse": q_retrieval_rrf_fuse,
     }
 
 
@@ -4270,4 +4326,5 @@ def extra_oracle_sql():
         "sample_temperature": _sql_sample_temperature(),
         "graph_triangles": _sql_graph_triangles(),
         "corpus_cardinality": SQL_CORPUS_CARDINALITY,
+        "retrieval_rrf_fuse": _sql_retrieval_rrf_fuse(),
     }

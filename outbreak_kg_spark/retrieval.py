@@ -97,17 +97,64 @@ def bm25_topk(docs: DataFrame, queries: DataFrame,
             F.round(F.sum("_s"), 6).alias("score_r"),
         )
     )
+    return _two_phase_topk(scored, k, salt_buckets).select(
+        "query_id", "doc_id", "n_terms_matched", "score_r", "rank")
+
+
+def _two_phase_topk(scored: DataFrame, k: int, salt_buckets: int,
+                    order_col: str = "score_r") -> DataFrame:
+    """Exact top-k per query over few query keys: rank within
+    (query, md5-salt bucket) first — every global top-k row is in its
+    bucket's top-k — then rank the <= buckets*k survivors. Ordering is
+    (order_col desc, doc_id asc) on an already-rounded column so rank
+    boundaries are engine-portable."""
     salt = F.pmod(_md5_48(F.col("doc_id").cast("string")),
                   F.lit(salt_buckets))
     w1 = Window.partitionBy("query_id", "_salt").orderBy(
-        F.col("score_r").desc(), F.col("doc_id").asc())
+        F.col(order_col).desc(), F.col("doc_id").asc())
     w2 = Window.partitionBy("query_id").orderBy(
-        F.col("score_r").desc(), F.col("doc_id").asc())
+        F.col(order_col).desc(), F.col("doc_id").asc())
     return (
         scored.withColumn("_salt", salt)
         .withColumn("_r1", F.row_number().over(w1))
         .filter(F.col("_r1") <= k)
         .withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
-        .select("query_id", "doc_id", "n_terms_matched", "score_r", "rank")
+        .drop("_salt", "_r1")
     )
+
+
+def rrf_fuse(*ranked: DataFrame, k: int = 10, c: int = 60,
+             salt_buckets: int = 32) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked lists (the standard hybrid-
+    retrieval combiner for BM25 + embedding top-k): fused score =
+    sum over systems of 1/(c + rank), docs absent from a system
+    contribute nothing. Inputs need (query_id, doc_id, rank); ties in
+    the fused score break by doc_id asc.
+
+    RRF is rank-only by design — it never compares raw scores across
+    systems (BM25 logs vs cosine in [-1,1] aren't commensurable), which
+    is also what makes it exactly engine-portable: 1/(c+rank) sums of
+    small rationals, rounded once at 9 (fused deltas are >=1e-7 for any
+    rank pair under ~3000, so round-9 never merges genuinely distinct
+    scores but kills summation-order ulps).
+
+    Scale shape: one unionAll (narrow) + one partial-combined
+    (query, doc) sum + the exact two-phase top-k; input lists are
+    already <= k' rows per query, so everything downstream of the union
+    is list-sized, not corpus-sized."""
+    if not ranked:
+        raise ValueError("need at least one ranked input")
+    parts = [r.select("query_id", "doc_id", "rank") for r in ranked]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    scored = (
+        u.groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_systems"),
+            F.round(F.sum(1.0 / (F.lit(float(c)) + F.col("rank"))), 9)
+            .alias("rrf_r"),
+        )
+    )
+    return _two_phase_topk(scored, k, salt_buckets, order_col="rrf_r")

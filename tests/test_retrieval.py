@@ -88,3 +88,55 @@ def test_bm25_no_match_query_emits_nothing(spark):
     rows = retrieval.bm25_topk(d, q, k=5).collect()
     assert {r.query_id for r in rows} == {2}
     assert all(r.n_terms_matched == 1 for r in rows)
+
+
+def test_rrf_fuse_hand_case(spark):
+    # System A ranks docs (10, 20, 30); system B ranks (20, 10, 40).
+    # With c=60: doc 20 = 1/62 + 1/61, doc 10 = 1/61 + 1/62 (tie with 20
+    # -> doc_id asc puts 10 first), doc 30 = 1/63, doc 40 = 1/63 (tie ->
+    # 30 first). n_systems marks overlap.
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (1, 30, 3)],
+        "query_id long, doc_id long, rank int")
+    b = spark.createDataFrame(
+        [(1, 20, 1), (1, 10, 2), (1, 40, 3)],
+        "query_id long, doc_id long, rank int")
+    out = sorted(retrieval.rrf_fuse(a, b, k=4).collect(),
+                 key=lambda r: r.rank)
+    assert [(r.doc_id, r.n_systems, r.rank) for r in out] == [
+        (10, 2, 1), (20, 2, 2), (30, 1, 3), (40, 1, 4)]
+    assert out[0].rrf_r == out[1].rrf_r == round(1 / 61 + 1 / 62, 9)
+    assert out[2].rrf_r == out[3].rrf_r == round(1 / 63, 9)
+
+
+def test_rrf_fuse_fuzz_python_reference(spark):
+    import random
+    rng = random.Random(13)
+    systems = []
+    ref_lists = []
+    for _ in range(3):
+        rows = []
+        lists = {}
+        for q in (1, 2):
+            docs = rng.sample(range(100), 8)
+            lists[q] = docs
+            rows += [(q, d, i + 1) for i, d in enumerate(docs)]
+        ref_lists.append(lists)
+        systems.append(spark.createDataFrame(
+            rows, "query_id long, doc_id long, rank int"))
+    got = {}
+    for r in retrieval.rrf_fuse(*systems, k=5, c=60).collect():
+        got.setdefault(r.query_id, []).append(
+            (r.rank, r.doc_id, r.n_systems, r.rrf_r))
+    for q in (1, 2):
+        scores = {}
+        for lists in ref_lists:
+            for i, d in enumerate(lists[q]):
+                ns, s = scores.get(d, (0, 0.0))
+                scores[d] = (ns + 1, s + 1.0 / (60 + i + 1))
+        want = sorted(
+            ((round(s, 9), d, ns) for d, (ns, s) in scores.items()),
+            key=lambda t: (-t[0], t[1]))[:5]
+        got_q = sorted(got[q])
+        assert [(i + 1, d, ns, s) for i, (s, d, ns) in enumerate(want)] \
+            == got_q
