@@ -599,11 +599,9 @@ def passage_dedup(df: DataFrame, text_col: str = "text",
     per-doc exchange any per-doc statistic needs — with no per-doc
     arrays collected. Hashing is md5-prefix (engine-portable), so a
     DuckDB oracle replays the whole thing exactly."""
-    pre = df.select(
-        id_col,
-        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
-                 lambda t: t != "").alias("_toks"),
-    )
+    from .textstats import tokens_col
+
+    pre = df.select(id_col, tokens_col(text_col).alias("_toks"))
     toks = F.col("_toks")
     base = pre.select(
         id_col,

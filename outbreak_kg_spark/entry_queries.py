@@ -2031,8 +2031,10 @@ def _sql_web_line_dedup() -> str:
 # (doc_id % 5) "site". Spliced mid-text so duplicated spans sit BETWEEN
 # unique soup spans (interval-union actually exercised), with one doc_id
 # dimension of variation in the site token so not everything collides.
-_PASSAGE_QUOTE = ("official advisory site-{s} please wash hands "
-                  "avoid contact report cases promptly")
+# Rendered with {s} = the literal site expression of each engine, so the
+# Spark and DuckDB splices cannot drift apart.
+_PASSAGE_PRE = "official advisory site-"
+_PASSAGE_POST = " please wash hands avoid contact report cases promptly"
 
 
 def q_text_passage_dedup(spark, sf_dir):
@@ -2052,9 +2054,7 @@ def q_text_passage_dedup(spark, sf_dir):
         F.concat_ws(
             " ",
             F.substring("text", 1, 120),
-            F.concat(F.lit("official advisory site-"), site,
-                     F.lit(" please wash hands avoid contact report "
-                           "cases promptly")),
+            F.concat(F.lit(_PASSAGE_PRE), site, F.lit(_PASSAGE_POST)),
             F.substring("text", 121, 120),
         ).alias("text"),
     )
@@ -2066,8 +2066,7 @@ def _sql_text_passage_dedup(n: int = 8, min_docs: int = 2) -> str:
         WITH base AS (
             SELECT doc_id,
                    substr(text, 1, 120) || ' ' ||
-                   'official advisory site-' || (doc_id % 5) ||
-                   ' please wash hands avoid contact report cases promptly'
+                   '{_PASSAGE_PRE}' || (doc_id % 5) || '{_PASSAGE_POST}'
                    || ' ' || substr(text, 121, 120) AS t
             FROM documents),
         toks AS (

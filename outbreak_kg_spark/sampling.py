@@ -452,11 +452,9 @@ def chunk_tokens(df: DataFrame, text_col: str = "text",
     before sequence is evaluated rather than rely on an empty range."""
     if stride <= 0 or window <= 0 or stride > window:
         raise ValueError("need 0 < stride <= window")
-    pre = df.select(
-        F.col(id_col),
-        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
-                 lambda t: t != "").alias("_toks"),
-    )
+    from .textstats import tokens_col
+
+    pre = df.select(F.col(id_col), tokens_col(text_col).alias("_toks"))
     n = F.size("_toks")
     n_chunks = (
         F.when(n <= 0, F.lit(0))
