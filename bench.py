@@ -58,8 +58,16 @@ HEADLINE = [
     "text_quality_classifier",
     "web_link_graph",
     # r5 second half: cross-document duplicate-passage coverage (the
-    # Lee-et-al exact-substring signal; semi-join mark-back, no pairs)
+    # Lee-et-al exact-substring signal; semi-join mark-back, no pairs),
+    # BM25 + hybrid-fusion retrieval, stratum profiling, RAG chunking,
+    # temperature resampling, compact-forward triangles
     "text_passage_dedup",
+    "retrieval_bm25_topk",
+    "retrieval_rrf_fuse",
+    "corpus_length_profile",
+    "sample_chunks",
+    "sample_temperature",
+    "graph_triangles",
 ]
 
 

@@ -623,9 +623,17 @@ def passage_dedup(df: DataFrame, text_col: str = "text",
             F.array().cast("array<struct<pos:int,h:string>>")
         ).alias("_sh"),
     )
+    # explode_OUTER, not explode: InferFiltersFromGenerate synthesizes a
+    # size(_sh)>0 filter under a plain explode, and pushing it below the
+    # staging projections re-inlines the whole shingle transform WITH the
+    # tokenization substituted into the lambda body — the O(tokens^2)
+    # blowup again, measured 10x on this operator. The outer generate is
+    # exempt from that rule; short docs emit one null row filtered right
+    # after the generate, where nothing can be pushed past.
     sh = base.select(
-        id_col, F.explode("_sh").alias("_s")
-    ).select(id_col, F.col("_s.pos").alias("pos"), F.col("_s.h").alias("h"))
+        id_col, F.explode_outer("_sh").alias("_s")
+    ).filter(F.col("_s").isNotNull()).select(
+        id_col, F.col("_s.pos").alias("pos"), F.col("_s.h").alias("h"))
     dup = (
         sh.select("h", id_col).distinct()
         .groupBy("h").agg(F.count(F.lit(1)).alias("_nd"))

@@ -479,9 +479,15 @@ def chunk_tokens(df: DataFrame, text_col: str = "text",
     ).otherwise(F.array().cast(
         "array<struct<chunk_id:int,start_pos:int,n_tokens:int,"
         "chunk_text:string>>"))
-    return pre.select(id_col, F.explode(chunks).alias("_c")).select(
-        id_col, "_c.chunk_id", "_c.start_pos", "_c.n_tokens",
-        "_c.chunk_text",
+    # explode_OUTER + post-generate null filter, not explode: the inferred
+    # size()>0 filter under a plain explode gets pushed below the token
+    # staging and re-inlines the whole chunk transform per row (see
+    # dedup.passage_dedup — measured 10x there)
+    return (
+        pre.select(id_col, F.explode_outer(chunks).alias("_c"))
+        .filter(F.col("_c").isNotNull())
+        .select(id_col, "_c.chunk_id", "_c.start_pos", "_c.n_tokens",
+                "_c.chunk_text")
     )
 
 

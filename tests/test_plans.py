@@ -216,3 +216,21 @@ def test_passage_dedup_semi_join_no_python(spark):
     assert re.search(r"\(\d+\) Window", plan)
     assert "collect_list" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_passage_and_chunk_explodes_stay_staged(spark):
+    """InferFiltersFromGenerate regression guard: a plain explode gets a
+    synthesized size()>0 filter that pushdown re-inlines — shingle/chunk
+    transform AND tokenization substituted per lambda element, the
+    measured 10x O(tokens^2) blowup. With explode_outer the optimized
+    plans must contain NO Filter node carrying an inlined transform."""
+    from outbreak_kg_spark import dedup, sampling
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    for df in (dedup.passage_dedup(d, n=8, min_docs=2),
+               sampling.chunk_tokens(d, window=32, stride=24)):
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        for line in opt.splitlines():
+            if line.strip().startswith(("Filter", "+- Filter")) or \
+                    " Filter " in f" {line.split('[')[0]} ":
+                assert "transform(sequence" not in line, line[:200]
