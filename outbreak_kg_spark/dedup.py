@@ -30,8 +30,10 @@ def tokens(df: DataFrame, text_col: str = "text",
            id_col: str = "doc_id") -> DataFrame:
     return df.select(
         id_col,
-        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "tok"),
-    ).filter(F.col("tok") != "")
+        F.posexplode_outer(
+            F.split(F.lower(F.col(text_col)), r"\s+")
+        ).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")  # also drops the outer-generate null row
 
 
 def shingle_array(df: DataFrame, text_col: str = "text",
@@ -68,10 +70,15 @@ def shingle_array(df: DataFrame, text_col: str = "text",
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
              n: int = 3) -> DataFrame:
     """Distinct token n-gram shingles per doc (space-joined), long form —
-    explode of shingle_array, still shuffle-free."""
+    explode of shingle_array, still shuffle-free. explode_OUTER + null
+    filter, not plain explode: InferFiltersFromGenerate's size()>0 filter
+    would re-inline the shingle transform + tokenization per lambda
+    element below the staging (the O(tokens^2) blowup — see
+    passage_dedup); short docs' empty arrays become one null row dropped
+    right after the generate."""
     return shingle_array(df, text_col, id_col, n).select(
-        id_col, F.explode("shingles").alias("shingle")
-    )
+        id_col, F.explode_outer("shingles").alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -246,7 +253,10 @@ def lsh_band_buckets(sig_arrays: DataFrame, id_col: str = "doc_id",
         ),
     )
     return (
-        sig_arrays.select(id_col, F.explode(band_structs).alias("bb"))
+        # outer generate: dodges the inferred size()>0 filter (which
+        # would re-evaluate the band transform in a pushed-down filter);
+        # the existing bucket-notnull filter already drops any null row
+        sig_arrays.select(id_col, F.explode_outer(band_structs).alias("bb"))
         .select(id_col, "bb.band", "bb.bucket")
         .filter(F.col("bucket").isNotNull())
     )
@@ -481,12 +491,17 @@ def contamination_flags(docs: DataFrame, benchmark: DataFrame,
             benchmark.select(F.lit(0).alias(id_col), F.col(text_col)),
             text_col, id_col, n,
         )
-        .select(F.explode("shingles").alias("shingle"))
+        .select(F.explode_outer("shingles").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
         .distinct()
     )
     doc_sh = (
+        # outer + null filter: same InferFiltersFromGenerate dodge as
+        # shingles() — the doc side is corpus-scale, where the re-inlined
+        # O(tokens^2) filter actually bites
         shingle_array(docs, text_col, id_col, n)
-        .select(id_col, F.explode("shingles").alias("shingle"))
+        .select(id_col, F.explode_outer("shingles").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
     )
     hits = (
         doc_sh.join(F.broadcast(bench_sh), "shingle")

@@ -113,10 +113,12 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
     return vids.select(
         "media_id",
-        F.explode(
+        # outer + null filter: a plain explode's inferred size()>0 filter
+        # would materialize the whole frame sequence a second time per row
+        F.explode_outer(
             F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
         ).alias("frame_ts_ms"),
-    )
+    ).filter(F.col("frame_ts_ms").isNotNull())
 
 
 def synth_media(spark, n: int = 50) -> DataFrame:

@@ -61,7 +61,10 @@ def bm25_topk(docs: DataFrame, queries: DataFrame,
     )
     qvocab = qterms.select("term").distinct()
     tf = (
-        base.select("doc_id", F.explode("_toks").alias("term"))
+        # outer + null filter dodges the inferred size()>0 filter that
+        # would re-tokenize every doc a second time (dedup.passage_dedup)
+        base.select("doc_id", F.explode_outer("_toks").alias("term"))
+        .filter(F.col("term").isNotNull())
         .join(F.broadcast(qvocab), "term", "left_semi")
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("_tf"))

@@ -472,7 +472,11 @@ def unigram_surprisal(df: DataFrame, text_col: str = "text",
     """
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
                     lambda t: t != "")
-    exploded = df.select(id_col, F.explode(toks).alias("token"))
+    # outer + null filter: a plain explode's inferred size()>0 filter
+    # re-tokenizes every row a second time (see dedup.passage_dedup)
+    exploded = df.select(
+        id_col, F.explode_outer(toks).alias("token")
+    ).filter(F.col("token").isNotNull())
     freq = exploded.groupBy("token").agg(F.count(F.lit(1)).alias("_tf"))
     total = freq.agg(F.sum("_tf").alias("_tot"))
     if vocab_fits_broadcast is None:
@@ -652,8 +656,8 @@ def tfidf_topk(df: DataFrame, text_col: str = "text",
     expansion and AQE splits the hot partitions. Top-k is one window
     partitioned by doc — uniform keys, bounded partitions."""
     toks = df.select(
-        F.col(id_col), F.explode(tokens_col(text_col)).alias("token")
-    )
+        F.col(id_col), F.explode_outer(tokens_col(text_col)).alias("token")
+    ).filter(F.col("token").isNotNull())  # dodge the inferred re-tokenize
     tf = toks.groupBy(id_col, "token").agg(
         F.count(F.lit(1)).alias("tf"))
     dfreq = (
