@@ -91,9 +91,13 @@ def lsh_blocks_array(arr: DataFrame, id_col: str = "curie",
         ),
     )
     return (
+        # outer generate: a plain posexplode draws an inferred size()>0
+        # filter whose pushdown re-inlines band_keys AND the minhash
+        # signature transform per row (see dedup.passage_dedup); the
+        # existing bucket-notnull filter drops the outer null row
         arr.filter(F.size("shingles") > 0)
         .select(id_col, sigs.alias("_sigs"))
-        .select(id_col, F.posexplode(band_keys).alias("band", "bucket"))
+        .select(id_col, F.posexplode_outer(band_keys).alias("band", "bucket"))
         .filter(F.col("bucket").isNotNull())
     )
 

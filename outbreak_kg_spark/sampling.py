@@ -305,8 +305,12 @@ def pack_spans(df: DataFrame, id_col: str, len_col: str, max_len: int,
     start = F.col(pack_col) * L + F.col("offset")  # global token position
     last = F.expr(f"({pack_col} * {L} + offset + "
                   f"cast({len_col} as long) - 1) div {L}")
+    # explode_outer: dodges the inferred size()>0 filter that would build
+    # the span sequence twice per row; sequence(pack, last) is never
+    # empty (last >= pack whenever len > 0), so no null row ever appears
     out = (po.filter(n > 0)
-           .withColumn("_p", F.explode(F.sequence(F.col(pack_col), last)))
+           .withColumn("_p", F.explode_outer(F.sequence(F.col(pack_col),
+                                                        last)))
            .withColumn("doc_from", F.greatest(F.col("_p") * L - start,
                                               F.lit(0)))
            .withColumn("doc_to", F.least(n, (F.col("_p") + 1) * L - start))

@@ -113,9 +113,12 @@ def expand_pairs(sets_df: DataFrame, struct_cols: list[str],
     carry_cols (e.g. the group id) are projected through unchanged — the
     downstream salted count uses the group id as its row-varying salt source."""
     carry = carry_cols or []
+    # outer generate + null filter: a plain explode's inferred size()>0
+    # filter re-materializes the ENTIRE O(k^2) pair array a second time
+    # per group (see dedup.passage_dedup for the mechanism)
     pairs = sets_df.select(
         *carry,
-        F.explode(
+        F.explode_outer(
             F.flatten(
                 F.expr(
                     "transform(_arr, (x, i) -> "
@@ -124,7 +127,7 @@ def expand_pairs(sets_df: DataFrame, struct_cols: list[str],
                 )
             )
         ).alias("p"),
-    )
+    ).filter(F.col("p").isNotNull())
     return pairs.select(
         *carry,
         *[F.col(f"p.a.{c}").alias(f"a_{c}") for c in struct_cols],

@@ -249,12 +249,15 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     of the reference's extraction-stats artifacts (promed_ner.py:183-189,
     count-ordered TSVs)."""
     return (
+        # outer + null filter dodges the inferred re-tokenize (see
+        # dedup.passage_dedup)
         df.select(
-            F.explode(
+            F.explode_outer(
                 F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
                          lambda t: t != "")
             ).alias("token")
         )
+        .filter(F.col("token").isNotNull())
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("count"))
         .orderBy(F.desc("count"), F.asc("token"))
