@@ -691,3 +691,60 @@ def passage_dedup(df: DataFrame, text_col: str = "text",
             ).alias("dup_coverage_r"),
         )
     )
+
+
+def incremental_lsh_candidates(
+        existing_buckets: DataFrame, new_docs: DataFrame,
+        text_col: str = "text", id_col: str = "doc_id",
+        shingle_n: int = 3, num_hashes: int = 64, bands: int = 16,
+        max_bucket_size: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup candidates for a crawl INCREMENT against an at-rest LSH
+    bucket index — the daily-shard workflow: yesterday's corpus is not
+    re-hashed, only the new docs are shingled/minhashed, and candidates
+    come out tagged `new_new` (within the increment) or `new_old`
+    (increment vs at-rest). Ids must be disjoint across the two corpora.
+
+    Returns (candidates, updated_buckets): candidates = (a, b, origin)
+    with a < b within new_new and a = new / b = old for new_old;
+    updated_buckets = existing ∪ increment — the index to persist
+    (partitioned by band) for the next increment.
+
+    Scale shape — the whole point is what does NOT happen: the at-rest
+    side is never re-shingled, re-hashed, or re-banded; it enters as a
+    stored (id, band, bucket) relation and its only appearance is the
+    probe side of one equi-join on (band, bucket). Hot at-rest buckets
+    get the same star treatment as _bucket_pairs: over max_bucket_size,
+    each new member links only to the bucket's min-id hub (the group is
+    already connected at rest), so a boilerplate bucket with 10^7 stored
+    members costs |new ∩ bucket| rows, not |new|x10^7. The increment's
+    own pairs reuse _bucket_pairs with the identical cap."""
+    new_b = lsh_band_buckets(
+        minhash_sig_array(new_docs, text_col, id_col,
+                          num_hashes=num_hashes, shingle_n=shingle_n),
+        id_col, bands=bands,
+    )
+    new_new = _bucket_pairs(new_b, id_col, max_bucket_size).select(
+        "a", "b", F.lit("new_new").alias("origin"))
+    old = existing_buckets.select(
+        F.col(id_col).alias("_old"), "band", "bucket")
+    if max_bucket_size is None:
+        cross = new_b.join(old, ["band", "bucket"])
+    else:
+        stats = old.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_sz"), F.min("_old").alias("_hub"))
+        sized = old.join(stats, ["band", "bucket"])
+        small = sized.filter(F.col("_sz") <= max_bucket_size).select(
+            "_old", "band", "bucket")
+        hubs = (
+            stats.filter(F.col("_sz") > max_bucket_size)
+            .select(F.col("_hub").alias("_old"), "band", "bucket")
+        )
+        cross = new_b.join(small.unionByName(hubs), ["band", "bucket"])
+    new_old = cross.select(
+        F.col(id_col).alias("a"), F.col("_old").alias("b"),
+        F.lit("new_old").alias("origin"),
+    ).dropDuplicates()
+    updated = existing_buckets.select(id_col, "band", "bucket").unionByName(
+        new_b.select(id_col, "band", "bucket"))
+    return new_new.unionByName(new_old), updated

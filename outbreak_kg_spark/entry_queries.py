@@ -2407,6 +2407,52 @@ def _sql_retrieval_rrf_fuse(k: int = 10, c: int = 60) -> str:
     """
 
 
+def q_dedup_incremental_lsh(spark, sf_dir):
+    """Incremental near-dup candidates (dedup.incremental_lsh_candidates):
+    docs < 120 are the at-rest corpus (its bucket index computed once,
+    standing in for the stored table), docs 120-239 the crawl increment.
+    Candidates come out tagged new_new / new_old; only the increment is
+    ever shingled or hashed. Oracle replays both banding passes and the
+    tagged joins on the band value lists."""
+    d = _docs(spark, sf_dir)
+    old = d.filter(F.col("doc_id") < 120)
+    new = d.filter((F.col("doc_id") >= 120) & (F.col("doc_id") < 240))
+    existing = dedup.lsh_band_buckets(
+        dedup.minhash_sig_array(old, num_hashes=8, shingle_n=2), bands=8)
+    cand, _updated = dedup.incremental_lsh_candidates(
+        existing, new, shingle_n=2, num_hashes=8, bands=8)
+    return cand
+
+
+SQL_DEDUP_INCREMENTAL_LSH = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        FROM documents
+        WHERE doc_id < 240),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS shingle
+        FROM toks, unnest(range(1, len(t))) u(i)),
+    hv AS (
+        SELECT doc_id, i AS hash_idx,
+               ('0x' || substr(md5(i || ':' || shingle), 1, 12))::BIGINT AS v
+        FROM sh, unnest(range(0, 8)) h(i)),
+    sig AS (SELECT doc_id, hash_idx, min(v) AS minhash FROM hv GROUP BY 1, 2),
+    bands AS (
+        SELECT doc_id, hash_idx % 8 AS band,
+               string_agg(minhash, ',' ORDER BY hash_idx) AS key
+        FROM sig GROUP BY 1, 2),
+    oldb AS (SELECT * FROM bands WHERE doc_id < 120),
+    newb AS (SELECT * FROM bands WHERE doc_id >= 120)
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, 'new_new' AS origin
+    FROM newb x JOIN newb y USING (band, key)
+    WHERE x.doc_id < y.doc_id
+    UNION
+    SELECT DISTINCT n.doc_id AS a, o.doc_id AS b, 'new_old' AS origin
+    FROM newb n JOIN oldb o USING (band, key)
+"""
+
+
 def q_graph_pagerank(spark, sf_dir):
     """Fixed-iteration damped PageRank (graphrank.pagerank) over a
     deterministic link graph derived from the documents table, with
@@ -4283,6 +4329,7 @@ def extra_queries():
         "graph_triangles": q_graph_triangles,
         "corpus_cardinality": q_corpus_cardinality,
         "retrieval_rrf_fuse": q_retrieval_rrf_fuse,
+        "dedup_incremental_lsh": q_dedup_incremental_lsh,
     }
 
 
@@ -4326,4 +4373,5 @@ def extra_oracle_sql():
         "graph_triangles": _sql_graph_triangles(),
         "corpus_cardinality": SQL_CORPUS_CARDINALITY,
         "retrieval_rrf_fuse": _sql_retrieval_rrf_fuse(),
+        "dedup_incremental_lsh": SQL_DEDUP_INCREMENTAL_LSH,
     }

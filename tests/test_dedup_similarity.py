@@ -825,3 +825,49 @@ def test_cardinality_profile_exact_and_sketch_bound(spark):
         assert abs(sketch[g] - n) / n <= 4 * 0.02, (g, sketch[g], n)
     total = textstats.cardinality_profile(d, "k", exact=True).collect()
     assert len(total) == 1 and total[0].n_distinct == 5000
+
+
+def test_incremental_lsh_tags_and_reuses_index(spark):
+    # old corpus: docs 1, 2 (near-dups of each other); increment: doc 10
+    # (near-dup of 1/2) and doc 11 (near-dup of nothing), doc 12 (exact
+    # dup of 11). Expect new_old pairs (10,1) (10,2), new_new (11,12),
+    # and the updated index to contain every doc's buckets.
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    old = spark.createDataFrame([
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base.replace("india", "juliet")},
+    ])
+    new = spark.createDataFrame([
+        {"doc_id": 10, "text": base.replace("echo", "kilo")},
+        {"doc_id": 11, "text": "one two three four five six seven"},
+        {"doc_id": 12, "text": "one two three four five six seven"},
+    ])
+    existing = dedup.lsh_band_buckets(
+        dedup.minhash_sig_array(old, num_hashes=16, shingle_n=2), bands=16)
+    cand, updated = dedup.incremental_lsh_candidates(
+        existing, new, shingle_n=2, num_hashes=16, bands=16)
+    got = {(r.a, r.b, r.origin) for r in cand.collect()}
+    assert (10, 1, "new_old") in got and (10, 2, "new_old") in got
+    assert (11, 12, "new_new") in got
+    assert not any(o == "new_new" and {a, b} & {10} and {a, b} & {11, 12}
+                   for a, b, o in got)
+    ids = {r.doc_id for r in updated.select("doc_id").distinct().collect()}
+    assert ids == {1, 2, 10, 11, 12}
+
+
+def test_incremental_lsh_hot_old_bucket_stars_to_hub(spark):
+    # 40 identical at-rest docs form one degenerate bucket per band; with
+    # max_bucket_size=5 a new duplicate must link ONLY to the hub
+    # (min old id), not to all 40 members.
+    old = spark.createDataFrame(
+        [{"doc_id": i, "text": "same words everywhere again and again"}
+         for i in range(1, 41)])
+    new = spark.createDataFrame(
+        [{"doc_id": 100, "text": "same words everywhere again and again"}])
+    existing = dedup.lsh_band_buckets(
+        dedup.minhash_sig_array(old, num_hashes=8, shingle_n=2), bands=8)
+    cand, _ = dedup.incremental_lsh_candidates(
+        existing, new, shingle_n=2, num_hashes=8, bands=8,
+        max_bucket_size=5)
+    got = {(r.a, r.b) for r in cand.filter("origin = 'new_old'").collect()}
+    assert got == {(100, 1)}
