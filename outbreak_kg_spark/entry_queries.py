@@ -4280,6 +4280,111 @@ def all_oracle_sql():
     }
 
 
+def q_graph_labelprop(spark, sf_dir):
+    """Deterministic synchronous label propagation (graphrank.
+    label_propagation) over a planted-community link graph derived from
+    the documents table: ten six-node blocks wired densely inside each
+    block plus sparse deterministic bridges. Webtext use: grouping mirror
+    networks / template farms that are densely interlinked without being
+    fully reachable inside the round budget (one level softer than
+    graph_components); the DuckDB oracle replays the exact synchronous
+    recurrence round by round as materialized chained CTEs."""
+    from .graphrank import label_propagation
+
+    d = _docs(spark, sf_dir)
+    base = F.col("doc_id") % 60
+    blk = base - base % 6
+    intra = d.select(
+        base.alias("src"),
+        (blk + (F.col("doc_id") * 7 + 1) % 6).alias("dst"),
+    )
+    bridge = d.filter(F.col("doc_id") % 31 == 0).select(
+        blk.alias("src"), ((blk + 6) % 60).alias("dst")
+    )
+    return label_propagation(intra.unionByName(bridge), rounds=4)
+
+
+def _sql_graph_labelprop(rounds: int = 4) -> str:
+    """The identical synchronous min-tie LPA recurrence unrolled as
+    chained CTEs. MATERIALIZED is load-bearing for the same reason as
+    _sql_graph_pagerank: every round references its predecessor twice
+    (neighbor-label count + keep-own fallback), so default inlining would
+    copy the chain 2^rounds times."""
+    its = []
+    for k in range(1, rounds + 1):
+        its.append(f"""
+        c{k} AS MATERIALIZED (
+          SELECT s.node, p.label AS nl, count(*) AS c
+          FROM sym s JOIN l{k - 1} p ON p.node = s.nbr
+          GROUP BY 1, 2),
+        l{k} AS MATERIALIZED (
+          SELECT p.node, coalesce(k{k}.nl, p.label) AS label
+          FROM l{k - 1} p
+          LEFT JOIN (
+            SELECT node, nl FROM (
+              SELECT node, nl,
+                     row_number() OVER (PARTITION BY node
+                                        ORDER BY c DESC, nl ASC) AS rn
+              FROM c{k}) WHERE rn = 1) k{k} USING (node))""")
+    return f"""
+    WITH raw AS (
+        SELECT doc_id % 60 AS src,
+               (doc_id % 60) - (doc_id % 60) % 6 + (doc_id*7 + 1) % 6 AS dst
+        FROM documents
+        UNION ALL
+        SELECT (doc_id % 60) - (doc_id % 60) % 6,
+               ((doc_id % 60) - (doc_id % 60) % 6 + 6) % 60
+        FROM documents WHERE doc_id % 31 = 0),
+    und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM raw WHERE src <> dst),
+    sym AS (SELECT u AS node, v AS nbr FROM und
+            UNION ALL SELECT v AS node, u AS nbr FROM und),
+    l0 AS (SELECT DISTINCT node, node AS label FROM sym),
+    {",".join(its)}
+    SELECT node, label FROM l{rounds}
+    """
+
+
+def q_similarity_rp_project(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection (similarity.
+    random_projection): 64-dim embeddings compressed onto six
+    deterministic Rademacher rows, long form — the pre-ANN index
+    compression step at 10^12-vector scale (distances preserved within
+    JL distortion at dim/out_dim memory). The +/-1/sqrt(6) matrix is
+    md5-derived and inlined as PLAN LITERALS on both sides, so DuckDB
+    reproduces the projection exactly; the Spark operator is one narrow
+    whole-stage-codegen projection — zero exchanges, zero Python.
+    posexplode_OUTER + null filter per the InferFiltersFromGenerate
+    house rule for computed-array generates."""
+    emb = _tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    out = similarity.random_projection(emb, dim=64, out_dim=6)
+    return (
+        out.select(
+            "vec_id", F.posexplode_outer("proj").alias("dim_idx", "val"))
+        .filter(F.col("val").isNotNull())
+        .select("vec_id", F.col("dim_idx").cast("int").alias("dim_idx"),
+                F.round("val", 6).alias("proj_r"))
+    )
+
+
+def _sql_similarity_rp_project(out_dim: int = 6, dim: int = 64) -> str:
+    """DuckDB twin: identical inlined Rademacher rows, one
+    list_dot_product per output coordinate."""
+    rows = similarity._rademacher_matrix(dim, out_dim, seed=7)
+    row_vals = ", ".join(
+        f"({j}, [{', '.join(repr(x) for x in rows[j])}]::DOUBLE[])"
+        for j in range(out_dim)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id < 400),
+    r(j, w) AS (VALUES {row_vals})
+    SELECT vec_id, j::INT AS dim_idx,
+           round(list_dot_product(v, w), 6) AS proj_r
+    FROM e CROSS JOIN r
+    """
+
+
 def extra_queries():
     """Oracle-gated entries BEYOND the driver's 50-entry window.
 
@@ -4330,6 +4435,8 @@ def extra_queries():
         "corpus_cardinality": q_corpus_cardinality,
         "retrieval_rrf_fuse": q_retrieval_rrf_fuse,
         "dedup_incremental_lsh": q_dedup_incremental_lsh,
+        "graph_labelprop": q_graph_labelprop,
+        "similarity_rp_project": q_similarity_rp_project,
     }
 
 
@@ -4374,4 +4481,6 @@ def extra_oracle_sql():
         "corpus_cardinality": SQL_CORPUS_CARDINALITY,
         "retrieval_rrf_fuse": _sql_retrieval_rrf_fuse(),
         "dedup_incremental_lsh": SQL_DEDUP_INCREMENTAL_LSH,
+        "graph_labelprop": _sql_graph_labelprop(),
+        "similarity_rp_project": _sql_similarity_rp_project(),
     }

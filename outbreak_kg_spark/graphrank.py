@@ -176,3 +176,75 @@ def triangle_counts(edges: DataFrame, src: str = "src",
             ).alias("clustering_r"),
         )
     )
+
+
+def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
+                      rounds: int = 4) -> DataFrame:
+    """Deterministic synchronous label propagation over the undirected
+    simple graph; returns (node, label). Community detection one level
+    softer than connected components: mirror networks / template farms on
+    the web link graph, topic clusters in the KG co-occurrence graph —
+    groups that are densely linked without needing to be fully reachable
+    before the round budget.
+
+    Update rule (the deterministic LPA variant): every node starts
+    labeled with its own id; each round, synchronously, a node adopts the
+    label most frequent among its neighbors' previous-round labels, ties
+    broken by SMALLEST label; a node with no neighbors keeps its label.
+    Fixed rounds + synchronous updates + total tie order make the result
+    a pure function of the graph — reproducible across engines (the
+    DuckDB oracle replays the identical recurrence as materialized
+    chained CTEs), unlike classic asynchronous random-order LPA.
+
+    Scale shape, per round: labels join onto the symmetrized edge list on
+    the UNIQUE node key (probe-side skew on hubs causes no expansion),
+    one partial+final (node, label) count whose hot keys compress
+    map-side, then one partial+final min-struct agg per node for the
+    (count desc, label asc) argmax — min is combinable, so even a
+    10^6-degree hub's per-label rows collapse before the exchange. Each
+    round is eagerly localCheckpoint-ed: lineage stays O(1) in rounds,
+    the transitive_closure / pagerank regime."""
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"),
+                F.greatest("a", "b").alias("v"))
+        .distinct()
+    )
+    sym = (
+        und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(und.select(F.col("v").alias("node"),
+                             F.col("u").alias("nbr")))
+        .persist()
+    )
+    sym.count()
+    labels = (
+        sym.select("node").distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        nbr_labels = labels.select(F.col("node").alias("nbr"),
+                                   F.col("label").alias("_nl"))
+        cnt = (
+            sym.join(nbr_labels, "nbr")
+            .groupBy("node", "_nl")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        pick = (
+            cnt.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("_c")).alias("nc"),
+                             F.col("_nl").alias("l"))
+                )["l"].alias("_new")
+            )
+        )
+        labels = (
+            labels.join(pick, "node", "left")
+            .select("node",
+                    F.coalesce("_new", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    sym.unpersist()
+    return labels

@@ -384,3 +384,102 @@ def cosine_near_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
         .filter(F.col("cosine") >= threshold)
         .dropDuplicates(["a", "b"])
     )
+
+
+def _rademacher_matrix(dim: int, out_dim: int,
+                       seed: int = 7) -> list[list[float]]:
+    """Deterministic +/-1 (Rademacher) projection rows, prescaled by
+    1/sqrt(out_dim): row j, coordinate i = sign of one md5 bit of
+    "jl:{seed}:{j}:{i}". Sign-from-a-bit (not Box-Muller floats) keeps the
+    matrix EXACTLY representable and bit-identical in every engine — the
+    oracle inlines the same literals, so there is no float-generation
+    drift to round away. Rademacher entries satisfy the JL lemma with the
+    same distortion bounds as gaussian ones (Achlioptas 2003)."""
+    scale = 1.0 / math.sqrt(out_dim)
+    rows = []
+    for j in range(out_dim):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"jl:{seed}:{j}:{i}".encode()).hexdigest()
+            row.append(scale if int(h[0], 16) % 2 == 0 else -scale)
+        rows.append(row)
+    return rows
+
+
+def random_projection(df: DataFrame, dim: int, out_dim: int = 8,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      seed: int = 7) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project each
+    embedding onto out_dim deterministic Rademacher rows. Returns
+    (id_col, proj array<double>).
+
+    This is the standard pre-ANN compression step at 10^12-vector scale:
+    pairwise distances/cosines are preserved within JL distortion while
+    index memory and every downstream dot product shrink by
+    dim/out_dim — brute-force rerank then touches full vectors only for
+    the shortlist.
+
+    Scale shape: the projection matrix is dim x out_dim PLAN LITERALS
+    (a few KB — never a join side, never a broadcast variable), and each
+    output coordinate is one zip_with/aggregate dot product against a
+    literal array, so the whole operator is a single NARROW projection
+    inside whole-stage codegen: zero exchanges, zero Python, cost linear
+    in bytes scanned at any corpus size. Out-of-range vec sizes surface
+    as nulls in the zip (standard zip_with semantics), not errors."""
+    rows = _rademacher_matrix(dim, out_dim, seed)
+    v = F.col(vec_col).cast("array<double>")
+    proj = F.array(*[
+        _dot(v, F.array(*[F.lit(x) for x in rows[j]]))
+        for j in range(out_dim)
+    ])
+    return df.select(F.col(id_col), proj.alias("proj"))
+
+
+def rp_topk(corpus: DataFrame, queries: DataFrame, dim: int,
+            out_dim: int = 8, k: int = 10, rerank: int = 40,
+            vec_col: str = "embedding", corpus_id: str = "vec_id",
+            query_id: str = "query_id", seed: int = 7) -> DataFrame:
+    """Two-stage ANN: shortlist `rerank` candidates per query by cosine in
+    the JL-projected space (cheap: out_dim-wide dots), then EXACT cosine
+    rerank of the shortlist in the original space — the compressed-index /
+    full-precision-rerank architecture every production vector store uses.
+    Returns (query_id, neighbor_id, cosine, rank) with exact cosines.
+
+    Scale shape: stage 1 is cosine_topk over out_dim-wide vectors (narrow
+    corpus pass + per-query window on rerank-sized lists); stage 2 joins
+    the shortlist — |queries| x rerank rows, query-side-sized — back to
+    the corpus ON THE UNIQUE ID KEY to fetch full vectors for exact
+    scoring, so full-width vectors are only ever read for shortlist
+    members. No full-width cross join exists anywhere in the plan."""
+    pc = random_projection(corpus, dim, out_dim, vec_col, corpus_id, seed)
+    pq = random_projection(queries, dim, out_dim, vec_col, query_id, seed)
+    shortlist = cosine_topk(
+        pc, pq, k=rerank, vec_col="proj",
+        corpus_id=corpus_id, query_id=query_id,
+    ).select("query_id", "neighbor_id")
+    cv = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    ).withColumn("_cn", _norm(F.col("_cv")))
+    qv = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    ).withColumn("_qn", _norm(F.col("_qv")))
+    scored = (
+        shortlist.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id", "neighbor_id",
+            _cosine(_dot(F.col("_cv"), F.col("_qv")),
+                    F.col("_cn"), F.col("_qn")).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -871,3 +871,88 @@ def test_incremental_lsh_hot_old_bucket_stars_to_hub(spark):
         max_bucket_size=5)
     got = {(r.a, r.b) for r in cand.filter("origin = 'new_old'").collect()}
     assert got == {(100, 1)}
+
+
+# ------------------------------------------------- random projection / JL
+
+
+def test_random_projection_matches_python(spark):
+    import random
+
+    rng = random.Random(11)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(16)] for i in range(20)}
+    df = spark.createDataFrame(
+        [{"vec_id": i, "embedding": v} for i, v in vecs.items()]
+    )
+    got = {
+        r["vec_id"]: list(r["proj"])
+        for r in similarity.random_projection(df, dim=16, out_dim=4).collect()
+    }
+    rows = similarity._rademacher_matrix(16, 4, seed=7)
+    for i, v in vecs.items():
+        want = [sum(x * w for x, w in zip(v, rows[j])) for j in range(4)]
+        assert got[i] == pytest.approx(want, abs=1e-12), i
+    # Rademacher entries are exactly +/- 1/sqrt(out_dim)
+    assert {abs(x) for row in rows for x in row} == {0.5}
+
+
+def test_random_projection_preserves_distances(spark):
+    # JL property at a sanity level: norms (and hence distances) land
+    # within a loose distortion band for a modest out_dim
+    import random
+
+    rng = random.Random(12)
+    vecs = {i: [rng.gauss(0, 1) for _ in range(64)] for i in range(30)}
+    df = spark.createDataFrame(
+        [{"vec_id": i, "embedding": v} for i, v in vecs.items()]
+    )
+    proj = {
+        r["vec_id"]: list(r["proj"])
+        for r in similarity.random_projection(df, dim=64, out_dim=16).collect()
+    }
+    ratios = []
+    for i, v in vecs.items():
+        n0 = math.sqrt(sum(x * x for x in v))
+        n1 = math.sqrt(sum(x * x for x in proj[i]))
+        ratios.append(n1 / n0)
+    mean = sum(ratios) / len(ratios)
+    assert 0.75 < mean < 1.25
+    assert all(0.4 < r < 1.9 for r in ratios), min(ratios)
+
+
+def test_rp_topk_exact_rerank_and_self_match(spark):
+    import random
+
+    rng = random.Random(13)
+    # clustered like real embeddings (tight clusters, separated centers):
+    # isotropic-random vectors put the true top-5 at near-tie cosines,
+    # which NO distance-preserving sketch can rank-stably separate
+    centers = [[rng.gauss(0, 1) for _ in range(32)] for _ in range(6)]
+    vecs = {
+        i: [c + rng.gauss(0, 0.15) for c in centers[i % 6]]
+        for i in range(150)
+    }
+    corpus = spark.createDataFrame(
+        [{"vec_id": i, "embedding": v} for i, v in vecs.items()]
+    )
+    queries = spark.createDataFrame(
+        [{"query_id": i, "embedding": vecs[i]} for i in range(4)]
+    )
+    got = similarity.rp_topk(
+        corpus, queries, dim=32, out_dim=8, k=5, rerank=60
+    ).collect()
+    exact = similarity.cosine_topk(corpus, queries, k=5).collect()
+    for q in range(4):
+        mine = [(r.neighbor_id, r.cosine) for r in got if r.query_id == q]
+        # self always survives the shortlist (cosine 1.0 in both spaces)
+        assert mine[0][0] == q and mine[0][1] == pytest.approx(1.0)
+        # returned cosines are EXACT full-space values, descending
+        full = {r.neighbor_id: r.cosine for r in exact if r.query_id == q}
+        for nid, c in mine:
+            c_true = _cos(vecs[q], vecs[nid])
+            assert c == pytest.approx(c_true, abs=1e-12)
+        assert [m[1] for m in mine] == sorted(
+            (m[1] for m in mine), reverse=True)
+        # shortlist of 60/150 recalls most of the exact top-5
+        overlap = {m[0] for m in mine} & set(full)
+        assert len(overlap) >= 3, (q, mine, full)

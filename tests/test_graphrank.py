@@ -108,3 +108,69 @@ def test_triangle_counts_fuzz_python_reference(spark):
     got = {r.node: (r.degree, r.triangles, r.clustering_r)
            for r in triangle_counts(df).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------- LPA
+
+from outbreak_kg_spark.graphrank import label_propagation
+
+
+def _python_lpa(edges, rounds):
+    """Independent replay of the deterministic synchronous rule."""
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    labels = {n: n for n in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for n, nbrs in adj.items():
+            cnt = {}
+            for m in nbrs:
+                cnt[labels[m]] = cnt.get(labels[m], 0) + 1
+            nxt[n] = min(cnt, key=lambda l: (-cnt[l], l))
+        labels = nxt
+    return labels
+
+
+def _spark_lpa(spark, edges, rounds):
+    df = spark.createDataFrame([Row(src=s, dst=t) for s, t in edges],
+                               "src long, dst long")
+    return {r["node"]: r["label"]
+            for r in label_propagation(df, rounds=rounds).collect()}
+
+
+def test_lpa_two_cliques_bridge(spark):
+    # two 4-cliques joined by one bridge edge: each clique converges to
+    # its own min id; the bridge is outvoted by clique-internal labels
+    k1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    k2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges = k1 + k2 + [(3, 10)]
+    got = _spark_lpa(spark, edges, rounds=4)
+    assert {got[n] for n in range(4)} == {0}
+    assert {got[n] for n in range(10, 14)} == {10}
+
+
+def test_lpa_matches_python_reference(spark):
+    # deterministic pseudo-random graph, differential vs the pure-Python
+    # synchronous replay at several round counts
+    import hashlib
+
+    edges = []
+    for i in range(60):
+        h = int(hashlib.md5(f"lpa:{i}".encode()).hexdigest()[:8], 16)
+        edges.append((h % 17, (h // 17) % 17))
+    edges = [e for e in edges if e[0] != e[1]]
+    for rounds in (1, 3, 5):
+        got = _spark_lpa(spark, edges, rounds)
+        want = _python_lpa(edges, rounds)
+        assert got == want, rounds
+
+
+def test_lpa_direction_and_duplicates_ignored(spark):
+    edges = [(0, 1), (1, 0), (0, 1), (1, 2), (5, 5)]
+    got = _spark_lpa(spark, edges, rounds=3)
+    # self-loop-only node 5 never appears (no real edge); path 0-1-2
+    assert set(got) == {0, 1, 2}
+    assert got == _python_lpa(edges, 3)
