@@ -193,3 +193,55 @@ def curate_corpus(
     base.unpersist()
     ex.unpersist()
     return out
+
+
+def elect_representatives(
+    members: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "component",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Quality-weighted canonical election for duplicate clusters: given
+    cluster membership (id_col, group_col) and per-doc scores (id_col,
+    score_col), pick each cluster's representative = highest score, ties
+    to SMALLEST id. Returns (id_col, group_col, rep_id, is_rep).
+
+    This is what production curation actually keeps from a near-dup
+    cluster: min-id election (connected_components' canonical, what
+    minhash_dedup/curate_corpus use for drop attribution) is arbitrary
+    about WHICH copy survives, while the retained copy should be the
+    best one — the cleanest extraction among mirrored pages, the
+    highest-classifier-score variant among template siblings. Composes
+    downstream of minhash_dedup / curate_corpus components with
+    text_signals / hashed-classifier scores.
+
+    Scale shape: one join of membership onto scores on the UNIQUE id key
+    (no expansion under probe skew), one partial+final min-struct agg
+    per group — combinable, so a 10^7-member boilerplate cluster's rows
+    collapse map-side — and one join of the group->rep dimension back
+    onto membership on the group key (build side = one row per group).
+    A missing score ranks below every scored member (never elected
+    unless the whole group is unscored, then min id wins)."""
+    m = members.select(id_col, group_col)
+    s = scores.select(id_col, F.col(score_col).cast("double").alias("_sc"))
+    ms = m.join(s, id_col, "left")
+    # argmax(score desc, id asc) = min over struct(score IS NULL,
+    # -score, id): null scores sort after all real ones, then higher
+    # score first, then smaller id
+    reps = ms.groupBy(group_col).agg(
+        F.min(
+            F.struct(
+                F.col("_sc").isNull().alias("nn"),
+                (-F.coalesce("_sc", F.lit(0.0))).alias("ns"),
+                F.col(id_col).alias("i"),
+            )
+        )["i"].alias("rep_id")
+    )
+    return (
+        m.join(reps, group_col)
+        .select(
+            id_col, group_col, "rep_id",
+            (F.col(id_col) == F.col("rep_id")).alias("is_rep"),
+        )
+    )

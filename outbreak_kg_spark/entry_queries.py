@@ -4385,6 +4385,51 @@ def _sql_similarity_rp_project(out_dim: int = 6, dim: int = 64) -> str:
     """
 
 
+def q_curate_representatives(spark, sf_dir):
+    """Quality-weighted canonical election (curate.elect_representatives):
+    each duplicate cluster keeps its HIGHEST-scoring member (ties to
+    smallest id) instead of connected_components' arbitrary min-id
+    canonical — the rule production curation actually wants (the cleanest
+    extraction among mirrored pages survives). Clusters here are
+    deterministic synthetic groups over the documents table (the election
+    operator is orthogonal to group provenance — real groups come from
+    minhash_dedup / curate_corpus components); scores are the real
+    whitespace token counts. Every doc with id % 11 == 3 is left unscored
+    to exercise the null-ranks-last rule."""
+    from .curate import elect_representatives
+
+    d = _docs(spark, sf_dir)
+    members = d.select("doc_id", (F.col("doc_id") % 97).alias("component"))
+    scores = (
+        textstats.token_counts(d.filter(F.col("doc_id") % 11 != 3))
+        .select("doc_id",
+                F.col("ws_tokens").cast("double").alias("quality_score"))
+    )
+    return elect_representatives(members, scores)
+
+
+SQL_CURATE_REPRESENTATIVES = """
+    WITH m AS (SELECT doc_id, doc_id % 97 AS component FROM documents),
+    s AS (SELECT doc_id,
+                 len(list_filter(string_split(text, ' '),
+                                 x -> x <> ''))::DOUBLE AS sc
+          FROM documents WHERE doc_id % 11 <> 3),
+    ms AS (SELECT m.doc_id, m.component, s.sc
+           FROM m LEFT JOIN s USING (doc_id)),
+    reps AS (
+        SELECT component, doc_id AS rep_id FROM (
+            SELECT component, doc_id,
+                   row_number() OVER (
+                       PARTITION BY component
+                       ORDER BY (sc IS NULL) ASC, sc DESC, doc_id ASC
+                   ) AS rn
+            FROM ms) WHERE rn = 1)
+    SELECT m.doc_id, m.component, r.rep_id,
+           m.doc_id = r.rep_id AS is_rep
+    FROM m JOIN reps r USING (component)
+"""
+
+
 def extra_queries():
     """Oracle-gated entries BEYOND the driver's 50-entry window.
 
@@ -4437,6 +4482,7 @@ def extra_queries():
         "dedup_incremental_lsh": q_dedup_incremental_lsh,
         "graph_labelprop": q_graph_labelprop,
         "similarity_rp_project": q_similarity_rp_project,
+        "curate_representatives": q_curate_representatives,
     }
 
 
@@ -4483,4 +4529,5 @@ def extra_oracle_sql():
         "dedup_incremental_lsh": SQL_DEDUP_INCREMENTAL_LSH,
         "graph_labelprop": _sql_graph_labelprop(),
         "similarity_rp_project": _sql_similarity_rp_project(),
+        "curate_representatives": SQL_CURATE_REPRESENTATIVES,
     }

@@ -132,3 +132,67 @@ def test_classifier_quality_gate(spark):
         num_hashes=8, bands=4, shingle_n=2,
         classifier_weights=w).collect()}
     assert out2[1].keep and out2[2].drop_stage == "exact_dup"
+
+
+# --------------------------------------------- representative election
+
+
+def test_elect_representatives_hand_case(spark):
+    from outbreak_kg_spark.curate import elect_representatives
+
+    members = spark.createDataFrame(
+        [(i, g) for i, g in [
+            (1, "a"), (2, "a"), (3, "a"),   # scores 5, 9, 9 -> rep 2
+            (4, "b"),                        # singleton -> rep 4
+            (5, "c"), (6, "c"),              # both unscored -> min id 5
+            (7, "d"), (8, "d"),              # 7 unscored, 8 scored -> 8
+        ]],
+        "doc_id long, component string",
+    )
+    scores = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0), (4, 1.0), (8, 0.25)],
+        "doc_id long, quality_score double",
+    )
+    got = {
+        r["doc_id"]: (r["component"], r["rep_id"], r["is_rep"])
+        for r in elect_representatives(members, scores).collect()
+    }
+    assert got == {
+        1: ("a", 2, False), 2: ("a", 2, True), 3: ("a", 2, False),
+        4: ("b", 4, True),
+        5: ("c", 5, True), 6: ("c", 5, False),
+        7: ("d", 8, False), 8: ("d", 8, True),
+    }
+
+
+def test_elect_representatives_composes_with_minhash_dedup(spark):
+    # near-dup cluster from the real pipeline: the longest (highest
+    # token-count) member is elected, not the min id
+    from outbreak_kg_spark import dedup, textstats
+    from outbreak_kg_spark.curate import elect_representatives
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (10, base),
+            (11, base + " extended with a longer tail of words"),
+            (12, base),
+            (30, "completely unrelated text about spark physical plans"),
+        ],
+        "doc_id long, text string",
+    )
+    comp = dedup.minhash_dedup(docs, threshold=0.5, num_hashes=8,
+                               bands=4, shingle_n=2)
+    scores = textstats.token_counts(docs).select(
+        "doc_id", F.col("ws_tokens").cast("double").alias("quality_score"))
+    got = {
+        r["doc_id"]: (r["rep_id"], r["is_rep"])
+        for r in elect_representatives(
+            comp.select("doc_id", F.col("canonical_id").alias("component")),
+            scores).collect()
+    }
+    # 10,11,12 form one cluster; 11 is longest -> representative
+    assert got[10] == (11, False)
+    assert got[11] == (11, True)
+    assert got[12] == (11, False)
+    assert got[30] == (30, True)
