@@ -1,0 +1,170 @@
+"""Sentence-scoped pattern triple extraction — the cue-rule layer between
+gazetteer NER and the co-occurrence edge builders.
+
+The reference emits outbreak relations from document-level co-mention plus
+typed rules (kg/build.py:70-97); its north-star form is *pattern* triple
+extraction: relations asserted only when an explicit lexical cue connects
+two grounded mentions inside one sentence ("120 cases of cholera", "X
+causes Y", "cholera in Nairobi", "on 2024-03-01"). This module adds that
+layer over the existing broadcast-trie annotator (ground.make_annotate_udf),
+emitting the four outbreak predicates the rule names: ``located_in``,
+``causes``, ``case_count_of``, ``occurred_on``.
+
+Scale shape (the whole point of doing this sentence-scoped):
+
+- The ONLY Python in the plan is the NER UDF the pipeline already pays
+  for. Sentence assignment is pure codegen: a mention's sentence index is
+  the count of boundary chars before its start offset (length minus
+  length-after-replace over a substr), and the sentence text is one
+  element_at over the split array — no second scan, no window, no UDF.
+- Cue checks are literal `contains`/static-pattern `regexp_extract`
+  Column expressions — whole-stage codegen, never per-row Python.
+- The pair-forming join keys on (doc_id, sent_idx): a near-unique
+  composite, so a hot entity ("COVID-19" in 10^9 docs) does NOT make a
+  hot join key — the skew story is structurally different from the
+  doc-level co-mention join (skew.py), which is why that one salts and
+  this one doesn't need to. Per-sentence mention counts are bounded by
+  sentence length, so the within-key pair expansion is O(len^2) on a
+  ~40-token string, not O(corpus).
+- Type filters (disease/pathogen/geoloc legs) are pushed below the join;
+  the final distinct is the single wide exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# static extraction patterns (foldable — Catalyst compiles the regex once)
+CASES_RE = "([0-9]+) cases of "
+DATE_RE = " on ([0-9]{4}-[0-9]{2}-[0-9]{2})"
+
+
+def sentence_mentions(
+    docs: DataFrame,
+    annotate_udf,
+    type_dim: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundary: str = ".",
+) -> DataFrame:
+    """Annotate ``docs`` and place every mention in its sentence.
+
+    Returns (id_col, sent_idx, sentence, curie, name, node_type), distinct
+    per (doc, sentence, curie). ``type_dim`` is a (curie, node_type)
+    dimension (ground.type_dim) broadcast into the typed join.
+
+    The sentence index is derived from the mention's char offset with no
+    re-scan: idx = #boundary chars strictly before start. This stays
+    correct because the tokenizer never matches across a boundary char
+    (boundary is non-word), so a mention cannot straddle two sentences.
+    """
+    import re as _re
+
+    b_lit = F.lit(boundary)
+    a = docs.select(id_col, text_col, F.explode(annotate_udf(F.col(text_col))).alias("a"))
+    pre = F.col(text_col).substr(F.lit(1), F.col("a.start"))
+    sent_idx = (F.length(pre) - F.length(F.replace(pre, b_lit, F.lit("")))).cast("int")
+    # split() takes a regex string: escape the boundary char literally
+    sent_arr = F.split(F.col(text_col), _re.escape(boundary), -1)
+    return (
+        a.select(
+            id_col,
+            sent_idx.alias("sent_idx"),
+            F.element_at(sent_arr, sent_idx + F.lit(1)).alias("sentence"),
+            F.concat_ws(":", "a.ns", "a.id").alias("curie"),
+            F.col("a.entry_name").alias("name"),
+        )
+        .dropDuplicates([id_col, "sent_idx", "curie"])
+        .join(F.broadcast(type_dim), "curie")
+        .select(id_col, "sent_idx", "sentence", "curie", "name", "node_type")
+    )
+
+
+def pattern_triples(
+    sm: DataFrame,
+    id_col: str = "doc_id",
+    cases_re: str = CASES_RE,
+    date_re: str = DATE_RE,
+) -> DataFrame:
+    """Cue-rule triples over sentence mentions (from sentence_mentions).
+
+    Emits (id_col, subj, pred, obj, n_cases) distinct, with four rules:
+
+    - located_in:  disease a + geoloc b co-sentential AND the sentence
+      contains the literal cue ``" in <b.name>"`` -> (a, located_in, b)
+    - causes:      pathogen a + disease b co-sentential AND the sentence
+      contains ``"<a.name> causes <b.name>"`` -> (a, causes, b)
+    - case_count_of: disease mention whose sentence contains
+      ``" cases of <name>"``; n_cases = the count captured by cases_re
+      -> (disease, case_count_of, doc:<id>)
+    - occurred_on: disease mention co-sentential with a date matched by
+      date_re -> (disease, occurred_on, <date>)
+
+    Cue gates are literal ``contains`` (mention-name-parameterized, still
+    codegen — concat of columns into the search string), count/date
+    capture are static-pattern regexp_extract. n_cases is NULL off the
+    case_count_of leg.
+
+    The four legs re-read ``sm``; callers materializing the result should
+    pass a persisted frame (Catalyst does not share common subplans, so
+    an unpersisted sm re-runs its NER UDF once per leg — four corpus
+    annotation passes at scale).
+    """
+    a = sm.alias("a")
+    # the b side never reads the sentence (cues test a's copy — same
+    # string by construction): dropping it halves the pair-join exchange
+    # width, which is what the exchange mostly carries at web scale
+    b = sm.drop("sentence").alias("b")
+    on = [F.col(f"a.{id_col}") == F.col(f"b.{id_col}"),
+          F.col("a.sent_idx") == F.col("b.sent_idx")]
+    null_cases = F.lit(None).cast("long").alias("n_cases")
+
+    located = (
+        a.filter(F.col("node_type") == "disease")
+        .join(b.filter(F.col("node_type") == "geoloc"), on)
+        .filter(F.contains(F.col("a.sentence"),
+                           F.concat(F.lit(" in "), F.col("b.name"))))
+        .select(F.col(f"a.{id_col}").alias(id_col),
+                F.col("a.curie").alias("subj"),
+                F.lit("located_in").alias("pred"),
+                F.col("b.curie").alias("obj"),
+                null_cases)
+    )
+    causes = (
+        a.filter(F.col("node_type") == "pathogen")
+        .join(b.filter(F.col("node_type") == "disease"), on)
+        .filter(F.contains(F.col("a.sentence"),
+                           F.concat(F.col("a.name"), F.lit(" causes "),
+                                    F.col("b.name"))))
+        .select(F.col(f"a.{id_col}").alias(id_col),
+                F.col("a.curie").alias("subj"),
+                F.lit("causes").alias("pred"),
+                F.col("b.curie").alias("obj"),
+                null_cases)
+    )
+    case_count = (
+        sm.filter(
+            (F.col("node_type") == "disease")
+            & F.contains("sentence", F.concat(F.lit(" cases of "), F.col("name")))
+        )
+        .select(id_col,
+                F.col("curie").alias("subj"),
+                F.lit("case_count_of").alias("pred"),
+                F.concat(F.lit("doc:"), F.col(id_col).cast("string")).alias("obj"),
+                F.regexp_extract("sentence", cases_re, 1).cast("long").alias("n_cases"))
+    )
+    occurred = (
+        sm.select(id_col, "curie", "node_type",
+                  F.regexp_extract("sentence", date_re, 1).alias("_d"))
+        .filter((F.col("node_type") == "disease") & (F.col("_d") != ""))
+        .select(id_col,
+                F.col("curie").alias("subj"),
+                F.lit("occurred_on").alias("pred"),
+                F.col("_d").alias("obj"),
+                null_cases)
+    )
+    return (
+        located.unionByName(causes).unionByName(case_count).unionByName(occurred)
+        .dropDuplicates([id_col, "subj", "pred", "obj"])
+    )

@@ -1,0 +1,125 @@
+"""triples.sentence_mentions / pattern_triples: sentence assignment from
+char offsets, the four outbreak cue rules, and composition through the
+real broadcast-trie annotator."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from outbreak_kg_spark import triples
+from outbreak_kg_spark.ground import make_annotate_udf, type_dim
+
+
+GAZ_ROWS = [
+    ("MESH", "D01", "cholera", "cholera", "disease"),
+    ("MESH", "D02", "measles", "measles", "disease"),
+    ("MESH", "P01", "vibrio", "vibrio", "pathogen"),
+    ("geonames", "G01", "nairobi", "nairobi", "geoloc"),
+    ("geonames", "G02", "lagos", "lagos", "geoloc"),
+]
+
+
+@pytest.fixture(scope="module")
+def gaz(spark):
+    return spark.createDataFrame(
+        GAZ_ROWS, ["ns", "id", "entry_name", "synonym", "node_type"])
+
+
+@pytest.fixture(scope="module")
+def udf(spark, gaz):
+    return make_annotate_udf(spark, gaz)
+
+
+@pytest.fixture(scope="module")
+def tdim(gaz):
+    return type_dim(gaz)
+
+
+def _sm(spark, udf, tdim, rows):
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    return triples.sentence_mentions(docs, udf, tdim)
+
+
+def test_sentence_assignment_by_offset(spark, udf, tdim):
+    text = "cholera here . now measles . and vibrio in nairobi"
+    out = {
+        (r["curie"], r["sent_idx"])
+        for r in _sm(spark, udf, tdim, [(1, text)]).collect()
+    }
+    assert out == {
+        ("MESH:D01", 0),
+        ("MESH:D02", 1),
+        ("MESH:P01", 2),
+        ("geonames:G01", 2),
+    }
+
+
+def test_sentence_text_matches_index(spark, udf, tdim):
+    text = "a cholera b . c measles d"
+    got = {
+        r["curie"]: r["sentence"]
+        for r in _sm(spark, udf, tdim, [(1, text)]).collect()
+    }
+    assert got["MESH:D01"] == "a cholera b "
+    assert got["MESH:D02"] == " c measles d"
+
+
+def test_located_in_requires_cue_and_same_sentence(spark, udf, tdim):
+    rows = [
+        (1, "cholera spreading in nairobi today"),          # cue present
+        (2, "cholera spreading . meanwhile in nairobi"),    # cross-sentence
+        (3, "cholera and nairobi mentioned with no cue"),   # no " in <geo>"
+    ]
+    out = triples.pattern_triples(_sm(spark, udf, tdim, rows))
+    got = {(r["doc_id"], r["subj"], r["pred"], r["obj"])
+           for r in out.filter("pred = 'located_in'").collect()}
+    assert got == {(1, "MESH:D01", "located_in", "geonames:G01")}
+
+
+def test_causes_directional_cue(spark, udf, tdim):
+    rows = [
+        (1, "vibrio causes cholera"),
+        (2, "cholera causes vibrio"),   # wrong direction: disease causes pathogen
+        (3, "vibrio and cholera"),      # no cue
+    ]
+    out = triples.pattern_triples(_sm(spark, udf, tdim, rows))
+    got = {(r["doc_id"], r["subj"], r["obj"])
+           for r in out.filter("pred = 'causes'").collect()}
+    assert got == {(1, "MESH:P01", "MESH:D01")}
+
+
+def test_case_count_and_occurred_on(spark, udf, tdim):
+    rows = [
+        (1, "saw 120 cases of cholera in nairobi on 2024-03-05 today"),
+        (2, "no counts of measles here on some day"),
+    ]
+    out = triples.pattern_triples(_sm(spark, udf, tdim, rows))
+    cc = {(r["doc_id"], r["subj"], r["obj"], r["n_cases"])
+          for r in out.filter("pred = 'case_count_of'").collect()}
+    oo = {(r["doc_id"], r["subj"], r["obj"])
+          for r in out.filter("pred = 'occurred_on'").collect()}
+    assert cc == {(1, "MESH:D01", "doc:1", 120)}
+    assert oo == {(1, "MESH:D01", "2024-03-05")}
+    # the located_in leg fires off the same sentence too
+    li = {(r["subj"], r["obj"])
+          for r in out.filter("pred = 'located_in'").collect()}
+    assert li == {("MESH:D01", "geonames:G01")}
+
+
+def test_n_cases_null_off_leg_and_distinct(spark, udf, tdim):
+    # the same triple asserted in two sentences of one doc collapses to one
+    rows = [(1, "vibrio causes cholera . again vibrio causes cholera")]
+    out = triples.pattern_triples(_sm(spark, udf, tdim, rows)).collect()
+    assert len(out) == 1
+    assert out[0]["pred"] == "causes" and out[0]["n_cases"] is None
+
+
+def test_no_python_udf_below_pair_join(spark, udf, tdim):
+    # everything above the NER explode is codegen: the pair join, cue
+    # filters, and distinct must not add Python evals
+    sm = _sm(spark, udf, tdim, [(1, "vibrio causes cholera in nairobi")])
+    plan = triples.pattern_triples(sm)._jdf.queryExecution().executedPlan().toString()
+    # exactly the NER UDF evals (one per union leg re-read), nothing else
+    import re
+    ops = re.findall(r"(\w*PythonUDF|ArrowEval\w*|BatchEval\w*)", plan)
+    assert all("Arrow" in o or "PythonUDF" in o for o in ops)
+    assert "FlatMapGroupsInPandas" not in plan
