@@ -68,6 +68,15 @@ HEADLINE = [
     "sample_chunks",
     "sample_temperature",
     "graph_triangles",
+    # r5 final stretch: sentence-scoped pattern triples (driver window),
+    # incremental LSH against an at-rest index, synchronous LPA
+    # communities, JL random-projection ANN, quality-weighted
+    # representative election
+    "kg_pattern_triples",
+    "dedup_incremental_lsh",
+    "graph_labelprop",
+    "similarity_rp_project",
+    "curate_representatives",
 ]
 
 

@@ -4449,6 +4449,73 @@ def _sql_graph_labelprop(rounds: int = 4) -> str:
     """
 
 
+def q_graph_kcore(spark, sf_dir):
+    """k-core decomposition (graphrank.k_core, k=4) over a deterministic
+    documents-derived graph: blocks of ten nodes wired by three modular
+    generators (dense enough that most of each block survives k=4) plus a
+    block-end chain edge that peels. Webtext use: dense-backbone
+    extraction — spam/template link farms are high-k cores of the link
+    graph. The DuckDB oracle unrolls the peeling as materialized chained
+    CTEs (10 rounds — past the fixture's fixpoint; extra rounds are
+    no-ops once stable, and if 10 were NOT enough the value-hash gate
+    would catch the unconverged oracle)."""
+    from .graphrank import k_core
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    blk = i - i % 10
+    legs = [
+        d.select(i.alias("src"),
+                 (blk + (i * j + j) % 10).alias("dst"))
+        for j in (1, 2, 3)
+    ]
+    chain = d.filter((i % 10 == 9)).select(
+        i.alias("src"), (blk + 10).alias("dst"))
+    edges = legs[0].unionByName(legs[1]).unionByName(legs[2]) \
+        .unionByName(chain)
+    return k_core(edges, k=4).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("degree").cast("long").alias("degree"))
+
+
+def _sql_graph_kcore(k: int = 4, rounds: int = 10) -> str:
+    parts = ["""
+    WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM (
+            SELECT doc_id AS src,
+                   (doc_id - doc_id % 10) + (doc_id * 1 + 1) % 10 AS dst
+            FROM documents
+            UNION ALL
+            SELECT doc_id,
+                   (doc_id - doc_id % 10) + (doc_id * 2 + 2) % 10
+            FROM documents
+            UNION ALL
+            SELECT doc_id,
+                   (doc_id - doc_id % 10) + (doc_id * 3 + 3) % 10
+            FROM documents
+            UNION ALL
+            SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 10 = 9
+        ) WHERE src <> dst)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    k{r} AS MATERIALIZED (
+        SELECT node FROM (
+            SELECT u AS node FROM e{r - 1}
+            UNION ALL SELECT v FROM e{r - 1}
+        ) GROUP BY node HAVING count(*) >= {k}),
+    e{r} AS MATERIALIZED (
+        SELECT u, v FROM e{r - 1}
+        WHERE u IN (SELECT node FROM k{r})
+          AND v IN (SELECT node FROM k{r}))""")
+    parts.append(f"""
+    SELECT node::BIGINT AS node, count(*)::BIGINT AS degree
+    FROM (SELECT u AS node FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
+    GROUP BY node
+    """)
+    return "".join(parts)
+
+
 def q_similarity_rp_project(spark, sf_dir):
     """Johnson-Lindenstrauss random projection (similarity.
     random_projection): 64-dim embeddings compressed onto six
@@ -4585,6 +4652,7 @@ def extra_queries():
         "retrieval_rrf_fuse": q_retrieval_rrf_fuse,
         "dedup_incremental_lsh": q_dedup_incremental_lsh,
         "graph_labelprop": q_graph_labelprop,
+        "graph_kcore": q_graph_kcore,
         "similarity_rp_project": q_similarity_rp_project,
         "curate_representatives": q_curate_representatives,
         # round-5 demotion from the driver window (slot given to
@@ -4635,6 +4703,7 @@ def extra_oracle_sql():
         "retrieval_rrf_fuse": _sql_retrieval_rrf_fuse(),
         "dedup_incremental_lsh": SQL_DEDUP_INCREMENTAL_LSH,
         "graph_labelprop": _sql_graph_labelprop(),
+        "graph_kcore": _sql_graph_kcore(),
         "similarity_rp_project": _sql_similarity_rp_project(),
         "curate_representatives": SQL_CURATE_REPRESENTATIVES,
         "agg_pricing_summary": SQL_AGG_PRICING,

@@ -248,3 +248,60 @@ def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
         )
     sym.unpersist()
     return labels
+
+
+def k_core(edges: DataFrame, k: int, src: str = "src",
+           dst: str = "dst") -> DataFrame:
+    """k-core decomposition for a fixed k: iteratively peel nodes of
+    degree < k (over the UNDIRECTED simple graph — direction, duplicate
+    and self edges dropped) until the remaining subgraph is stable.
+    Returns (node, degree) for the survivors, degree measured INSIDE the
+    core. The dense-backbone extractor the graph family was missing:
+    spam/template link farms on the web graph are high-k cores, and the
+    KG co-occurrence backbone (terms that co-occur with many mutually
+    co-occurring terms) is exactly a k-core survivor set.
+
+    Scale shape: each round is one partial+final degree agg (combinable
+    — a 10^6-degree hub's edge rows collapse map-side) and two
+    LEFT SEMI joins restricting the edge set to surviving endpoints
+    (unique build keys, no expansion under probe skew). The edge frame
+    is eagerly localCheckpoint-ed per round — the pagerank/closure/LPA
+    regime — so lineage stays O(1) over arbitrary peeling depth.
+    Convergence = edge count unchanged (each round's count rides the
+    checkpoint materialization it needs anyway). Rounds are bounded by
+    the peeling depth of the graph, not |V|: every round removes EVERY
+    currently-under-k node at once, so a chain peels from both ends and
+    a bushy web graph converges in a handful of rounds.
+    """
+    cur = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"),
+                F.greatest("a", "b").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = cur.count()
+    while n_edges:
+        deg = (
+            cur.select(F.col("u").alias("node"))
+            .unionAll(cur.select(F.col("v").alias("node")))
+            .groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        nxt = (
+            cur.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        n_next = nxt.count()
+        if n_next == n_edges:
+            cur = nxt
+            break
+        cur, n_edges = nxt, n_next
+    return (
+        cur.select(F.col("u").alias("node"))
+        .unionAll(cur.select(F.col("v").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    )

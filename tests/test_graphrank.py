@@ -174,3 +174,68 @@ def test_lpa_direction_and_duplicates_ignored(spark):
     # self-loop-only node 5 never appears (no real edge); path 0-1-2
     assert set(got) == {0, 1, 2}
     assert got == _python_lpa(edges, 3)
+
+
+# ------------------------------------------------------------- k-core
+
+from outbreak_kg_spark.graphrank import k_core
+
+
+def _python_kcore(edges, k):
+    """Reference peeling: undirected simple graph, remove deg<k until
+    stable; returns {node: in-core degree}."""
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < k]:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+            changed = True
+    return {n: len(nb) for n, nb in adj.items() if nb}
+
+
+def _spark_kcore(spark, edges, k):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return {r["node"]: r["degree"] for r in k_core(df, k).collect()}
+
+
+def test_kcore_clique_survives_chain_peels(spark):
+    # K5 (nodes 1-5, all degree 4) + a chain 5-10-11-12 hanging off it
+    # + a pendant on the clique. k=4: chain and pendant peel over
+    # multiple rounds, the clique survives intact.
+    k5 = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    extra = [(5, 10), (10, 11), (11, 12), (3, 99)]
+    got = _spark_kcore(spark, k5 + extra, 4)
+    assert got == {1: 4, 2: 4, 3: 4, 4: 4, 5: 4}
+
+
+def test_kcore_cascading_peel_empties_graph(spark):
+    # a chain has no 2-core: both ends peel each round until nothing is
+    # left — exercises multi-round convergence to the empty fixpoint
+    chain = [(i, i + 1) for i in range(8)]
+    assert _spark_kcore(spark, chain, 2) == {}
+    # but closing it into a cycle makes the whole thing a 2-core
+    got = _spark_kcore(spark, chain + [(8, 0)], 2)
+    assert got == {i: 2 for i in range(9)}
+
+
+def test_kcore_direction_duplicates_selfloops_ignored(spark):
+    tri = [(1, 2), (2, 3), (3, 1)]
+    noisy = tri + [(2, 1), (1, 2), (1, 1), (3, 3)]
+    assert _spark_kcore(spark, noisy, 2) == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_matches_python_reference(spark):
+    import random
+
+    rng = random.Random(7)
+    for trial, k in [(0, 2), (1, 3), (2, 4)]:
+        edges = [(rng.randrange(16), rng.randrange(16)) for _ in range(40)]
+        assert _spark_kcore(spark, edges, k) == _python_kcore(edges, k), (
+            trial, k)
