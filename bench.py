@@ -75,6 +75,7 @@ HEADLINE = [
     "kg_pattern_triples",
     "dedup_incremental_lsh",
     "graph_labelprop",
+    "graph_kcore",
     "similarity_rp_project",
     "curate_representatives",
 ]
