@@ -44,6 +44,7 @@ def build_kg(
     fused: bool = False,
     edge_buckets: int | None = 8,
     mention_buckets: int | None = 8,
+    cue_triples: bool = False,
 ) -> dict[str, DataFrame]:
     """Run (or resume) the full pipeline; returns the at-rest DataFrames.
 
@@ -200,6 +201,33 @@ def build_kg(
         bucket_by=("subj", edge_buckets) if edge_buckets else None,
     )
     fin_nodes.unpersist()
+
+    pattern = None
+    if cue_triples:
+        if mentions is None:
+            raise ValueError(
+                "cue_triples needs the modular path: the cue layer reuses "
+                "the materialized mentions stage (fused=True never "
+                "produces one)")
+        from . import triples as triples_mod
+
+        _sm_cache: dict = {}
+
+        def _build_pattern():
+            # persist: pattern_triples' four legs each re-read the
+            # sentence-mention relation (see triples.pattern_triples)
+            sm = triples_mod.mentions_to_sentences(
+                mentions, extract.explode_section_texts(alerts), tdim
+            ).persist()
+            _sm_cache["sm"] = sm
+            return triples_mod.pattern_triples(sm)
+
+        pattern = run_stage(
+            spark, root, "pattern_triples", _build_pattern, force=force,
+        )
+        if "sm" in _sm_cache:
+            _sm_cache["sm"].unpersist()
+
     return {
         "extracted": extracted,
         "alerts": alerts,
@@ -208,6 +236,7 @@ def build_kg(
         "closure": closure,
         "nodes": nodes,
         "edges": edges,
+        "pattern_triples": pattern,
     }
 
 

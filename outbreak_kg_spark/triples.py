@@ -17,8 +17,9 @@ Scale shape (the whole point of doing this sentence-scoped):
   the count of boundary chars before its start offset (length minus
   length-after-replace over a substr), and the sentence text is one
   element_at over the split array — no second scan, no window, no UDF.
-- Cue checks are literal `contains`/static-pattern `regexp_extract`
-  Column expressions — whole-stage codegen, never per-row Python.
+- Cue checks are case-folded `contains` via higher-order `exists` over the
+  per-mention surface array, plus static-pattern `regexp_extract` — all
+  Column expressions, never per-row Python.
 - The pair-forming join keys on (doc_id, sent_idx): a near-unique
   composite, so a hot entity ("COVID-19" in 10^9 docs) does NOT make a
   hot join key — the skew story is structurally different from the
@@ -50,9 +51,13 @@ def sentence_mentions(
 ) -> DataFrame:
     """Annotate ``docs`` and place every mention in its sentence.
 
-    Returns (id_col, sent_idx, sentence, curie, name, node_type), distinct
-    per (doc, sentence, curie). ``type_dim`` is a (curie, node_type)
-    dimension (ground.type_dim) broadcast into the typed join.
+    Returns (id_col, sent_idx, sentence, curie, name, surfaces, node_type),
+    one row per (doc, sentence, curie), where ``surfaces`` is the sorted
+    distinct set of matched surface strings — the cue rules test SURFACES,
+    not entry names, because a mention grounded through a synonym ("ebola"
+    -> "Ebolavirus Disease") appears in the sentence as the synonym.
+    ``type_dim`` is a (curie, node_type) dimension (ground.type_dim)
+    broadcast into the typed join.
 
     The sentence index is derived from the mention's char offset with no
     re-scan: idx = #boundary chars strictly before start. This stays
@@ -67,17 +72,34 @@ def sentence_mentions(
     sent_idx = (F.length(pre) - F.length(F.replace(pre, b_lit, F.lit("")))).cast("int")
     # split() takes a regex string: escape the boundary char literally
     sent_arr = F.split(F.col(text_col), _re.escape(boundary), -1)
+    rows = a.select(
+        id_col,
+        sent_idx.alias("sent_idx"),
+        F.element_at(sent_arr, sent_idx + F.lit(1)).alias("sentence"),
+        F.concat_ws(":", "a.ns", "a.id").alias("curie"),
+        F.col("a.entry_name").alias("name"),
+        F.col("a.text").alias("surface"),
+    )
+    return _group_surfaces(rows, id_col).join(
+        F.broadcast(type_dim), "curie"
+    ).select(id_col, "sent_idx", "sentence", "curie", "name", "surfaces",
+             "node_type")
+
+
+def _group_surfaces(rows: DataFrame, id_col: str) -> DataFrame:
+    """(.., surface) mention rows -> one row per (doc, sentence, curie)
+    with the sorted distinct surface set. A partial+final agg (collect_set
+    combines map-side); sentence/name are functionally determined by the
+    keys, carried with max() so the output is deterministic — a
+    dropDuplicates here would keep an ARBITRARY surface and make cue
+    results run-dependent when one curie matches via several synonyms."""
     return (
-        a.select(
-            id_col,
-            sent_idx.alias("sent_idx"),
-            F.element_at(sent_arr, sent_idx + F.lit(1)).alias("sentence"),
-            F.concat_ws(":", "a.ns", "a.id").alias("curie"),
-            F.col("a.entry_name").alias("name"),
+        rows.groupBy(id_col, "sent_idx", "curie")
+        .agg(
+            F.max("sentence").alias("sentence"),
+            F.max("name").alias("name"),
+            F.sort_array(F.collect_set("surface")).alias("surfaces"),
         )
-        .dropDuplicates([id_col, "sent_idx", "curie"])
-        .join(F.broadcast(type_dim), "curie")
-        .select(id_col, "sent_idx", "sentence", "curie", "name", "node_type")
     )
 
 
@@ -92,19 +114,21 @@ def pattern_triples(
     Emits (id_col, subj, pred, obj, n_cases) distinct, with four rules:
 
     - located_in:  disease a + geoloc b co-sentential AND the sentence
-      contains the literal cue ``" in <b.name>"`` -> (a, located_in, b)
+      contains the literal cue ``" in <b surface>"`` -> (a, located_in, b)
     - causes:      pathogen a + disease b co-sentential AND the sentence
-      contains ``"<a.name> causes <b.name>"`` -> (a, causes, b)
+      contains ``"<a surface> causes <b surface>"`` -> (a, causes, b)
     - case_count_of: disease mention whose sentence contains
-      ``" cases of <name>"``; n_cases = the count captured by cases_re
+      ``" cases of <surface>"``; n_cases = the count captured by cases_re
       -> (disease, case_count_of, doc:<id>)
     - occurred_on: disease mention co-sentential with a date matched by
       date_re -> (disease, occurred_on, <date>)
 
-    Cue gates are literal ``contains`` (mention-name-parameterized, still
-    codegen — concat of columns into the search string), count/date
-    capture are static-pattern regexp_extract. n_cases is NULL off the
-    case_count_of leg.
+    Cue gates are case-folded ``contains`` over the mention's matched
+    SURFACE set (``exists`` over the surfaces array — a synonym-grounded
+    mention appears in text as the synonym, never as its entry name);
+    still whole-stage codegen — higher-order exists over an array column,
+    no Python. Count/date capture are static-pattern regexp_extract.
+    n_cases is NULL off the case_count_of leg.
 
     The four legs re-read ``sm``; callers materializing the result should
     pass a persisted frame (Catalyst does not share common subplans, so
@@ -120,11 +144,19 @@ def pattern_triples(
           F.col("a.sent_idx") == F.col("b.sent_idx")]
     null_cases = F.lit(None).cast("long").alias("n_cases")
 
+    def _any_surface(sentence, surfaces, prefix, suffix=""):
+        # exists over the (short) surface array — codegen, case-folded
+        return F.exists(
+            surfaces,
+            lambda s: F.contains(
+                F.lower(sentence),
+                F.concat(F.lit(prefix), F.lower(s), F.lit(suffix))),
+        )
+
     located = (
         a.filter(F.col("node_type") == "disease")
         .join(b.filter(F.col("node_type") == "geoloc"), on)
-        .filter(F.contains(F.col("a.sentence"),
-                           F.concat(F.lit(" in "), F.col("b.name"))))
+        .filter(_any_surface(F.col("a.sentence"), F.col("b.surfaces"), " in "))
         .select(F.col(f"a.{id_col}").alias(id_col),
                 F.col("a.curie").alias("subj"),
                 F.lit("located_in").alias("pred"),
@@ -134,9 +166,14 @@ def pattern_triples(
     causes = (
         a.filter(F.col("node_type") == "pathogen")
         .join(b.filter(F.col("node_type") == "disease"), on)
-        .filter(F.contains(F.col("a.sentence"),
-                           F.concat(F.col("a.name"), F.lit(" causes "),
-                                    F.col("b.name"))))
+        .filter(F.exists(
+            F.col("a.surfaces"),
+            lambda sa: F.exists(
+                F.col("b.surfaces"),
+                lambda sb: F.contains(
+                    F.lower(F.col("a.sentence")),
+                    F.concat(F.lower(sa), F.lit(" causes "), F.lower(sb)))),
+        ))
         .select(F.col(f"a.{id_col}").alias(id_col),
                 F.col("a.curie").alias("subj"),
                 F.lit("causes").alias("pred"),
@@ -146,7 +183,7 @@ def pattern_triples(
     case_count = (
         sm.filter(
             (F.col("node_type") == "disease")
-            & F.contains("sentence", F.concat(F.lit(" cases of "), F.col("name")))
+            & _any_surface(F.col("sentence"), F.col("surfaces"), " cases of ")
         )
         .select(id_col,
                 F.col("curie").alias("subj"),
@@ -168,3 +205,75 @@ def pattern_triples(
         located.unionByName(causes).unionByName(case_count).unionByName(occurred)
         .dropDuplicates([id_col, "subj", "pred", "obj"])
     )
+
+
+def mentions_to_sentences(
+    mentions: DataFrame,
+    section_texts: DataFrame,
+    type_dim: DataFrame,
+    keys: tuple = ("doc_id", "section_idx", "field"),
+    text_col: str = "text",
+    boundary: str = ".",
+) -> DataFrame:
+    """Sentence-place ALREADY-MATERIALIZED mentions (ground.
+    annotate_sections output, carrying start offsets) by joining them back
+    to their section texts — the production composition: the pipeline's
+    NER stage runs ONCE and is checkpointed at rest; the cue-rule layer
+    then reuses it instead of re-annotating (sentence_mentions pays a
+    fresh annotation pass, right for one-shot queries, wrong when the
+    mentions table already exists).
+
+    Returns the pattern_triples input shape keyed by a composite doc id:
+    (doc_id, sent_idx, sentence, curie, name, surfaces, node_type) where
+    sent_idx is
+    offset WITHIN (doc, section, field) — sentences never span sections,
+    so cue rules stay correct, and the synthetic doc key for pair joins is
+    (doc_id, section_idx, field, sent_idx), which this encodes by folding
+    section_idx/field into sent_idx via dense struct keys downstream.
+
+    Scale shape: one equi-join of the mention table onto section texts on
+    the composite key — both sides are at-rest stage outputs bucketed by
+    doc_id (pipeline.build_kg), so the join plans with zero scan-side
+    exchange; sentence math is the same pure-codegen offset arithmetic as
+    sentence_mentions. The mention side carries only offsets (~40 B/row);
+    section text rides the build side of each matched key once.
+    """
+    kcols = list(keys)
+    m = mentions.select(
+        *kcols,
+        F.col("start"),
+        F.concat_ws(":", "ns", "id").alias("curie"),
+        F.col("entry_name").alias("name"),
+        F.col("text").alias("surface"),
+    )
+    st = section_texts.select(
+        *kcols, F.col(text_col).alias("_sectext"))
+    j = m.join(st, kcols)
+    pre = F.col("_sectext").substr(F.lit(1), F.col("start"))
+    b_lit = F.lit(boundary)
+    within = (F.length(pre) - F.length(F.replace(pre, b_lit, F.lit("")))).cast("int")
+    import re as _re
+
+    sent_arr = F.split(F.col("_sectext"), _re.escape(boundary), -1)
+    id_col = kcols[0]
+    # fold the section coordinates into the sentence index: pattern_triples
+    # joins on (id, sent_idx), and (section_idx, field, within) must never
+    # collide across sections
+    sent_key = F.concat_ws(
+        "#",
+        F.col(kcols[1]).cast("string") if len(kcols) > 1 else F.lit("0"),
+        F.col(kcols[2]).cast("string") if len(kcols) > 2 else F.lit("0"),
+        within.cast("string"),
+    )
+    rows = j.select(
+        F.col(id_col).alias("doc_id"),
+        sent_key.alias("sent_idx"),
+        F.element_at(sent_arr, within + F.lit(1)).alias("sentence"),
+        "curie",
+        "name",
+        "surface",
+    )
+    return _group_surfaces(rows, "doc_id").join(
+        F.broadcast(type_dim), "curie"
+    ).select("doc_id", "sent_idx", "sentence", "curie", "name", "surfaces",
+             "node_type")

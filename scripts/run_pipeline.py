@@ -38,6 +38,10 @@ def main() -> None:
     p.add_argument("--out", required=True, help="output root (stages + kg)")
     p.add_argument("--force", action="store_true",
                    help="rebuild even if stages are committed")
+    p.add_argument("--cue-triples", action="store_true",
+                   help="also materialize the sentence-level cue-rule "
+                        "triple stage (located_in/causes/case_count_of/"
+                        "occurred_on) from the mentions checkpoint")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -77,7 +81,8 @@ def main() -> None:
         extras = {}
 
     out = pipeline.build_kg(spark, args.out, pages, gaz, isa, outbreaks,
-                            force=args.force, **extras)
+                            force=args.force,
+                            cue_triples=args.cue_triples, **extras)
     stats = {
         "nodes": out["nodes"].count(),
         "edges": out["edges"].count(),
@@ -85,6 +90,8 @@ def main() -> None:
         "mentions": out["mentions"].count(),
         "wall_sec": round(time.monotonic() - t0, 2),
     }
+    if out["pattern_triples"] is not None:
+        stats["pattern_triples"] = out["pattern_triples"].count()
     print(json.dumps(stats))
     spark.stop()
 

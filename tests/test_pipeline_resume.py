@@ -360,3 +360,60 @@ def test_plain_partitioned_dynamic_overwrite_drops_stale_marker(spark, tmp_path)
     resumed = run_stage(spark, root, "edges", lambda: df,
                         bucket_by=("subj", 4))
     assert resumed.count() == 40
+
+
+def test_build_kg_cue_triples_stage_and_resume(spark, tmp_path):
+    """cue_triples=True adds the pattern_triples stage: cue-gated
+    sentence-level outbreak relations derived from the MATERIALIZED
+    mentions stage (no second NER pass), checkpointed and resumable."""
+    import datetime
+
+    root = str(tmp_path / "kg")
+    body = ("A cholera situation report\n"
+            + "-" * 41 + "\n"
+            "there were 12 cases of cholera in Guinea on 2024-02-02 . "
+            "Vibrio cholerae causes cholera .\n--")
+    header = ("Published Date: 2024-02-03 10:00:00 EDT\n"
+              "Subject: PRO/AH/EDR> Cholera - Guinea (01): update\n"
+              "Archive Number: 20240203.500001")
+    pages = spark.createDataFrame(
+        [{
+            "url": "promed://20240203.500001/0",
+            "warc_ts": datetime.datetime(2024, 2, 3),
+            "html": b"",
+            "text": f"{header}\n\n{body}",
+            "lang": "en",
+        }],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string",
+    )
+    kw = dict(
+        pages=pages,
+        gazetteer=synth.gazetteer_df(spark),
+        vocab_isa=synth.vocab_isa_df(spark),
+        outbreaks=synth.outbreaks_df(spark, 5),
+        cue_triples=True,
+    )
+    out = build_kg(spark, root, **kw)
+    got = {(r.subj, r.pred, r.obj, r.n_cases)
+           for r in out["pattern_triples"].collect()}
+    assert ("MESH:D0108", "located_in", "MESH:D0303", None) in got
+    assert ("MESH:D0206", "causes", "MESH:D0108", None) in got
+    assert ("MESH:D0108", "case_count_of", "doc:20240203.500001", 12) in got
+    assert ("MESH:D0108", "occurred_on", "2024-02-02", None) in got
+    assert stage_done(root, "pattern_triples")
+
+    # resume: committed stage is read back, not recomputed
+    out2 = build_kg(spark, root, **kw)
+    got2 = {(r.subj, r.pred, r.obj, r.n_cases)
+            for r in out2["pattern_triples"].collect()}
+    assert got2 == got
+    lin = read_lineage(spark, root)
+    runs = (lin.filter("stage = 'pattern_triples'")
+            .select("run_id").distinct().count())
+    assert runs == 1
+
+    # the fused path has no mentions stage to reuse
+    import pytest
+    with pytest.raises(ValueError):
+        build_kg(spark, str(tmp_path / "kg2"), **{**kw, "fused": True})

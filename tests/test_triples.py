@@ -123,3 +123,61 @@ def test_no_python_udf_below_pair_join(spark, udf, tdim):
     ops = re.findall(r"(\w*PythonUDF|ArrowEval\w*|BatchEval\w*)", plan)
     assert all("Arrow" in o or "PythonUDF" in o for o in ops)
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_synonym_surface_fires_cue(spark, tdim):
+    # mention grounded through a SYNONYM: the sentence contains "ebola",
+    # the entry name is "Ebolavirus Disease" — the cue must test the
+    # matched surface, not the entry name, and case-fold
+    gaz = spark.createDataFrame(
+        [("MESH", "D03", "Ebolavirus Disease", "ebola", "disease"),
+         ("MESH", "D03", "Ebolavirus Disease", "Ebolavirus Disease",
+          "disease"),
+         ("geonames", "G01", "Nairobi", "Nairobi", "geoloc")],
+        ["ns", "id", "entry_name", "synonym", "node_type"])
+    from outbreak_kg_spark.ground import make_annotate_udf, type_dim as td
+    u = make_annotate_udf(spark, gaz)
+    docs = spark.createDataFrame(
+        [(1, "an ebola outbreak in Nairobi today")], ["doc_id", "text"])
+    sm = triples.sentence_mentions(docs, u, td(gaz))
+    out = {(r["subj"], r["pred"], r["obj"])
+           for r in triples.pattern_triples(sm).collect()}
+    assert ("MESH:D03", "located_in", "geonames:G01") in out
+
+
+def test_mentions_to_sentences_matches_direct_path(spark, udf, tdim, gaz):
+    # the production composition (materialized mentions joined back to
+    # section texts) computes the same relation as the one-shot path on
+    # single-section docs
+    from outbreak_kg_spark.ground import annotate_sections
+
+    rows = [
+        (1, "cholera spreading in nairobi . vibrio causes cholera"),
+        (2, "saw 9 cases of measles in lagos on 2024-05-05 ."),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    direct = triples.sentence_mentions(docs, udf, tdim)
+
+    sections = docs.select(
+        "doc_id", F.lit(0).alias("section_idx"),
+        F.lit("content").alias("field"), "text")
+    m = annotate_sections(sections, udf)
+    composed = triples.mentions_to_sentences(m, sections, tdim)
+
+    def norm(df, strip_section):
+        out = set()
+        for r in df.collect():
+            si = r["sent_idx"]
+            if strip_section:
+                si = int(str(si).split("#")[-1])
+            out.add((r["doc_id"], si, r["sentence"], r["curie"],
+                     tuple(r["surfaces"]), r["node_type"]))
+        return out
+
+    assert norm(direct, False) == norm(composed, True)
+    # and the triples agree end-to-end
+    t_direct = {(r["doc_id"], r["subj"], r["pred"], r["obj"], r["n_cases"])
+                for r in triples.pattern_triples(direct).collect()}
+    t_comp = {(r["doc_id"], r["subj"], r["pred"], r["obj"], r["n_cases"])
+              for r in triples.pattern_triples(composed).collect()}
+    assert t_direct == t_comp and len(t_direct) >= 4
