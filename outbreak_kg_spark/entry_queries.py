@@ -844,7 +844,7 @@ def q_kg_pattern_triples(spark, sf_dir):
     predicates fire; the original text (dot-free, cue-free) forms sentence
     0 and contributes mentions but no triples — cue gating, not bare
     co-occurrence, is what the oracle checks."""
-    from .triples import pattern_triples, sentence_mentions
+    from .triples import pattern_triples_grouped, sentence_mentions
 
     d = _docs(spark, sf_dir)
     i = F.col("doc_id")
@@ -865,14 +865,13 @@ def q_kg_pattern_triples(spark, sf_dir):
     docs = d.select("doc_id", F.concat("text", tail).alias("text"))
     tdim = spark.createDataFrame(
         [(c, ty) for c, _t, ty in ENTRY_GAZ], "curie string, node_type string")
-    # persist: the four cue legs each re-read the mention relation, and
-    # without a cache boundary Catalyst re-runs the NER UDF per leg —
-    # four full corpus annotation passes at 100 TB (same reasoning as
-    # entry_mentions' persist)
+    # the grouped one-pass plan reads the mention relation ONCE (no
+    # persist needed — vs the relational pattern_triples whose four legs
+    # would each re-run the NER UDF); equality of the two plans is
+    # pytest-asserted in test_triples
     sm = sentence_mentions(
-        docs, make_annotate_udf(spark, entry_gazetteer_df(spark)), tdim
-    ).persist()
-    return pattern_triples(sm)
+        docs, make_annotate_udf(spark, entry_gazetteer_df(spark)), tdim)
+    return pattern_triples_grouped(sm)
 
 
 def _sql_pattern_triples() -> str:

@@ -211,22 +211,17 @@ def build_kg(
                 "produces one)")
         from . import triples as triples_mod
 
-        _sm_cache: dict = {}
-
-        def _build_pattern():
-            # persist: pattern_triples' four legs each re-read the
-            # sentence-mention relation (see triples.pattern_triples)
-            sm = triples_mod.mentions_to_sentences(
-                mentions, extract.explode_section_texts(alerts), tdim
-            ).persist()
-            _sm_cache["sm"] = sm
-            return triples_mod.pattern_triples(sm)
-
         pattern = run_stage(
-            spark, root, "pattern_triples", _build_pattern, force=force,
+            spark, root, "pattern_triples",
+            # grouped one-pass plan: reads the sentence-mention relation
+            # once, so no persist boundary is needed here — mentions and
+            # alerts are themselves committed stages read from parquet
+            lambda: triples_mod.pattern_triples_grouped(
+                triples_mod.mentions_to_sentences(
+                    mentions, extract.explode_section_texts(alerts), tdim)
+            ),
+            force=force,
         )
-        if "sm" in _sm_cache:
-            _sm_cache["sm"].unpersist()
 
     return {
         "extracted": extracted,

@@ -277,3 +277,139 @@ def mentions_to_sentences(
         F.broadcast(type_dim), "curie"
     ).select("doc_id", "sent_idx", "sentence", "curie", "name", "surfaces",
              "node_type")
+
+
+def pattern_triples_grouped(
+    sm: DataFrame,
+    id_col: str = "doc_id",
+    cases_re: str = CASES_RE,
+    date_re: str = DATE_RE,
+) -> DataFrame:
+    """pattern_triples' one-pass physical plan: SAME relation (pytest
+    asserts equality), different shape — the per-sentence mention groups
+    are tiny (bounded by sentence length), so instead of four self-join
+    legs the mentions collapse to ONE row per (doc, sentence) and every
+    cue rule runs as higher-order array expressions inside that row.
+
+    Exchanges: one (doc, sent_idx) collect_list agg + the final distinct —
+    versus the relational plan's four join exchanges + distinct. This is
+    the skew.grouped_pair_counts lesson reapplied: when the group is small
+    and the rules are local to it, ship the group once and expand JVM-side.
+    The relational pattern_triples stays as the semantic reference (and is
+    the shape you want if sentences could be adversarially huge)."""
+    g = (
+        sm.groupBy(id_col, "sent_idx")
+        .agg(
+            F.max("sentence").alias("sentence"),
+            F.collect_list(
+                F.struct("curie", "node_type", "surfaces")).alias("ms"),
+        )
+    )
+    low = F.lower(F.col("sentence"))
+
+    def typed(t):
+        return F.filter("ms", lambda m: m["node_type"] == F.lit(t))
+
+    def cued(arr, prefix):
+        return F.filter(
+            arr,
+            lambda m: F.exists(
+                m["surfaces"],
+                lambda s: F.contains(
+                    low, F.concat(F.lit(prefix), F.lower(s)))),
+        )
+
+    def tri(subj, pred, obj, n_cases):
+        return F.struct(
+            subj.alias("subj"), F.lit(pred).alias("pred"),
+            obj.alias("obj"), n_cases.alias("n_cases"))
+
+    null_l = F.lit(None).cast("long")
+    dis = typed("disease")
+    located = F.flatten(F.transform(
+        dis,
+        lambda a: F.transform(
+            cued(typed("geoloc"), " in "),
+            lambda b: tri(a["curie"], "located_in", b["curie"], null_l)),
+    ))
+    causes = F.flatten(F.transform(
+        typed("pathogen"),
+        lambda a: F.transform(
+            F.filter(
+                dis,
+                lambda b: F.exists(
+                    a["surfaces"],
+                    lambda sa: F.exists(
+                        b["surfaces"],
+                        lambda sb: F.contains(
+                            low,
+                            F.concat(F.lower(sa), F.lit(" causes "),
+                                     F.lower(sb)))))),
+            lambda b: tri(a["curie"], "causes", b["curie"], null_l)),
+    ))
+    case_count = F.transform(
+        cued(dis, " cases of "),
+        lambda a: tri(
+            a["curie"], "case_count_of",
+            F.concat(F.lit("doc:"), F.col(id_col).cast("string")),
+            F.regexp_extract(F.col("sentence"), cases_re, 1).cast("long")),
+    )
+    date = F.regexp_extract(F.col("sentence"), date_re, 1)
+    occurred = F.when(date != "", F.transform(
+        dis, lambda a: tri(a["curie"], "occurred_on", date, null_l)
+    )).otherwise(F.array().cast(
+        "array<struct<subj:string,pred:string,obj:string,n_cases:bigint>>"))
+    return (
+        g.select(
+            id_col,
+            F.explode(
+                F.concat(located, causes, case_count, occurred)).alias("t"),
+        )
+        .select(id_col, "t.subj", "t.pred", "t.obj", "t.n_cases")
+        .dropDuplicates([id_col, "subj", "pred", "obj"])
+    )
+
+
+def section_sentence_mentions(
+    section_texts: DataFrame,
+    annotate_udf,
+    type_dim: DataFrame,
+    keys: tuple = ("doc_id", "section_idx", "field"),
+    text_col: str = "text",
+    boundary: str = ".",
+) -> DataFrame:
+    """sentence_mentions over (doc, section, field) section texts — the
+    one-shot composition for a FRESH annotation pass: the section text is
+    still in scope in the same projection as the NER explode, so sentence
+    placement costs zero joins (vs mentions_to_sentences, which exists for
+    mentions already materialized at rest and must join the text back).
+    Same output shape and sent_idx encoding as mentions_to_sentences
+    (equality pytest-asserted), so pattern_triples* consume either."""
+    import re as _re
+
+    kcols = list(keys)
+    a = section_texts.select(
+        *kcols, text_col,
+        F.explode(annotate_udf(F.col(text_col))).alias("a"))
+    pre = F.col(text_col).substr(F.lit(1), F.col("a.start"))
+    b_lit = F.lit(boundary)
+    within = (F.length(pre) - F.length(F.replace(pre, b_lit, F.lit("")))).cast("int")
+    sent_arr = F.split(F.col(text_col), _re.escape(boundary), -1)
+    sent_key = F.concat_ws(
+        "#",
+        F.col(kcols[1]).cast("string") if len(kcols) > 1 else F.lit("0"),
+        F.col(kcols[2]).cast("string") if len(kcols) > 2 else F.lit("0"),
+        within.cast("string"),
+    )
+    rows = a.select(
+        F.col(kcols[0]).alias("doc_id"),
+        sent_key.alias("sent_idx"),
+        F.element_at(sent_arr, within + F.lit(1)).alias("sentence"),
+        F.concat_ws(":", "a.ns", "a.id").alias("curie"),
+        F.col("a.entry_name").alias("name"),
+        F.col("a.text").alias("surface"),
+    )
+    return _group_surfaces(rows, "doc_id").join(
+        F.broadcast(type_dim), "curie"
+    ).select("doc_id", "sent_idx", "sentence", "curie", "name", "surfaces",
+             "node_type")

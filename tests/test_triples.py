@@ -181,3 +181,51 @@ def test_mentions_to_sentences_matches_direct_path(spark, udf, tdim, gaz):
     t_comp = {(r["doc_id"], r["subj"], r["pred"], r["obj"], r["n_cases"])
               for r in triples.pattern_triples(composed).collect()}
     assert t_direct == t_comp and len(t_direct) >= 4
+
+
+def test_grouped_plan_equals_relational(spark, udf, tdim):
+    # same relation from the one-pass grouped plan and the join plan,
+    # across all four rules incl. multi-sentence docs and negatives
+    rows = [
+        (1, "saw 120 cases of cholera in nairobi on 2024-03-05 today"),
+        (2, "vibrio causes cholera . again vibrio causes cholera"),
+        (3, "cholera spreading . meanwhile in nairobi"),
+        (4, "measles and lagos with no cue . 7 cases of measles in lagos"),
+        (5, "nothing relevant here"),
+    ]
+    sm = _sm(spark, udf, tdim, rows).persist()
+    rel = {tuple(r) for r in triples.pattern_triples(sm).collect()}
+    grp = {tuple(r) for r in triples.pattern_triples_grouped(sm).collect()}
+    sm.unpersist()
+    assert rel == grp and len(rel) >= 6
+
+
+def test_grouped_plan_has_no_join(spark, udf, tdim):
+    sm = _sm(spark, udf, tdim, [(1, "vibrio causes cholera in nairobi")])
+    plan = triples.pattern_triples_grouped(sm)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # the only join anywhere is sentence_mentions' broadcast type-dim;
+    # the rule layer itself adds none (vs the relational plan's four)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_section_path_equals_join_path(spark, udf, tdim):
+    # the fresh-annotation no-join composition computes the same relation
+    # as annotate-then-join-back
+    from outbreak_kg_spark.ground import annotate_sections
+
+    rows = [(1, "cholera spreading in nairobi . vibrio causes cholera"),
+            (2, "saw 9 cases of measles in lagos on 2024-05-05 .")]
+    sections = spark.createDataFrame(rows, ["doc_id", "text"]).select(
+        "doc_id", F.lit(0).alias("section_idx"),
+        F.lit("content").alias("field"), "text")
+    direct = triples.section_sentence_mentions(sections, udf, tdim)
+    joined = triples.mentions_to_sentences(
+        annotate_sections(sections, udf), sections, tdim)
+
+    def rows_of(df):
+        return {(r["doc_id"], r["sent_idx"], r["sentence"], r["curie"],
+                 r["name"], tuple(r["surfaces"]), r["node_type"])
+                for r in df.collect()}
+
+    assert rows_of(direct) == rows_of(joined)
