@@ -229,3 +229,40 @@ def test_section_path_equals_join_path(spark, udf, tdim):
                 for r in df.collect()}
 
     assert rows_of(direct) == rows_of(joined)
+
+
+def test_grouped_plan_hot_sentence_bounded(spark, tdim):
+    # pathological sentence: one sentence mentioning EVERY vocab entry,
+    # many times — the grouped row stays one row, pair expansion is
+    # |disease|x|geoloc| within it, and results stay exact
+    n = 60
+    gaz_rows = (
+        [("MESH", f"D{i:03d}", f"dis{i}", f"dis{i}", "disease")
+         for i in range(n)]
+        + [("geonames", f"G{i:03d}", f"geo{i}", f"geo{i}", "geoloc")
+           for i in range(n)])
+    gaz = spark.createDataFrame(
+        gaz_rows, ["ns", "id", "entry_name", "synonym", "node_type"])
+    from outbreak_kg_spark.ground import make_annotate_udf, type_dim as td
+    u = make_annotate_udf(spark, gaz)
+    # every disease co-sentential with every geoloc, cue " in geoK" for all
+    text = " ".join(f"dis{i}" for i in range(n)) + " all seen in " + \
+        " in ".join(f"geo{i}" for i in range(n))
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    sm = triples.sentence_mentions(docs, u, td(gaz))
+    out = triples.pattern_triples_grouped(sm).filter("pred = 'located_in'")
+    # every geoloc except geo0 (no " in geo0" — it follows "in " only via
+    # the joined separator) is cued; all diseases pair with each
+    rows = out.collect()
+    objs = {r["obj"] for r in rows}
+    assert len(rows) == n * len(objs) and len(objs) in (n, n - 1)
+
+
+def test_entry_runs_ner_once(spark):
+    # the grouped entry plan needs no persist: exactly ONE Arrow NER eval
+    import re
+    from outbreak_kg_spark.entry_queries import q_kg_pattern_triples
+
+    df = q_kg_pattern_triples(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"ArrowEvalPython", plan)) == 1
