@@ -413,3 +413,26 @@ def section_sentence_mentions(
         F.broadcast(type_dim), "curie"
     ).select("doc_id", "sent_idx", "sentence", "curie", "name", "surfaces",
              "node_type")
+
+
+def triples_to_edges(pt: DataFrame) -> DataFrame:
+    """Per-doc cue triples -> the at-rest edge form: (subj, pred, obj,
+    count) with count = number of supporting documents (pattern_triples*
+    output is distinct per doc-triple, so a plain count aggregates doc
+    support). One partial+final agg; hot triples combine map-side."""
+    return pt.groupBy("subj", "pred", "obj").agg(
+        F.count(F.lit(1)).alias("count"))
+
+
+def pattern_triple_delta(old_pt: DataFrame, new_pt: DataFrame) -> DataFrame:
+    """Signed at-rest delta for a crawl refresh (the crawl.
+    cooccurrence_count_delta pattern applied to cue triples): ``old_pt`` =
+    triples of the PREVIOUS build for docs whose pages changed or vanished
+    (subtracted), ``new_pt`` = freshly extracted triples for added/changed
+    docs (added). Both sides run the SAME triples_to_edges aggregation as
+    a full build, so refresh can never drift from rebuild semantics;
+    incremental.upsert_edges applies the result (zero-count edges vanish
+    from the rewritten partition exactly as a rebuild would never emit
+    them)."""
+    neg = triples_to_edges(old_pt).withColumn("count", -F.col("count"))
+    return neg.unionByName(triples_to_edges(new_pt))

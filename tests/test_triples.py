@@ -266,3 +266,39 @@ def test_entry_runs_ner_once(spark):
     df = q_kg_pattern_triples(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"ArrowEvalPython", plan)) == 1
+
+
+def test_triple_refresh_matches_rebuild(spark, udf, tdim, tmp_path):
+    # crawl-refresh composition: apply a signed cue-triple delta onto the
+    # at-rest edge table and land exactly where a full rebuild lands
+    from outbreak_kg_spark.incremental import upsert_edges
+
+    def triples_of(rows):
+        return triples.pattern_triples_grouped(_sm(spark, udf, tdim, rows))
+
+    v1 = [
+        (1, "12 cases of cholera in nairobi on 2024-01-01"),
+        (2, "vibrio causes cholera . measles in lagos"),
+        (3, "measles in lagos again"),
+    ]
+    # doc 2 changes (its triples differ), doc 3 vanishes, doc 4 is new
+    v2 = [
+        (1, "12 cases of cholera in nairobi on 2024-01-01"),
+        (2, "cholera in lagos now"),
+        (4, "vibrio causes cholera"),
+    ]
+    root = str(tmp_path / "triples_at_rest")
+    upsert_edges(spark, root, triples.triples_to_edges(triples_of(v1)))
+
+    old_slice = triples_of([r for r in v1 if r[0] in (2, 3)])
+    new_slice = triples_of([r for r in v2 if r[0] in (2, 4)])
+    upsert_edges(spark, root,
+                 triples.pattern_triple_delta(old_slice, new_slice))
+
+    refreshed = {(r.subj, r.pred, r.obj, r["count"])
+                 for r in spark.read.parquet(root).collect()}
+    rebuilt = {(r.subj, r.pred, r.obj, r["count"])
+               for r in triples.triples_to_edges(triples_of(v2)).collect()}
+    assert refreshed == rebuilt
+    # the vanished doc-3-only edge is physically gone, not zero-count
+    assert all(c > 0 for *_e, c in refreshed)
