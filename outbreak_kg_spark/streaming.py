@@ -313,3 +313,51 @@ def start_kg_append(mentions_stream: DataFrame, out_dir: str,
     if trigger_available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def start_triple_deltas(pages_stream: DataFrame, delta_dir: str,
+                        checkpoint_dir: str, annotate_udf,
+                        type_dim: DataFrame, watermark: str = "1 hour",
+                        trigger_available_now: bool = True):
+    """Streaming cue-triple maintenance, the exactly-once way: each
+    micro-batch of pages runs the full extract -> offset NER -> sentence
+    cue-rule chain (triples.section_sentence_mentions +
+    pattern_triples_grouped) and lands its PER-DOC triples as an immutable
+    delta at ``delta_dir/batch_id=K`` with mode('overwrite') — the same
+    replay-safe contract as start_kg_append (a crash between parquet write
+    and checkpoint commit replays the batch; the overwrite replaces the
+    partial output instead of duplicating beside it).
+
+    The at-rest triple table is then advanced OUT-OF-BAND by
+    incremental.compact_edge_deltas: it folds batches newer than the live
+    snapshot's watermark into a new version (count = per-doc support rows,
+    exactly triples_to_edges' aggregation) and commits via the
+    meta-written-last snapshot protocol, so a crash anywhere leaves either
+    the old version live or the new one — never a half-merged table.
+    Late re-crawls inside the watermark dedup in-stream
+    (dropDuplicatesWithinWatermark on archive_number, as
+    streaming_mentions); older ones reconcile through the batch path
+    (triples.pattern_triple_delta + upsert_edges)."""
+    from . import triples as triples_mod
+
+    ex = extract.extract_pages(pages_stream).filter(F.col("valid"))
+    ex = ex.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["archive_number"]
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int):
+        sections = extract.explode_section_texts(batch_df)
+        sm = triples_mod.section_sentence_mentions(
+            sections, annotate_udf, type_dim)
+        (
+            triples_mod.pattern_triples_grouped(sm)
+            .write.mode("overwrite")
+            .parquet(f"{delta_dir}/batch_id={batch_id}")
+        )
+
+    w = ex.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -284,3 +284,75 @@ def test_entity_episodes_state_cap(spark, tmp_path):
     # + 2 untracked repeats = 202 (exact distinct is 200; the +2 is the
     # documented upper-bound degradation that PROVES the cap held)
     assert ("MESH:HOT", 203, 202) in got
+
+
+def test_streaming_triples_compact_to_batch_parity(spark, tmp_path):
+    """pages stream -> per-batch cue-triple deltas -> snapshot compaction
+    == the batch pipeline's triples_to_edges over the same pages."""
+    from outbreak_kg_spark import extract, triples
+    from outbreak_kg_spark.incremental import (
+        compact_edge_deltas,
+        read_current_edges,
+    )
+
+    # ProMED-format pages with cue sentences (cholera/Guinea/Vibrio from
+    # the synth vocab); two drops -> multiple micro-batches
+    import datetime
+
+    def page(i, body_sentence):
+        header = (f"Published Date: 2024-02-0{i % 9 + 1} 10:00:00 EDT\n"
+                  f"Subject: PRO/AH/EDR> Cholera update ({i:02d})\n"
+                  f"Archive Number: 2024020{i % 9 + 1}.60000{i}")
+        body = ("A cholera situation report\n" + "-" * 41 + "\n"
+                + body_sentence + "\n--")
+        return {
+            "url": f"promed://2024020{i % 9 + 1}.60000{i}/{i}",
+            "warc_ts": datetime.datetime(2024, 2, 1 + i % 9),
+            "html": b"",
+            "text": f"{header}\n\n{body}",
+            "lang": "en",
+        }
+
+    rows = [
+        page(0, "there were 12 cases of cholera in Guinea on 2024-02-02 ."),
+        page(1, "Vibrio cholerae causes cholera in Guinea ."),
+        page(2, "measles in Bulgaria . 4 cases of measles in Bulgaria"),
+        page(3, "anthrax in Vietnam on 2024-02-05 ."),
+    ]
+    schema = ("url string, warc_ts timestamp, html binary, text string, "
+              "lang string")
+    pages = spark.createDataFrame(rows, schema)
+    in_dir = str(tmp_path / "in")
+    pages.filter("url like '%/0' or url like '%/1'").coalesce(1) \
+        .write.mode("overwrite").parquet(in_dir)
+    pages.filter("url like '%/2' or url like '%/3'").coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+
+    udf = ground.make_annotate_udf(spark, synth.gazetteer_df(spark))
+    tdim = ground.type_dim(synth.gazetteer_df(spark))
+    stream = streaming.read_pages_stream(spark, in_dir,
+                                         max_files_per_trigger=1)
+    delta_dir = str(tmp_path / "deltas")
+    q = streaming.start_triple_deltas(
+        stream, delta_dir, str(tmp_path / "ckpt"), udf, tdim)
+    q.awaitTermination(120)
+
+    base = str(tmp_path / "at_rest")
+    info = compact_edge_deltas(spark, delta_dir, base)
+    assert info["n_batches"] >= 1
+    got = {(r.subj, r.pred, r.obj, r["count"])
+           for r in read_current_edges(spark, base)
+           .select("subj", "pred", "obj", "count").collect()}
+
+    # batch reference over the same pages
+    alerts = extract.dedup_alerts(
+        extract.extract_pages(spark.read.parquet(in_dir)))
+    sm = triples.section_sentence_mentions(
+        extract.explode_section_texts(alerts), udf, tdim)
+    want = {(r.subj, r.pred, r.obj, r["count"])
+            for r in triples.triples_to_edges(
+                triples.pattern_triples_grouped(sm)).collect()}
+    assert got == want and len(want) >= 5
+    # re-compaction with no new batches is a no-op at the same version
+    info2 = compact_edge_deltas(spark, delta_dir, base)
+    assert info2["n_batches"] == 0 and info2["version"] == info["version"]
