@@ -41,6 +41,26 @@ CASES_RE = "([0-9]+) cases of "
 DATE_RE = " on ([0-9]{4}-[0-9]{2}-[0-9]{2})"
 
 
+def _boundary_class(boundary: str) -> str:
+    """Regex char class splitting sentences on ANY of the boundary chars
+    ('.' default; pass '.!?' for prose). Still a STRING pattern — Catalyst
+    folds it once."""
+    import re as _re
+
+    return "[" + _re.escape(boundary) + "]"
+
+
+def _boundary_count(prefix_col, boundary: str):
+    """#boundary chars in the prefix = the mention's sentence index —
+    strip every non-boundary char and measure (one regexp_replace; for a
+    single-char boundary this is equivalent to the replace-diff trick but
+    uniform across class sizes)."""
+    import re as _re
+
+    return F.length(
+        F.regexp_replace(prefix_col, "[^" + _re.escape(boundary) + "]", ""))
+
+
 def sentence_mentions(
     docs: DataFrame,
     annotate_udf,
@@ -64,14 +84,10 @@ def sentence_mentions(
     correct because the tokenizer never matches across a boundary char
     (boundary is non-word), so a mention cannot straddle two sentences.
     """
-    import re as _re
-
-    b_lit = F.lit(boundary)
     a = docs.select(id_col, text_col, F.explode(annotate_udf(F.col(text_col))).alias("a"))
     pre = F.col(text_col).substr(F.lit(1), F.col("a.start"))
-    sent_idx = (F.length(pre) - F.length(F.replace(pre, b_lit, F.lit("")))).cast("int")
-    # split() takes a regex string: escape the boundary char literally
-    sent_arr = F.split(F.col(text_col), _re.escape(boundary), -1)
+    sent_idx = _boundary_count(pre, boundary).cast("int")
+    sent_arr = F.split(F.col(text_col), _boundary_class(boundary), -1)
     rows = a.select(
         id_col,
         sent_idx.alias("sent_idx"),
@@ -250,11 +266,8 @@ def mentions_to_sentences(
         *kcols, F.col(text_col).alias("_sectext"))
     j = m.join(st, kcols)
     pre = F.col("_sectext").substr(F.lit(1), F.col("start"))
-    b_lit = F.lit(boundary)
-    within = (F.length(pre) - F.length(F.replace(pre, b_lit, F.lit("")))).cast("int")
-    import re as _re
-
-    sent_arr = F.split(F.col("_sectext"), _re.escape(boundary), -1)
+    within = _boundary_count(pre, boundary).cast("int")
+    sent_arr = F.split(F.col("_sectext"), _boundary_class(boundary), -1)
     id_col = kcols[0]
     # fold the section coordinates into the sentence index: pattern_triples
     # joins on (id, sent_idx), and (section_idx, field, within) must never
@@ -385,16 +398,13 @@ def section_sentence_mentions(
     mentions already materialized at rest and must join the text back).
     Same output shape and sent_idx encoding as mentions_to_sentences
     (equality pytest-asserted), so pattern_triples* consume either."""
-    import re as _re
-
     kcols = list(keys)
     a = section_texts.select(
         *kcols, text_col,
         F.explode(annotate_udf(F.col(text_col))).alias("a"))
     pre = F.col(text_col).substr(F.lit(1), F.col("a.start"))
-    b_lit = F.lit(boundary)
-    within = (F.length(pre) - F.length(F.replace(pre, b_lit, F.lit("")))).cast("int")
-    sent_arr = F.split(F.col(text_col), _re.escape(boundary), -1)
+    within = _boundary_count(pre, boundary).cast("int")
+    sent_arr = F.split(F.col(text_col), _boundary_class(boundary), -1)
     sent_key = F.concat_ws(
         "#",
         F.col(kcols[1]).cast("string") if len(kcols) > 1 else F.lit("0"),

@@ -302,3 +302,17 @@ def test_triple_refresh_matches_rebuild(spark, udf, tdim, tmp_path):
     assert refreshed == rebuilt
     # the vanished doc-3-only edge is physically gone, not zero-count
     assert all(c > 0 for *_e, c in refreshed)
+
+
+def test_multichar_boundary_class(spark, udf, tdim):
+    # '.!?' boundary class: each punctuation splits; rules stay sentence-
+    # scoped across all three
+    text = "cholera here ! now in nairobi ? cholera in lagos . end"
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    sm = triples.sentence_mentions(docs, udf, tdim, boundary=".!?")
+    idx = {(r["curie"], r["sent_idx"]) for r in sm.collect()}
+    assert idx == {("MESH:D01", 0), ("geonames:G01", 1),
+                   ("MESH:D01", 2), ("geonames:G02", 2)}
+    out = {(r["subj"], r["pred"], r["obj"])
+           for r in triples.pattern_triples_grouped(sm).collect()}
+    assert out == {("MESH:D01", "located_in", "geonames:G02")}
