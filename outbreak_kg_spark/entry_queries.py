@@ -917,6 +917,7 @@ def _sql_pattern_triples() -> str:
                regexp_extract(sentence, '([0-9]+) cases of ', 1)::BIGINT
         FROM m WHERE node_type = 'disease'
           AND contains(sentence, ' cases of ' || name)
+          AND regexp_extract(sentence, '([0-9]+) cases of ', 1) <> ''
         UNION ALL
         SELECT doc_id, curie, 'occurred_on',
                regexp_extract(sentence,

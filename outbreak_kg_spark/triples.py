@@ -200,6 +200,8 @@ def pattern_triples(
         sm.filter(
             (F.col("node_type") == "disease")
             & _any_surface(F.col("sentence"), F.col("surfaces"), " cases of ")
+            # a digitless cue ("no new cases of cholera") asserts NO count
+            & (F.regexp_extract("sentence", cases_re, 1) != "")
         )
         .select(id_col,
                 F.col("curie").alias("subj"),
@@ -360,13 +362,15 @@ def pattern_triples_grouped(
                                      F.lower(sb)))))),
             lambda b: tri(a["curie"], "causes", b["curie"], null_l)),
     ))
-    case_count = F.transform(
+    n_capture = F.regexp_extract(F.col("sentence"), cases_re, 1)
+    case_count = F.when(n_capture != "", F.transform(
         cued(dis, " cases of "),
         lambda a: tri(
             a["curie"], "case_count_of",
             F.concat(F.lit("doc:"), F.col(id_col).cast("string")),
-            F.regexp_extract(F.col("sentence"), cases_re, 1).cast("long")),
-    )
+            n_capture.cast("long")),
+    )).otherwise(F.array().cast(
+        "array<struct<subj:string,pred:string,obj:string,n_cases:bigint>>"))
     date = F.regexp_extract(F.col("sentence"), date_re, 1)
     occurred = F.when(date != "", F.transform(
         dis, lambda a: tri(a["curie"], "occurred_on", date, null_l)

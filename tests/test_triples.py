@@ -316,3 +316,15 @@ def test_multichar_boundary_class(spark, udf, tdim):
     out = {(r["subj"], r["pred"], r["obj"])
            for r in triples.pattern_triples_grouped(sm).collect()}
     assert out == {("MESH:D01", "located_in", "geonames:G02")}
+
+
+def test_digitless_case_cue_asserts_nothing(spark, udf, tdim):
+    # "no new cases of cholera" must NOT emit a case_count_of triple
+    rows = [(1, "no new cases of cholera were reported"),
+            (2, "exactly 0 cases of cholera were reported")]
+    sm = _sm(spark, udf, tdim, rows).persist()
+    for plan in (triples.pattern_triples, triples.pattern_triples_grouped):
+        cc = {(r["doc_id"], r["n_cases"])
+              for r in plan(sm).filter("pred = 'case_count_of'").collect()}
+        assert cc == {(2, 0)}, plan.__name__
+    sm.unpersist()
