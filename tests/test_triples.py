@@ -328,3 +328,43 @@ def test_digitless_case_cue_asserts_nothing(spark, udf, tdim):
               for r in plan(sm).filter("pred = 'case_count_of'").collect()}
         assert cc == {(2, 0)}, plan.__name__
     sm.unpersist()
+
+
+def test_sentence_placement_fuzz_python_reference(spark, udf, tdim):
+    # random texts with random boundary placement: Spark's offset
+    # arithmetic (substr/length/element_at) must agree with a pure-Python
+    # recomputation from the same scan_text offsets
+    import random
+
+    from outbreak_kg_spark.ground import compile_gazetteer, scan_text
+
+    trie = compile_gazetteer(
+        [{"ns": ns, "id": i, "entry_name": en, "synonym": syn}
+         for ns, i, en, syn, _t in GAZ_ROWS])
+    vocab = ["cholera", "measles", "vibrio", "nairobi", "lagos",
+             "and", "the", "x", ".", ". .", "!"]
+    rng = random.Random(11)
+    rows = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randrange(0, 25))))
+            for i in range(40)]
+
+    def python_rows(doc_id, text):
+        out = {}
+        for surface, start, _end, ns, i, en in scan_text(text, trie):
+            idx = text[:start].count(".")
+            sent = text.split(".")[idx]
+            key = (doc_id, idx, sent, f"{ns}:{i}", en)
+            out.setdefault(key, set()).add(surface)
+        return {k + (tuple(sorted(v)),) for k, v in out.items()}
+
+    want = set()
+    for d, t in rows:
+        want |= python_rows(d, t)
+    got = {
+        (r["doc_id"], r["sent_idx"], r["sentence"], r["curie"], r["name"],
+         tuple(r["surfaces"]))
+        for r in triples.sentence_mentions(
+            spark.createDataFrame(rows, ["doc_id", "text"]), udf, tdim
+        ).collect()
+    }
+    assert got == want
