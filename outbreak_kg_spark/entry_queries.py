@@ -4449,6 +4449,65 @@ def _sql_graph_labelprop(rounds: int = 4) -> str:
     """
 
 
+def q_similarity_quantized_topk(spark, sf_dir):
+    """Int8-quantized ANN (similarity.quantized_topk): shortlist by cosine
+    over symmetric int8 codes (scale cancels out of cosine — the float
+    scale column never enters the plan), exact full-precision rerank of
+    the shortlist. The quantizer's floor(x/scale + 0.5) half-up is chosen
+    BECAUSE it evaluates identically in Spark and DuckDB (each engine's
+    round() differs on halves), making the full two-stage plan — codes,
+    shortlist ordering, rerank — exactly replayable as the oracle."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.quantized_topk(emb, queries, k=10, rerank=40)
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round("cosine", 6).alias("cosine_r"), "rank")
+
+
+SQL_QUANTIZED_TOPK = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+    c8 AS (
+        SELECT vec_id,
+               CASE WHEN scale > 0 THEN list_transform(
+                        v, x -> least(greatest(floor(x / scale + 0.5),
+                                               -127.0), 127.0))
+                    ELSE list_transform(v, x -> 0.0) END AS cv
+        FROM (SELECT vec_id, v,
+                     list_aggregate(list_transform(v, x -> abs(x)),
+                                    'max') / 127.0 AS scale
+              FROM e)),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_dot_product(c.cv, q.qv)
+                                / (sqrt(list_dot_product(c.cv, c.cv))
+                                   * sqrt(list_dot_product(q.qv, q.qv)))
+                                DESC,
+                                c.vec_id ASC) AS rn
+            FROM c8 c, q) WHERE rn <= 40),
+    exact AS (
+        SELECT s.query_id, s.neighbor_id,
+               list_dot_product(e.v, q.qv)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+        FROM short s
+        JOIN e ON e.vec_id = s.neighbor_id
+        JOIN q USING (query_id))
+    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r, rank
+    FROM (SELECT query_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC,
+                                             neighbor_id ASC) AS rank
+          FROM exact)
+    WHERE rank <= 10
+"""
+
+
 def q_graph_kcore(spark, sf_dir):
     """k-core decomposition (graphrank.k_core, k=4) over a deterministic
     documents-derived graph: blocks of ten nodes wired by three modular
@@ -4654,6 +4713,7 @@ def extra_queries():
         "graph_labelprop": q_graph_labelprop,
         "graph_kcore": q_graph_kcore,
         "similarity_rp_project": q_similarity_rp_project,
+        "similarity_quantized_topk": q_similarity_quantized_topk,
         "curate_representatives": q_curate_representatives,
         # round-5 demotion from the driver window (slot given to
         # kg_pattern_triples); identical contract here
@@ -4705,6 +4765,7 @@ def extra_oracle_sql():
         "graph_labelprop": _sql_graph_labelprop(),
         "graph_kcore": _sql_graph_kcore(),
         "similarity_rp_project": _sql_similarity_rp_project(),
+        "similarity_quantized_topk": SQL_QUANTIZED_TOPK,
         "curate_representatives": SQL_CURATE_REPRESENTATIVES,
         "agg_pricing_summary": SQL_AGG_PRICING,
     }

@@ -483,3 +483,81 @@ def rp_topk(corpus: DataFrame, queries: DataFrame, dim: int,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
+                        id_col: str = "vec_id",
+                        levels: int = 127) -> DataFrame:
+    """Symmetric per-vector int8 quantization: (id, qvec, scale) with
+    scale = max|x| / levels and codes floor(x/scale + 0.5) clamped to
+    [-levels, levels] — the at-rest compression layer of a production
+    vector index (4x smaller than float32, 8x than double: scan bandwidth
+    IS the cost of the shortlist pass at 10^9 vectors).
+
+    floor(x/scale + 0.5) is deliberate: an explicit half-up that evaluates
+    bit-identically in Spark and DuckDB, where each engine's round()
+    differs on halves. Zero vectors keep scale 0 and all-zero codes. Pure
+    codegen — one narrow pass, no shuffle, no Python."""
+    v = F.col(vec_col).cast("array<double>")
+    maxabs = F.aggregate(v, F.lit(0.0),
+                         lambda a, x: F.greatest(a, F.abs(x)))
+    scale = maxabs / F.lit(float(levels))
+    codes = F.when(
+        scale > 0,
+        F.transform(v, lambda x: F.least(
+            F.greatest(F.floor(x / scale + F.lit(0.5)),
+                       F.lit(float(-levels))),
+            F.lit(float(levels))).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.select(F.col(id_col), codes.alias("qvec"),
+                     scale.alias("scale"))
+
+
+def quantized_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                   rerank: int = 40, vec_col: str = "embedding",
+                   corpus_id: str = "vec_id", query_id: str = "query_id",
+                   levels: int = 127) -> DataFrame:
+    """Two-stage ANN over int8 codes: shortlist `rerank` candidates per
+    query by cosine in CODE space, then exact full-precision rerank of the
+    shortlist — rp_topk's compressed-index/full-rerank architecture with
+    quantization instead of projection (same dimensionality, 4-8x less
+    scan bandwidth). The per-vector scale cancels out of cosine
+    (cos(scale*q, v) == cos(q, v)), so the shortlist pass needs only the
+    integer codes — the float scale column never enters the plan.
+
+    Scale shape: stage 1 is cosine_topk over the code table (narrow
+    corpus pass + per-query window); stage 2 joins the |queries| x rerank
+    shortlist back on the UNIQUE id key, so full-width float vectors are
+    read for shortlist members only."""
+    qc = quantize_embeddings(corpus, vec_col, corpus_id, levels).select(
+        F.col(corpus_id), F.col("qvec").alias(vec_col))
+    shortlist = cosine_topk(
+        qc, queries, k=rerank, vec_col=vec_col,
+        corpus_id=corpus_id, query_id=query_id,
+    ).select("query_id", "neighbor_id")
+    cv = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    ).withColumn("_cn", _norm(F.col("_cv")))
+    qv = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    ).withColumn("_qn", _norm(F.col("_qv")))
+    scored = (
+        shortlist.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id", "neighbor_id",
+            _cosine(_dot(F.col("_cv"), F.col("_qv")),
+                    F.col("_cn"), F.col("_qn")).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

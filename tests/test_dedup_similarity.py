@@ -956,3 +956,72 @@ def test_rp_topk_exact_rerank_and_self_match(spark):
         # shortlist of 60/150 recalls most of the exact top-5
         overlap = {m[0] for m in mine} & set(full)
         assert len(overlap) >= 3, (q, mine, full)
+
+
+# ------------------------------------------------ int8 quantized ANN
+
+
+def test_quantize_embeddings_matches_python(spark):
+    import math
+    import random
+
+    rng = random.Random(5)
+    vecs = {i: [rng.uniform(-3, 3) for _ in range(8)] for i in range(20)}
+    vecs[20] = [0.0] * 8  # zero vector: scale 0, all-zero codes
+    df = spark.createDataFrame(
+        [{"vec_id": i, "embedding": v} for i, v in vecs.items()])
+    got = {r["vec_id"]: (r["qvec"], r["scale"])
+           for r in similarity.quantize_embeddings(df).collect()}
+    for i, v in vecs.items():
+        scale = max(abs(x) for x in v) / 127.0
+        if scale == 0:
+            want = [0] * 8
+        else:
+            want = [int(min(max(math.floor(x / scale + 0.5), -127), 127))
+                    for x in v]
+        assert got[i][0] == want and got[i][1] == pytest.approx(scale)
+        # reconstruction error bound: half a quantization step per coord
+        for x, q in zip(v, got[i][0]):
+            assert abs(x - q * scale) <= scale / 2 + 1e-12
+
+
+def test_quantized_topk_full_rerank_equals_exact(spark):
+    import random
+
+    rng = random.Random(17)
+    vecs = {i: [rng.gauss(0, 1) for _ in range(16)] for i in range(60)}
+    corpus = spark.createDataFrame(
+        [{"vec_id": i, "embedding": v} for i, v in vecs.items()])
+    queries = spark.createDataFrame(
+        [{"query_id": i, "embedding": vecs[i]} for i in range(3)])
+    # rerank >= |corpus|: the shortlist is everything, so the result must
+    # EQUAL exact cosine_topk (codes only affect the shortlist)
+    got = {(r.query_id, r.neighbor_id, round(r.cosine, 10), r.rank)
+           for r in similarity.quantized_topk(
+               corpus, queries, k=5, rerank=60).collect()}
+    want = {(r.query_id, r.neighbor_id, round(r.cosine, 10), r.rank)
+            for r in similarity.cosine_topk(corpus, queries, k=5).collect()}
+    assert got == want
+
+
+def test_quantized_topk_recall_on_clusters(spark):
+    import random
+
+    rng = random.Random(13)
+    centers = [[rng.gauss(0, 1) for _ in range(32)] for _ in range(6)]
+    vecs = {i: [c + rng.gauss(0, 0.15) for c in centers[i % 6]]
+            for i in range(150)}
+    corpus = spark.createDataFrame(
+        [{"vec_id": i, "embedding": v} for i, v in vecs.items()])
+    queries = spark.createDataFrame(
+        [{"query_id": i, "embedding": vecs[i]} for i in range(4)])
+    got = similarity.quantized_topk(
+        corpus, queries, k=5, rerank=20).collect()
+    exact = similarity.cosine_topk(corpus, queries, k=5).collect()
+    for q in range(4):
+        mine = [(r.neighbor_id, r.cosine) for r in got if r.query_id == q]
+        assert mine[0][0] == q and mine[0][1] == pytest.approx(1.0)
+        full = {r.neighbor_id for r in exact if r.query_id == q}
+        # int8 at 32 dims is a much tighter sketch than 8-dim JL: with a
+        # 20/150 shortlist the exact top-5 should essentially survive
+        assert len({m[0] for m in mine} & full) >= 4, (q, mine)
