@@ -77,6 +77,7 @@ HEADLINE = [
     "graph_labelprop",
     "graph_kcore",
     "similarity_rp_project",
+    "similarity_quantized_topk",
     "curate_representatives",
 ]
 
