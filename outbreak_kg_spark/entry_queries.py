@@ -3706,7 +3706,16 @@ def _entry_media(spark, sf_dir):
         F.lit(None).cast("int").alias("height"),
         (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
     )
-    return imgs.unionByName(vids)
+    auds = d.select(
+        F.concat(F.lit("a"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.lit(None).cast("binary").alias("content"),
+        F.lit("audio/wav").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.col("n_chars") * 7).cast("long").alias("duration_ms"),
+    )
+    return imgs.unionByName(vids).unionByName(auds)
 
 
 def q_multimodal_frame_plan(spark, sf_dir):
@@ -3723,6 +3732,27 @@ SQL_MULTIMODAL_FRAME_PLAN = """
     SELECT 'v' || doc_id AS media_id,
            unnest(generate_series(0, n_chars * 10, 1000)) AS frame_ts_ms
     FROM documents
+"""
+
+
+def q_multimodal_audio_windows(spark, sf_dir):
+    """Audio analysis-window plan (multimodal.audio_window_plan): the
+    overlapping-window twin of the video frame plan — JVM-only expansion a
+    feature extractor would consume, codec honestly stubbed. Clips shorter
+    than one window emit nothing (the oracle's WHERE mirrors the gate)."""
+    from .multimodal import audio_window_plan
+
+    return audio_window_plan(_entry_media(spark, sf_dir),
+                             window_ms=2000, hop_ms=500)
+
+
+SQL_MULTIMODAL_AUDIO_WINDOWS = """
+    SELECT 'a' || doc_id AS media_id,
+           unnest(generate_series(0, n_chars * 7 - 2000, 500))
+               AS win_start_ms,
+           unnest(generate_series(0, n_chars * 7 - 2000, 500)) + 2000
+               AS win_end_ms
+    FROM documents WHERE n_chars * 7 >= 2000
 """
 
 
@@ -4714,6 +4744,7 @@ def extra_queries():
         "graph_kcore": q_graph_kcore,
         "similarity_rp_project": q_similarity_rp_project,
         "similarity_quantized_topk": q_similarity_quantized_topk,
+        "multimodal_audio_windows": q_multimodal_audio_windows,
         "curate_representatives": q_curate_representatives,
         # round-5 demotion from the driver window (slot given to
         # kg_pattern_triples); identical contract here
@@ -4766,6 +4797,7 @@ def extra_oracle_sql():
         "graph_kcore": _sql_graph_kcore(),
         "similarity_rp_project": _sql_similarity_rp_project(),
         "similarity_quantized_topk": SQL_QUANTIZED_TOPK,
+        "multimodal_audio_windows": SQL_MULTIMODAL_AUDIO_WINDOWS,
         "curate_representatives": SQL_CURATE_REPRESENTATIVES,
         "agg_pricing_summary": SQL_AGG_PRICING,
     }

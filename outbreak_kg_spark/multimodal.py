@@ -140,3 +140,37 @@ def synth_media(spark, n: int = 50) -> DataFrame:
             }
         )
     return spark.createDataFrame(rows, MEDIA)
+
+
+def audio_window_plan(media: DataFrame, window_ms: int = 2000,
+                      hop_ms: int = 500) -> DataFrame:
+    """Audio analysis-window *plan*: expands each audio row into the
+    overlapping (start, end) windows a feature extractor (STFT/VAD/ASR
+    chunker) would process — the distributed bookkeeping half, codec half
+    stubbed like decode. Windows start at 0 and hop by hop_ms while a full
+    window fits (clips shorter than one window emit nothing). Pure
+    expressions: sequence() + explode_outer (the outer form dodges the
+    InferFiltersFromGenerate re-materialization, same as
+    frame_sample_plan), no Python."""
+    auds = media.filter(F.col("kind") == "audio").select(
+        "media_id", "duration_ms"
+    )
+    return (
+        auds.filter(F.col("duration_ms") >= window_ms)
+        .select(
+            "media_id",
+            F.explode_outer(
+                F.sequence(
+                    F.lit(0),
+                    (F.col("duration_ms") - F.lit(window_ms)).cast("long"),
+                    F.lit(hop_ms),
+                )
+            ).alias("win_start_ms"),
+        )
+        .filter(F.col("win_start_ms").isNotNull())
+        .select(
+            "media_id",
+            "win_start_ms",
+            (F.col("win_start_ms") + F.lit(window_ms)).alias("win_end_ms"),
+        )
+    )

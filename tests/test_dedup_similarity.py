@@ -1025,3 +1025,28 @@ def test_quantized_topk_recall_on_clusters(spark):
         # int8 at 32 dims is a much tighter sketch than 8-dim JL: with a
         # 20/150 shortlist the exact top-5 should essentially survive
         assert len({m[0] for m in mine} & full) >= 4, (q, mine)
+
+
+def test_audio_window_plan(spark):
+    from outbreak_kg_spark.multimodal import MEDIA, audio_window_plan
+
+    rows = [
+        {"media_id": "a1", "kind": "audio", "content": None,
+         "mime": "audio/wav", "width": None, "height": None,
+         "duration_ms": 5000},
+        {"media_id": "a2", "kind": "audio", "content": None,
+         "mime": "audio/wav", "width": None, "height": None,
+         "duration_ms": 1500},   # shorter than one window -> nothing
+        {"media_id": "a3", "kind": "audio", "content": None,
+         "mime": "audio/wav", "width": None, "height": None,
+         "duration_ms": 2000},   # exact fit -> one window
+        {"media_id": "v1", "kind": "video", "content": None,
+         "mime": "video/mp4", "width": None, "height": None,
+         "duration_ms": 9000},   # non-audio ignored
+    ]
+    media = spark.createDataFrame(rows, MEDIA)
+    got = {(r.media_id, r.win_start_ms, r.win_end_ms)
+           for r in audio_window_plan(media, 2000, 500).collect()}
+    want = {("a1", s, s + 2000) for s in range(0, 3001, 500)}
+    want.add(("a3", 0, 2000))
+    assert got == want
