@@ -150,8 +150,11 @@ def _alert_text(rng: random.Random, i: int, terms: list[str],
     if quirk != "missing_terminator":
         body_lines.append("--")
     if quirk == "two_sections":
-        body_lines += ["second section intro", "---", "cases were reported in "
-                       + subject_terms[-1], "--"]
+        # a cue-bearing sentence: exercises the pattern-triple rules
+        # (case_count_of + located_in) on synth corpora end to end
+        body_lines += ["second section intro", "---",
+                       f"{3 + i % 7} cases of {subject_terms[0]} were "
+                       f"reported in {subject_terms[-1]}", "--"]
     if quirk == "closer_before_opener":
         body_lines = ["--"] + body_lines  # triggers the partial-return path
     body = "\n".join(body_lines)
