@@ -930,6 +930,26 @@ def _sql_pattern_triples() -> str:
     """
 
 
+def q_kg_triple_provenance(spark, sf_dir):
+    """Evidence table over the pattern-triple fixture (triples.
+    triple_provenance): per (subj, pred, obj) the exact supporting-doc
+    count plus a deterministic capped sample of doc ids — the audit hook a
+    KG reviewer needs. Rides the same corpus as kg_pattern_triples."""
+    from .triples import triple_provenance
+
+    return triple_provenance(q_kg_pattern_triples(spark, sf_dir),
+                             max_docs=5)
+
+
+def _sql_triple_provenance() -> str:
+    return f"""
+    WITH pt AS ({_sql_pattern_triples()})
+    SELECT subj, pred, obj, count(*)::BIGINT AS n_docs,
+           (list_sort(list(DISTINCT doc_id)))[1:5] AS sample_docs
+    FROM pt GROUP BY subj, pred, obj
+    """
+
+
 def q_agg_pricing_summary(spark, sf_dir):
     """A1/A7-class partial+final hash agg; exact integer-cents money math."""
     l = _tbl(spark, sf_dir, "lineitem")
@@ -4745,6 +4765,7 @@ def extra_queries():
         "similarity_rp_project": q_similarity_rp_project,
         "similarity_quantized_topk": q_similarity_quantized_topk,
         "multimodal_audio_windows": q_multimodal_audio_windows,
+        "kg_triple_provenance": q_kg_triple_provenance,
         "curate_representatives": q_curate_representatives,
         # round-5 demotion from the driver window (slot given to
         # kg_pattern_triples); identical contract here
@@ -4798,6 +4819,7 @@ def extra_oracle_sql():
         "similarity_rp_project": _sql_similarity_rp_project(),
         "similarity_quantized_topk": SQL_QUANTIZED_TOPK,
         "multimodal_audio_windows": SQL_MULTIMODAL_AUDIO_WINDOWS,
+        "kg_triple_provenance": _sql_triple_provenance(),
         "curate_representatives": SQL_CURATE_REPRESENTATIVES,
         "agg_pricing_summary": SQL_AGG_PRICING,
     }

@@ -450,3 +450,26 @@ def pattern_triple_delta(old_pt: DataFrame, new_pt: DataFrame) -> DataFrame:
     them)."""
     neg = triples_to_edges(old_pt).withColumn("count", -F.col("count"))
     return neg.unionByName(triples_to_edges(new_pt))
+
+
+def triple_provenance(pt: DataFrame, id_col: str = "doc_id",
+                      max_docs: int = 5) -> DataFrame:
+    """Evidence table for extracted triples: (subj, pred, obj, n_docs,
+    sample_docs) where sample_docs is a deterministic capped sample of
+    supporting document ids (sorted, first max_docs) — what a reviewer or
+    a downstream UI needs to audit WHY an edge exists without dragging
+    the full posting list around.
+
+    Scale shape: one partial+final agg; the doc-id set is capped at the
+    FINAL step, but collect_set still gathers all ids per triple first —
+    for triples supported by 10^7 docs, cap earlier by pre-sampling
+    (e.g. filter on a 48-bit md5 of the doc id) before this agg; the
+    count stays exact either way when taken from the uncapped count()."""
+    return (
+        pt.groupBy("subj", "pred", "obj")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.slice(F.sort_array(F.collect_set(F.col(id_col))),
+                    1, max_docs).alias("sample_docs"),
+        )
+    )

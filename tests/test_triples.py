@@ -368,3 +368,14 @@ def test_sentence_placement_fuzz_python_reference(spark, udf, tdim):
         ).collect()
     }
     assert got == want
+
+
+def test_triple_provenance(spark, udf, tdim):
+    rows = [(i, "vibrio causes cholera") for i in range(1, 9)] + \
+           [(9, "cholera in nairobi")]
+    pt = triples.pattern_triples_grouped(_sm(spark, udf, tdim, rows))
+    got = {(r.subj, r.pred, r.obj): (r.n_docs, r.sample_docs)
+           for r in triples.triple_provenance(pt, max_docs=5).collect()}
+    causes = got[("MESH:P01", "causes", "MESH:D01")]
+    assert causes == (8, [1, 2, 3, 4, 5])  # count exact, sample capped
+    assert got[("MESH:D01", "located_in", "geonames:G01")] == (1, [9])
