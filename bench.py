@@ -79,6 +79,8 @@ HEADLINE = [
     "similarity_rp_project",
     "similarity_quantized_topk",
     "curate_representatives",
+    "kg_triple_provenance",
+    "multimodal_audio_windows",
 ]
 
 

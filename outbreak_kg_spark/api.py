@@ -49,13 +49,15 @@ class KgApi:
 
     def __init__(self, spark: SparkSession, nodes: DataFrame, edges: DataFrame,
                  closure: DataFrame, gazetteer: DataFrame,
-                 extracted: DataFrame | None = None):
+                 extracted: DataFrame | None = None,
+                 pattern_triples: DataFrame | None = None):
         self.spark = spark
         self.nodes = nodes
         self.edges = edges
         self.closure = closure
         self.gazetteer = gazetteer
         self.extracted = extracted
+        self.pattern_triples = pattern_triples
         self._symptom_closure = symptom_closure(edges, nodes)
         # materialized pair-score table (kg/realism_score.py builds this as
         # a driver dict at import — a driver OOM at corpus scale, where the
@@ -180,6 +182,28 @@ class KgApi:
         return rows
 
     # -- /autocomplete/* --------------------------------------------------------
+    def get_triples(self, subj=None, pred=None, obj=None,
+                    limit: int = 100) -> list[dict]:
+        """Cue-rule triples (extension route, no reference analog): filter
+        the at-rest pattern_triples table by any of subj/pred/obj, return
+        up to `limit` rows ordered (subj, pred, obj, doc_id) for a stable
+        page. Name arguments ground through the same trie as /v1/alerts.
+        All predicates push down to the parquet scan; the collect is
+        limit-bounded."""
+        if self.pattern_triples is None:
+            return []
+        df = self.pattern_triples
+        for col, val in (("subj", subj), ("pred", pred), ("obj", obj)):
+            if val:
+                if col != "pred":
+                    val = self.get_curie(val) or val
+                df = df.filter(F.col(col) == val)
+        rows = (
+            df.orderBy("subj", "pred", "obj", "doc_id")
+            .limit(max(0, limit)).collect()
+        )
+        return [r.asDict() for r in rows]
+
     def autocomplete(self, label: str, prefix: str, top_n: int = 100) -> list:
         res = queries.autocomplete(self.nodes, label, prefix, top_n,
                                    gazetteer=self.gazetteer)

@@ -137,6 +137,15 @@ def make_wsgi_app(api, mesh_pmids=None, meta_fetcher=None):
             return respond(start_response, "200 OK",
                            api.text_relations(q.get("text") or ""))
 
+        if path == "/v1/triples":
+            if api.pattern_triples is None:
+                return respond(start_response, "503 Service Unavailable",
+                               "triple table not loaded", "text/plain")
+            return respond(start_response, "200 OK", api.get_triples(
+                subj=q.get("subj"), pred=q.get("pred"), obj=q.get("obj"),
+                limit=min(_int_arg(q, "limit", 100), 1000),
+            ))
+
         if path == "/v1/find_literature":
             if mesh_pmids is None:
                 return respond(start_response, "503 Service Unavailable",

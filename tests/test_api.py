@@ -22,10 +22,12 @@ def app(spark, tmp_path_factory):
         indicators_dev=synth.indicator_wide_df(spark, "dev"),
         indicators_health=synth.indicator_wide_df(spark, "health"),
         location_map=synth.location_map_df(spark),
+        cue_triples=True,
     )
     return KgApi(
         spark, out["nodes"], out["edges"], out["closure"],
         synth.gazetteer_df(spark), extracted=out["extracted"],
+        pattern_triples=out["pattern_triples"],
     )
 
 
@@ -292,3 +294,49 @@ def test_http_text_relations_json_is_strict(app):
     text = body.decode()
     assert "Infinity" not in text and "NaN" not in text
     _json.loads(text)  # strict parse must succeed
+
+
+def test_triples_endpoint(app):
+    # the synth corpus's cue sentence ("N cases of <disease> ... in <geo>")
+    # produces located_in + case_count_of edges; filter by grounded name
+    rows = app.get_triples(pred="located_in", limit=50)
+    assert rows and all(r["pred"] == "located_in" for r in rows)
+    one = rows[0]
+    by_subj = app.get_triples(subj=one["subj"], pred="located_in")
+    assert all(r["subj"] == one["subj"] for r in by_subj) and by_subj
+    # stable ordering + limit
+    assert app.get_triples(pred="located_in", limit=1)[0] == rows[0]
+    # name (not curie) grounds through the trie
+    named = app.get_triples(subj="Ebolavirus Disease", pred="located_in")
+    assert all(r["subj"] == "MESH:D0103" for r in named)
+
+
+def test_http_triples_route(app):
+    import json
+
+    from outbreak_kg_spark.http_api import make_wsgi_app
+
+    wsgi = make_wsgi_app(app)
+
+    def get(path, qs=""):
+        out = {}
+
+        def start(status, headers):
+            out["status"] = status
+
+        body = b"".join(wsgi({"PATH_INFO": path, "QUERY_STRING": qs,
+                              "REQUEST_METHOD": "GET"}, start))
+        return out["status"], body
+
+    status, body = get("/v1/triples", "pred=located_in&limit=3")
+    assert status == "200 OK"
+    rows = json.loads(body)
+    assert 0 < len(rows) <= 3 and all(r["pred"] == "located_in"
+                                      for r in rows)
+    # unloaded table degrades to 503, like find_literature
+    app2_triples, app.pattern_triples = app.pattern_triples, None
+    try:
+        status, _ = get("/v1/triples")
+        assert status == "503 Service Unavailable"
+    finally:
+        app.pattern_triples = app2_triples
