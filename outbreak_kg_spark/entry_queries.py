@@ -4710,6 +4710,80 @@ SQL_CURATE_REPRESENTATIVES = """
 """
 
 
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup (similarity.semantic_dedup; Abbas et al. 2023): k-means
+    clustering of embeddings -> intra-cluster cosine near-dup pairs ->
+    connected components -> keep the member farthest from its centroid.
+
+    Oracle device (same family as q_similarity_ivf_topk's exhaustive
+    probe): at k=1 the trained centroid is EXACTLY the global per-dim
+    mean (one Lloyd round converges regardless of seed) and the
+    intra-cluster pair graph degenerates to brute-force all-pairs, so
+    DuckDB replays the centroid, the >=threshold pair graph, the
+    components (recursive CTE) and the min-(rounded-cos, id) election
+    relationally. The k>1 clustered path reuses ivf_index /
+    _bucket_pairs / connected_components, each oracle- or
+    property-gated elsewhere; semantic_dedup's k>1 composition is
+    pytest-gated against brute-force in test_dedup_similarity."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    out = similarity.semantic_dedup(
+        emb, dim=64, k=1, iters=2, threshold=0.35, max_cluster_size=None
+    )
+    return out.select(
+        "vec_id", "component",
+        F.round("centroid_cos", 6).alias("centroid_cos_r"), "keep",
+    )
+
+
+SQL_DEDUP_SEMANTIC = """
+    WITH RECURSIVE v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    dims AS (
+        SELECT vec_id, generate_subscripts(e, 1) AS pos, unnest(e) AS val
+        FROM v),
+    cent AS (
+        SELECT list(a ORDER BY pos) AS c
+        FROM (SELECT pos, avg(val) AS a FROM dims GROUP BY pos)),
+    vc AS (
+        SELECT vec_id,
+               list_dot_product(e, c)
+               / (sqrt(list_dot_product(e, e))
+                  * sqrt(list_dot_product(c, c))) AS ccos
+        FROM v, cent),
+    dup AS (
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e))
+                 * sqrt(list_dot_product(b.e, b.e))) >= 0.35),
+    sym AS (SELECT a, b FROM dup UNION SELECT b, a FROM dup),
+    reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+    comp AS (
+        SELECT n AS vec_id, least(n, min(r.b)) AS component
+        FROM (SELECT a AS n FROM sym UNION SELECT b FROM sym) nodes
+        LEFT JOIN reach r ON r.a = n
+        GROUP BY n),
+    lab AS (
+        SELECT vc.vec_id,
+               coalesce(comp.component, vc.vec_id)::VARCHAR AS component,
+               round(vc.ccos, 6) AS centroid_cos_r
+        FROM vc LEFT JOIN comp USING (vec_id)),
+    reps AS (
+        SELECT component, vec_id AS rep_id FROM (
+            SELECT component, vec_id,
+                   row_number() OVER (
+                       PARTITION BY component
+                       ORDER BY centroid_cos_r ASC, vec_id ASC) AS rn
+            FROM lab) WHERE rn = 1)
+    SELECT lab.vec_id, lab.component, lab.centroid_cos_r,
+           lab.vec_id = reps.rep_id AS keep
+    FROM lab JOIN reps USING (component)
+"""
+
+
 def extra_queries():
     """Oracle-gated entries BEYOND the driver's 50-entry window.
 
@@ -4767,6 +4841,7 @@ def extra_queries():
         "multimodal_audio_windows": q_multimodal_audio_windows,
         "kg_triple_provenance": q_kg_triple_provenance,
         "curate_representatives": q_curate_representatives,
+        "dedup_semantic": q_dedup_semantic,
         # round-5 demotion from the driver window (slot given to
         # kg_pattern_triples); identical contract here
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -4821,5 +4896,6 @@ def extra_oracle_sql():
         "multimodal_audio_windows": SQL_MULTIMODAL_AUDIO_WINDOWS,
         "kg_triple_provenance": _sql_triple_provenance(),
         "curate_representatives": SQL_CURATE_REPRESENTATIVES,
+        "dedup_semantic": SQL_DEDUP_SEMANTIC,
         "agg_pricing_summary": SQL_AGG_PRICING,
     }

@@ -561,3 +561,115 @@ def quantized_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def semantic_dedup(df: DataFrame, dim: int, k: int = 8, iters: int = 3,
+                   threshold: float = 0.95, vec_col: str = "embedding",
+                   id_col: str = "vec_id",
+                   max_cluster_size: int | None = 256,
+                   sample_cap: int | None = 100_000) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering of embeddings, intra-cluster
+    cosine near-duplicate detection, and per-group representative
+    election — keep the member FARTHEST from its cluster centroid (the
+    paper's rule: extremal points carry the most information; the ones
+    nearest the centroid are the redundant middle).
+
+    Returns one row per input vector:
+    ``(vec_id, component, centroid_cos, keep)`` — component is the
+    duplicate-group id (the group's min member id; singletons are their
+    own group), centroid_cos the cosine to the vector's own centroid,
+    keep True for exactly one member per group (min by
+    (round(centroid_cos, 6), id) — the rounded key keeps the election
+    reproducible across engines/partitionings).
+
+    Pipeline (all JVM-side array expressions, no Python in any per-vector
+    step):
+
+    1. ``ivf_index`` — sampled k-means (kmeans_lite) + one argmin
+       assignment pass; clustering restricts the pair search to
+       same-cluster members, the SemDeDup trick that replaces the
+       all-pairs O(n^2) with sum over clusters of |C|^2.
+    2. cosine to own centroid via a broadcast join on centroid_id (k
+       rows — never a literal-inflated plan).
+    3. intra-cluster candidate pairs through dedup._bucket_pairs with the
+       cluster id as the bucket key — the SAME degenerate-bucket cap as
+       the MinHash path: an oversized cluster (boilerplate embeddings at
+       web scale collapse to near-identical points) contributes a
+       verified STAR around its min id, |C|-1 pairs, not |C|^2.
+    4. exact cosine verify >= threshold (two id-keyed joins back to the
+       vectors; only candidates are scored).
+    5. connected components (closure.connected_components — hash-min +
+       pointer jumping) over verified pairs.
+    6. representative election as a partial-aggregating min-struct
+       groupBy — no window, so a million-member boilerplate group costs
+       one combiner-friendly agg, not a single-task sort.
+
+    Scale: the only corpus-wide passes are the assignment (1) and the
+    centroid-cosine projection (2); pairs are cluster-bounded and capped.
+    With k ~ n/1000 (the paper's regime) cluster sizes stay ~1000 and the
+    verify stage is linear in candidates. max_cluster_size=None restores
+    uncapped all-pairs-within-cluster semantics (the DuckDB oracle
+    mirrors that with k=1, where clustering degenerates to the global
+    mean centroid and the pair graph to brute-force all-pairs).
+    """
+    from .closure import connected_components
+    from .dedup import _bucket_pairs
+
+    spark = df.sparkSession
+    idx, cents = ivf_index(df, dim, k, iters, vec_col, id_col, sample_cap)
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "centroid_id int, _c array<double>",
+    )
+    base = (
+        idx.join(F.broadcast(cdf), "centroid_id")
+        .withColumn("_n", _norm(F.col("vec")))
+        .withColumn(
+            "centroid_cos",
+            _cosine(_dot(F.col("vec"), F.col("_c")), F.col("_n"),
+                    _norm(F.col("_c"))),
+        )
+        .select("vec_id", "centroid_id", "vec", "_n", "centroid_cos")
+        .persist()
+    )
+    pairs = _bucket_pairs(
+        base.select("vec_id", F.lit(0).alias("band"),
+                    F.col("centroid_id").alias("bucket")),
+        "vec_id", max_cluster_size,
+    )
+    va = base.select(F.col("vec_id").alias("a"), F.col("vec").alias("_va"),
+                     F.col("_n").alias("_na"))
+    vb = base.select(F.col("vec_id").alias("b"), F.col("vec").alias("_vb"),
+                     F.col("_n").alias("_nb"))
+    dup = (
+        pairs.join(va, "a").join(vb, "b")
+        .filter(
+            _cosine(_dot(F.col("_va"), F.col("_vb")),
+                    F.col("_na"), F.col("_nb")) >= threshold
+        )
+        .select("a", "b")
+    )
+    comp = connected_components(dup, "a", "b")
+    labeled = (
+        base.select("vec_id", "centroid_cos")
+        .join(comp.withColumnRenamed("node", "vec_id"), "vec_id", "left")
+        .withColumn(
+            "component",
+            F.coalesce(F.col("component").cast("string"),
+                       F.col("vec_id").cast("string")),
+        )
+    )
+    reps = labeled.groupBy("component").agg(
+        F.min(
+            F.struct(F.round("centroid_cos", 6).alias("_k"),
+                     F.col("vec_id").alias("_id"))
+        ).alias("_rep")
+    ).select("component", F.col("_rep._id").alias("_rep_id"))
+    return (
+        labeled.join(reps, "component")
+        .select(
+            "vec_id", "component", "centroid_cos",
+            (F.col("vec_id") == F.col("_rep_id")).alias("keep"),
+        )
+    )

@@ -1050,3 +1050,107 @@ def test_audio_window_plan(spark):
     want = {("a1", s, s + 2000) for s in range(0, 3001, 500)}
     want.add(("a3", 0, 2000))
     assert got == want
+
+
+def test_semantic_dedup_k3_matches_python_reference(spark):
+    """semantic_dedup end-to-end at k>1 (the path the k=1 DuckDB oracle
+    can't see): Spark components/election vs a pure-Python replay that
+    shares only the (deterministic, separately-tested) kmeans centroids —
+    within-cluster cosine pairs, union-find, min-(rounded-ccos, id)
+    election."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    centers = [[6.0] * 8, [-6.0] * 8, [6.0] * 4 + [-6.0] * 4]
+    vecs = {}
+    for i in range(90):
+        c = centers[i % 3]
+        vecs[i] = [x + rng.gauss(0, 0.8) for x in c]
+    # planted near-dup groups: tight copies of three seeds
+    for g, seed in enumerate((0, 1, 2)):
+        for j in range(3):
+            vecs[100 + 10 * g + j] = [
+                x + rng.gauss(0, 0.01) for x in vecs[seed]]
+    corpus = spark.createDataFrame(
+        [{"vec_id": i, "embedding": v} for i, v in vecs.items()]
+    )
+    thr = 0.999
+    out = {
+        r.vec_id: r
+        for r in similarity.semantic_dedup(
+            corpus, dim=8, k=3, iters=4, threshold=thr
+        ).collect()
+    }
+    assert set(out) == set(vecs)
+
+    # python replay on the SAME centroids (kmeans is deterministic)
+    _, cents = similarity.ivf_index(corpus, dim=8, k=3, iters=4)
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    def nearest(v):
+        d = [sum((a - b) ** 2 for a, b in zip(v, c)) for c in cents]
+        return d.index(min(d))
+
+    cid = {i: nearest(v) for i, v in vecs.items()}
+    parent = {i: i for i in vecs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in itertools.combinations(sorted(vecs), 2):
+        if cid[a] == cid[b] and cos(vecs[a], vecs[b]) >= thr:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+    comp = {i: str(find(i)) for i in vecs}
+    assert {i: r.component for i, r in out.items()} == comp
+
+    # election: one keeper per component, the min (rounded ccos, id)
+    ccos = {i: round(cos(v, cents[cid[i]]), 6) for i, v in vecs.items()}
+    groups = {}
+    for i in vecs:
+        groups.setdefault(comp[i], []).append(i)
+    for members in groups.values():
+        want = min(members, key=lambda i: (ccos[i], i))
+        keepers = [i for i in members if out[i].keep]
+        assert keepers == [want]
+    # the planted copies actually merged (the test has teeth)
+    assert len(set(comp.values())) < len(vecs)
+    assert any(len(m) >= 3 for m in groups.values())
+
+
+def test_semantic_dedup_star_cap_keeps_one_per_clique(spark):
+    """Degenerate-cluster cap: a boilerplate-style clique far over
+    max_cluster_size still collapses to ONE component with one keeper —
+    the star around the min id substitutes for |C|^2 pairs."""
+    base = [1.0, 2.0, 3.0, 4.0]
+    rows = [{"vec_id": i, "embedding": base} for i in range(40)]
+    rows += [{"vec_id": 100 + i,
+              "embedding": [-4.0, 3.0, -2.0, 1.0]} for i in range(3)]
+    df = spark.createDataFrame(rows)
+    out = similarity.semantic_dedup(
+        df, dim=4, k=1, iters=2, threshold=0.999, max_cluster_size=8
+    ).collect()
+    comps = {}
+    for r in out:
+        comps.setdefault(r.component, []).append(r)
+    big = [v for v in comps.values() if len(v) == 40]
+    assert len(big) == 1
+    # the dissimilar trio shares the (single, oversized) k=1 cluster, so
+    # its only candidate edges are star spokes to the hub — which fail
+    # the cosine verify. Capped semantics: they stay singletons (a FALSE
+    # bucket collision never merges); with k>1 they'd get their own
+    # cluster and pair among themselves (covered by the k=3 test above).
+    assert sorted(len(v) for v in comps.values()) == [1, 1, 1, 40]
+    for grp in comps.values():
+        assert sum(1 for r in grp if r.keep) == 1
