@@ -4784,6 +4784,83 @@ SQL_DEDUP_SEMANTIC = """
 """
 
 
+_DSIR_BUCKETS = 64
+_DSIR_K = 60
+
+
+def q_sample_dsir_topk(spark, sf_dir):
+    """DSIR importance resampling (sampling.dsir_logratios / dsir_topk;
+    Xie et al. 2023, arXiv:2302.03169): hashed-(1,2)-gram bag-of-ngrams
+    models for a target subset (doc_id % 17 == 0 — a deterministic
+    stand-in for the in-domain sample) and the raw corpus, per-doc log
+    importance weight = sum of smoothed bucket log-ratios over feature
+    occurrences, then Gumbel-top-k selection (k=60) with md5-derived
+    noise. The oracle re-derives EVERYTHING relationally — counts,
+    smoothing, per-bucket round-6 log ratios, the occurrence sum, the
+    Gumbel keys, the top-k — so the hash gate covers both corpus passes.
+    Cross-engine float contract: ratios are rounded to 6 by each engine
+    independently (Python math.log vs DuckDB ln agree to ulps; a flip
+    needs a true value ~1e-15 from a rounding boundary), after which
+    both sum identical doubles in identical array order."""
+    d = _docs(spark, sf_dir)
+    lr = sampling.dsir_logratios(
+        d, F.pmod("doc_id", F.lit(17)) == 0, n_buckets=_DSIR_BUCKETS)
+    return sampling.dsir_topk(d, lr, _DSIR_K)
+
+
+def _sql_sample_dsir_topk() -> str:
+    b = _DSIR_BUCKETS
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '),
+                               x -> x <> '') AS toks
+            FROM documents),
+        f AS (
+            SELECT doc_id,
+                   list_concat(
+                       list_transform(toks, t ->
+                           ('0x' || substr(md5('u:' || t), 1, 12))::BIGINT
+                           % {b}),
+                       list_transform(range(1, len(toks)), i ->
+                           ('0x' || substr(md5('b:' || toks[i] || ' '
+                                               || toks[i + 1]), 1, 12))
+                           ::BIGINT % {b})
+                   ) AS feats
+            FROM base),
+        x AS (
+            SELECT doc_id % 17 = 0 AS is_t, unnest(feats) AS bkt
+            FROM f),
+        cnt AS (
+            SELECT bkt, count(*)::DOUBLE AS rc,
+                   count(*) FILTER (is_t)::DOUBLE AS tc
+            FROM x GROUP BY bkt),
+        tot AS (
+            SELECT sum(rc) + {b} AS tr, sum(tc) + {b} AS tt FROM cnt),
+        lr AS (
+            SELECT g.bkt,
+                   round(ln((coalesce(c.tc, 0) + 1.0) / t.tt)
+                         - ln((coalesce(c.rc, 0) + 1.0) / t.tr), 6) AS v
+            FROM range(0, {b}) g(bkt)
+            LEFT JOIN cnt c USING (bkt), tot t),
+        lrl AS (SELECT list(v ORDER BY bkt) AS vs FROM lr),
+        s AS (
+            SELECT doc_id, len(feats)::INT AS n_features,
+                   coalesce(list_aggregate(
+                       list_transform(feats, fb -> vs[fb + 1]), 'sum'),
+                       0.0) AS lw
+            FROM f, lrl),
+        keyed AS (
+            SELECT doc_id, n_features, round(lw, 6) AS lw_r,
+                   round(lw - ln(-ln(
+                       (('0x' || substr(md5('dsir-v1:' || doc_id), 1, 12))
+                        ::BIGINT + 0.5) / 281474976710656.0)), 6) AS key_r
+            FROM s)
+        SELECT doc_id, n_features, lw_r, key_r
+        FROM keyed ORDER BY key_r DESC, doc_id LIMIT {_DSIR_K}
+    """
+
+
 def extra_queries():
     """Oracle-gated entries BEYOND the driver's 50-entry window.
 
@@ -4842,6 +4919,7 @@ def extra_queries():
         "kg_triple_provenance": q_kg_triple_provenance,
         "curate_representatives": q_curate_representatives,
         "dedup_semantic": q_dedup_semantic,
+        "sample_dsir_topk": q_sample_dsir_topk,
         # round-5 demotion from the driver window (slot given to
         # kg_pattern_triples); identical contract here
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -4897,5 +4975,6 @@ def extra_oracle_sql():
         "kg_triple_provenance": _sql_triple_provenance(),
         "curate_representatives": SQL_CURATE_REPRESENTATIVES,
         "dedup_semantic": SQL_DEDUP_SEMANTIC,
+        "sample_dsir_topk": _sql_sample_dsir_topk(),
         "agg_pricing_summary": SQL_AGG_PRICING,
     }

@@ -545,3 +545,132 @@ def temperature_resample(df: DataFrame, strata_col: str = "lang",
         .withColumn("accept_rate_r", F.round("_rate", 6))
         .drop("_rate")
     )
+
+
+def dsir_logratios(df: DataFrame, is_target, text_col: str = "text",
+                   *, n_buckets: int = 64, alpha: float = 1.0,
+                   toks=None) -> list[float]:
+    """DSIR bucket log-likelihood ratios (Xie et al. 2023,
+    arXiv:2302.03169 "Data Selection for Language Models via Importance
+    Resampling"): per hashed-(1,2)-gram bucket b,
+    ``log p_target(b) - log p_raw(b)`` under add-alpha-smoothed
+    bag-of-ngrams models, where the target corpus is the subset of ``df``
+    selected by the boolean Column ``is_target`` (in DSIR terms: a small
+    high-quality / in-domain sample) and raw is the full input.
+
+    Feature hashing reuses the quality classifier's engine-portable
+    kernel (textstats._hashed_feature_buckets: md5-48 mod n_buckets over
+    'u:'/'b:'-prefixed (1,2)-grams), so a DuckDB oracle can replay the
+    counts exactly. Each ratio is rounded to 6 decimals — the fixture
+    that lets two engines re-derive the vector independently (Python
+    math.log here, ln() in SQL) and still agree bitwise after their own
+    round(…, 6); downstream sums then run over identical doubles.
+
+    Scale shape: ONE corpus scan — target membership rides the rows as a
+    flag, so raw and target counts come out of the same partial-combined
+    agg (count + conditional count per bucket) — and the only exchange
+    is the <= n_buckets-row bucket agg. The collect is bounded by
+    n_buckets (hashed-feature dimensionality, 64..1e5), never by corpus
+    size; the returned list is meant to ride scoring plans as a literal
+    (same budget note as hashed_linear_score: fine to ~1e5 buckets, use
+    a broadcast-join variant beyond)."""
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (unsmoothed ratios are "
+                         "undefined for unseen buckets)")
+    import math
+
+    from .textstats import _hashed_feature_buckets, tokens_col
+
+    toks = tokens_col(text_col) if toks is None else toks
+    staged = df.select(is_target.alias("_t"), toks.alias("_toks"))
+    feats = _hashed_feature_buckets(F.col("_toks"), n_buckets)
+    ex = (
+        staged.select("_t", F.explode_outer(feats).alias("_b"))
+        .filter(F.col("_b").isNotNull())
+    )
+    rows = (
+        ex.groupBy("_b")
+        .agg(
+            F.count(F.lit(1)).alias("_raw"),
+            F.count(F.when(F.col("_t"), F.lit(1))).alias("_tgt"),
+        )
+        .collect()
+    )
+    raw = [0] * n_buckets
+    tgt = [0] * n_buckets
+    for r in rows:
+        raw[r._b] = r._raw
+        tgt[r._b] = r._tgt
+    tot_r = sum(raw) + alpha * n_buckets
+    tot_t = sum(tgt) + alpha * n_buckets
+    return [
+        round(
+            math.log((tgt[b] + alpha) / tot_t)
+            - math.log((raw[b] + alpha) / tot_r),
+            6,
+        )
+        for b in range(n_buckets)
+    ]
+
+
+def dsir_logweight_col(feats_col, logratios: list[float]):
+    """Per-doc DSIR log importance weight as one Column: the SUM of
+    bucket log-ratios over every (1,2)-gram feature occurrence — the
+    bag-of-ngrams log-likelihood ratio log p_target(doc)/p_raw(doc)
+    (occurrence-weighted, so it is length-biased exactly as the paper's
+    multinomial model is). feats_col must be a STAGED column (the
+    aggregate lambda references it once per element — the
+    hashed_linear_score_col staging rule). Empty feature arrays score
+    0.0 (an empty doc is equally likely under both models)."""
+    lrarr = F.array(*[F.lit(float(x)) for x in logratios])
+    return F.aggregate(
+        feats_col,
+        F.lit(0.0),
+        lambda acc, b: acc + F.element_at(lrarr, (b + 1).cast("int")),
+    )
+
+
+def dsir_topk(df: DataFrame, logratios: list[float], k: int,
+              text_col: str = "text", id_col: str = "doc_id",
+              salt: str = "dsir-v1") -> DataFrame:
+    """DSIR selection: Gumbel-top-k sample of ``k`` documents with
+    probability proportional to their importance weight
+    p_target(doc)/p_raw(doc) — the Gumbel-max trick makes weighted
+    sampling-without-replacement a deterministic top-k: key =
+    log-weight + Gumbel(0,1), take the k largest. The Gumbel noise is
+    engine-portable md5 randomness (u = (md5-48(salt:id) + 0.5)/2^48,
+    g = -ln(-ln(u))), so selection is a pure function of (corpus, salt)
+    — stable across runs, partitionings, and engines, like every
+    sampling primitive in this module.
+
+    Output: (id, n_features, lw_r, key_r) for the k selected docs —
+    log-weight and selection key rounded to 6 (the cross-engine float
+    contract; a rank flip needs two keys within ~1e-15 of each other,
+    the temperature_resample argument).
+
+    Scale shape: scoring is ONE narrow codegen projection (staged token
+    array -> staged feature array -> literal-array sum); selection is
+    orderBy+limit, which Spark executes as TakeOrderedAndProject —
+    per-partition top-k then a k-row driver merge, no global sort
+    exchange. Two corpus scans total with dsir_logratios' count pass;
+    at 10^12 docs both are scan-bound, the price of any exact-counts
+    scheme."""
+    from .textstats import _hashed_feature_buckets, tokens_col
+
+    pre = df.select(
+        F.col(id_col), tokens_col(text_col).alias("_toks"))
+    feats = _hashed_feature_buckets(F.col("_toks"), len(logratios))
+    staged = pre.select(id_col, feats.alias("_feats"))
+    u = (
+        (F.conv(hash_hex(id_col, salt), 16, 10).cast("double") + 0.5)
+        / F.lit(float(_HASH_SPACE))
+    )
+    gumbel = -F.log(-F.log(u))
+    lw = dsir_logweight_col(F.col("_feats"), logratios)
+    scored = staged.select(
+        id_col,
+        F.size("_feats").alias("n_features"),
+        F.round(lw, 6).alias("lw_r"),
+        F.round(lw + gumbel, 6).alias("key_r"),
+    )
+    return scored.orderBy(F.desc("key_r"), F.col(id_col)).limit(k)

@@ -358,3 +358,89 @@ def test_temperature_resample_alpha_one_keeps_all(spark):
     out = temperature_resample(d, alpha=1.0).collect()
     assert len(out) == 60
     assert all(r.accept_rate_r == 1.0 for r in out)
+
+
+def _py_dsir(docs, target_ids, n_buckets=16, alpha=1.0):
+    """Pure-Python DSIR replay: tokenize, hash (1,2)-grams md5-48 mod B,
+    count target/raw occurrences, smoothed round-6 log ratios."""
+    import math
+
+    def buckets(text):
+        toks = [t for t in text.lower().split(" ") if t]
+        feats = [f"u:{t}" for t in toks] + [
+            f"b:{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)]
+        return [int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+                % n_buckets for s in feats]
+
+    raw = [0] * n_buckets
+    tgt = [0] * n_buckets
+    per_doc = {}
+    for did, text in docs:
+        bs = buckets(text)
+        per_doc[did] = bs
+        for b in bs:
+            raw[b] += 1
+            if did in target_ids:
+                tgt[b] += 1
+    tr = sum(raw) + alpha * n_buckets
+    tt = sum(tgt) + alpha * n_buckets
+    lr = [round(math.log((tgt[b] + alpha) / tt)
+                - math.log((raw[b] + alpha) / tr), 6)
+          for b in range(n_buckets)]
+    lw = {}
+    for did, bs in per_doc.items():
+        acc = 0.0
+        for b in bs:
+            acc += lr[b]
+        lw[did] = acc
+    return lr, lw
+
+
+def test_dsir_matches_python_reference(spark):
+    docs = [
+        (0, "virus outbreak in the city"),
+        (1, "virus cases rising in region"),
+        (2, "stock market closed higher today"),
+        (3, "sports team wins the game"),
+        (4, "outbreak of virus cases confirmed"),
+        (5, "market prices and sports scores"),
+        (6, ""),
+    ]
+    target = {0, 1, 4}
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    lr = sampling.dsir_logratios(
+        df, F.col("doc_id").isin(list(target)), n_buckets=16)
+    exp_lr, exp_lw = _py_dsir(docs, target, n_buckets=16)
+    assert lr == exp_lr
+    out = {r.doc_id: r for r in
+           sampling.dsir_topk(df, lr, k=7).collect()}
+    assert len(out) == 7
+    import math
+    for did, want in exp_lw.items():
+        assert out[did].lw_r == round(want, 6)
+        h = int(_py_hash("dsir-v1", did), 16)
+        g = -math.log(-math.log((h + 0.5) / float(1 << 48)))
+        assert out[did].key_r == round(want + g, 6)
+    # empty doc: no features, weight exactly 0
+    assert out[6].n_features == 0 and out[6].lw_r == 0.0
+
+
+def test_dsir_selects_target_like_docs(spark):
+    # two vocab domains; target sample comes from domain A. Gumbel noise
+    # is O(1) while the in-domain log-weight gap grows with doc length,
+    # so at this length the top half must be exactly the A docs.
+    a_text = "virus outbreak cases hospital quarantine " * 8
+    b_text = "market stocks prices trading futures " * 8
+    docs = [(i, a_text if i % 2 == 0 else b_text) for i in range(40)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    lr = sampling.dsir_logratios(
+        df, F.col("doc_id").isin([0, 2, 4]), n_buckets=32)
+    picked = [r.doc_id for r in sampling.dsir_topk(df, lr, k=20).collect()]
+    assert sorted(picked) == [i for i in range(40) if i % 2 == 0]
+
+
+def test_dsir_alpha_guard():
+    import pytest
+
+    with pytest.raises(ValueError):
+        sampling.dsir_logratios(None, None, alpha=0.0)
