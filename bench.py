@@ -81,6 +81,12 @@ HEADLINE = [
     "curate_representatives",
     "kg_triple_provenance",
     "multimodal_audio_windows",
+    # r5 tail: DSIR targeted-data selection (two scans: bucket counts +
+    # Gumbel top-k scoring). dedup_semantic is deliberately NOT here:
+    # its gate pins k=1 (brute-force pairs + recursive components — the
+    # ORACLE twin); the clustered scale path is pytest-gated in
+    # test_dedup_similarity.
+    "sample_dsir_topk",
 ]
 
 
