@@ -576,29 +576,13 @@ def line_dedup(df: DataFrame, text_col: str = "text",
     )
 
 
-def passage_dedup(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", n: int = 8,
-                  min_docs: int = 2) -> DataFrame:
-    """Cross-document duplicate-PASSAGE detection (exact n-gram span
-    dedup, the "Deduplicating Training Data Makes Language Models
-    Better" signal): find every token n-gram appearing in >= min_docs
-    DISTINCT documents and measure, per document, how much of its token
-    stream the union of those duplicated spans covers.
-
-    Distinct from its neighbors: minhash_dedup flags whole near-dup
-    DOCS, line_dedup strips exact duplicate LINES; this catches copied
-    paragraphs and quoted boilerplate that cross line boundaries inside
-    otherwise-unique pages — the per-doc coverage fraction is what a
-    curation pipeline thresholds for span-level filtering or loss
-    down-weighting. Tokenization matches textstats.tokens_col
-    (lowercase, split \\s+, empties dropped).
-
-    Output: (doc_id, n_tokens, dup_positions, covered_tokens,
-    dup_coverage_r). Every input doc emits a row; docs shorter than n
-    tokens report zeros. A position is "duplicated" when its n-gram
-    occurs in >= min_docs distinct docs; covered_tokens is the size of
-    the union of the [pos, pos+n-1] intervals (overlaps merged), so the
-    ratio never exceeds 1.
+def _positional_shingles(df: DataFrame, text_col: str, id_col: str,
+                         n: int, min_docs: int):
+    """Shared staging for the exact-substring family (passage_dedup /
+    substring_spans): returns (base, hits) where base is one row per
+    input doc carrying (id, n_tokens, _toks) and hits is the (id, pos)
+    stream of every n-gram position whose md5-prefix hash occurs in
+    >= min_docs DISTINCT documents.
 
     Scale shape — NOTHING here is quadratic. Shingling is a narrow map
     (token array staged once per the shingle_array O(tokens^2) lesson;
@@ -610,16 +594,15 @@ def passage_dedup(df: DataFrame, text_col: str = "text",
     is bounded by the count of distinct duplicated n-grams (vocabulary-
     like, not corpus-like), and each (doc, pos) probe matches at most
     one build row, so a shingle shared by 10^7 docs costs 10^7 linear
-    probe hits, never pairs. Interval union rides a lag window — the
-    per-doc exchange any per-doc statistic needs — with no per-doc
-    arrays collected. Hashing is md5-prefix (engine-portable), so a
-    DuckDB oracle replays the whole thing exactly."""
+    probe hits, never pairs. Hashing is md5-prefix (engine-portable),
+    so a DuckDB oracle replays the whole thing exactly."""
     from .textstats import tokens_col
 
     pre = df.select(id_col, tokens_col(text_col).alias("_toks"))
     toks = F.col("_toks")
     base = pre.select(
         id_col,
+        "_toks",
         F.size(toks).cast("int").alias("n_tokens"),
         F.when(
             F.size(toks) >= n,
@@ -655,7 +638,40 @@ def passage_dedup(df: DataFrame, text_col: str = "text",
         .filter(F.col("_nd") >= min_docs)
         .select("h")
     )
-    hits = sh.join(dup, "h", "left_semi")
+    hits = sh.join(dup, "h", "left_semi").select(id_col, "pos")
+    return base, hits
+
+
+def passage_dedup(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 8,
+                  min_docs: int = 2) -> DataFrame:
+    """Cross-document duplicate-PASSAGE detection (exact n-gram span
+    dedup, the "Deduplicating Training Data Makes Language Models
+    Better" signal): find every token n-gram appearing in >= min_docs
+    DISTINCT documents and measure, per document, how much of its token
+    stream the union of those duplicated spans covers.
+
+    Distinct from its neighbors: minhash_dedup flags whole near-dup
+    DOCS, line_dedup strips exact duplicate LINES; this catches copied
+    paragraphs and quoted boilerplate that cross line boundaries inside
+    otherwise-unique pages — the per-doc coverage fraction is what a
+    curation pipeline thresholds for span-level filtering or loss
+    down-weighting. Tokenization matches textstats.tokens_col
+    (lowercase, split \\s+, empties dropped).
+
+    Output: (doc_id, n_tokens, dup_positions, covered_tokens,
+    dup_coverage_r). Every input doc emits a row; docs shorter than n
+    tokens report zeros. A position is "duplicated" when its n-gram
+    occurs in >= min_docs distinct docs; covered_tokens is the size of
+    the union of the [pos, pos+n-1] intervals (overlaps merged), so the
+    ratio never exceeds 1.
+
+    Scale shape: see _positional_shingles (nothing quadratic; vocabulary-
+    bounded semi-join build side; md5-prefix hashing so a DuckDB oracle
+    replays it exactly). Interval union rides a lag window — the per-doc
+    exchange any per-doc statistic needs — with no per-doc arrays
+    collected."""
+    base, hits = _positional_shingles(df, text_col, id_col, n, min_docs)
     w = Window.partitionBy(id_col).orderBy("pos")
     cov = (
         hits.withColumn(
@@ -690,6 +706,80 @@ def passage_dedup(df: DataFrame, text_col: str = "text",
                 6,
             ).alias("dup_coverage_r"),
         )
+    )
+
+
+def substring_spans(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", n: int = 8,
+                    min_docs: int = 2) -> DataFrame:
+    """Exact-substring SPAN CUTTING (the actionable half of Lee et al.'s
+    "Deduplicating Training Data Makes Language Models Better" ExactSubstr
+    dedup; reference has no analog — LLM-pipeline extension): where
+    passage_dedup measures how much of a doc is duplicated, this one says
+    exactly WHAT to cut and returns the cleaned token stream.
+
+    Every token n-gram occurring in >= min_docs distinct documents marks
+    its [pos, pos+n-1] interval; overlapping/adjacent intervals merge into
+    maximal spans (gaps-and-islands: a new span starts when the gap to the
+    previous duplicated position exceeds n); all covered tokens are cut.
+    Tokenization matches textstats.tokens_col (lowercase, split \\s+,
+    empties dropped), so kept_text is the whitespace-normalized lowercase
+    remainder — one output row per input doc, zero-span docs pass their
+    full normalized stream through.
+
+    Output: (doc_id, n_tokens, n_spans, cut_tokens, kept_text).
+
+    Scale shape: staging + duplicated-position marking per
+    _positional_shingles (linear, vocabulary-bounded semi-join). Span
+    merge is two window passes over the one per-doc exchange (lag -> gap
+    flag, running sum -> island id) and a (doc, island) hash agg. The
+    cut itself joins the per-doc span LIST (collect_list over merged
+    spans — bounded by n_tokens/n per doc, not corpus-sized) back to the
+    staged token array and filters with an indexed higher-order lambda:
+    O(tokens x spans) per doc, JVM-side, no Python, no re-tokenization."""
+    base, hits = _positional_shingles(df, text_col, id_col, n, min_docs)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = (
+        hits.withColumn(
+            "_brk",
+            F.when(
+                F.col("pos") - F.lag("pos").over(w) > n, F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("_isl", F.sum("_brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    )
+    spans = (
+        isl.groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").cast("int").alias("s"),
+            (F.max("pos") + F.lit(n - 1)).cast("int").alias("e"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("s", "e"))).alias("_spans"),
+        )
+    )
+    joined = base.join(spans, id_col, "left")
+    sp = F.coalesce(
+        F.col("_spans"),
+        F.array().cast("array<struct<s:int,e:int>>"),
+    )
+    kept = F.filter(
+        F.col("_toks"),
+        lambda t, i: ~F.exists(
+            sp, lambda v: (i >= v["s"]) & (i <= v["e"])),
+    )
+    return joined.select(
+        id_col,
+        "n_tokens",
+        F.size(sp).cast("int").alias("n_spans"),
+        F.aggregate(
+            sp, F.lit(0),
+            lambda acc, v: acc + (v["e"] - v["s"] + F.lit(1)),
+        ).cast("int").alias("cut_tokens"),
+        F.array_join(kept, " ").alias("kept_text"),
     )
 
 

@@ -2225,6 +2225,74 @@ def _sql_text_passage_dedup(n: int = 8, min_docs: int = 2) -> str:
     """
 
 
+def q_dedup_substring_spans(spark, sf_dir):
+    """Exact-substring span CUTTING (dedup.substring_spans, the
+    actionable half of Lee-et-al ExactSubstr dedup): token 8-grams
+    occurring in >=2 distinct documents mark their intervals, overlaps
+    merge into maximal spans (gaps-and-islands), covered tokens are cut
+    and the cleaned lowercase token stream is returned per doc. Runs on
+    the RAW documents table — the synth word-soup corpus carries >1k
+    naturally repeated 8-grams at sf0.001, so real spans (including
+    multi-island docs) are exercised without any splice. The oracle
+    replays tokenization, md5-prefix hashing, island merge, and the
+    anti-join cut exactly."""
+    return dedup.substring_spans(_docs(spark, sf_dir), n=8, min_docs=2)
+
+
+def _sql_dedup_substring_spans(n: int = 8, min_docs: int = 2) -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS tk
+            FROM documents),
+        sh AS (
+            SELECT doc_id, u.pos AS pos,
+                   substr(md5(array_to_string(
+                       tk[u.pos+1 : u.pos+{n}], ' ')), 1, 16) AS h
+            FROM toks, LATERAL unnest(
+                range(0, greatest(len(tk) - {n} + 1, 0))) AS u(pos)),
+        dup AS (
+            SELECT h FROM sh GROUP BY h
+            HAVING count(DISTINCT doc_id) >= {min_docs}),
+        hits AS (SELECT sh.doc_id, sh.pos FROM sh SEMI JOIN dup USING (h)),
+        brk AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER (
+                            PARTITION BY doc_id ORDER BY pos) > {n}
+                        THEN 1 ELSE 0 END AS b
+            FROM hits),
+        isl AS (
+            SELECT doc_id, pos,
+                   sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+            FROM brk),
+        spans AS (
+            SELECT doc_id, min(pos)::INT AS s, (max(pos) + {n - 1})::INT AS e
+            FROM isl GROUP BY doc_id, g),
+        covered AS (
+            SELECT doc_id, s + u.j AS i
+            FROM spans, LATERAL unnest(range(e - s + 1)) AS u(j)),
+        agg AS (
+            SELECT doc_id, count(*)::INT AS n_spans,
+                   sum(e - s + 1)::INT AS cut_tokens
+            FROM spans GROUP BY doc_id),
+        positions AS (
+            SELECT doc_id, p.i AS i, tk[p.i+1] AS tok
+            FROM toks, LATERAL unnest(range(len(tk))) AS p(i)),
+        kept AS (
+            SELECT p.doc_id, string_agg(p.tok, ' ' ORDER BY p.i) AS kept_text
+            FROM positions p LEFT JOIN covered c
+              ON c.doc_id = p.doc_id AND c.i = p.i
+            WHERE c.i IS NULL
+            GROUP BY p.doc_id)
+        SELECT toks.doc_id, len(tk)::INT AS n_tokens,
+               coalesce(agg.n_spans, 0)::INT AS n_spans,
+               coalesce(agg.cut_tokens, 0)::INT AS cut_tokens,
+               coalesce(kept.kept_text, '') AS kept_text
+        FROM toks LEFT JOIN agg USING (doc_id) LEFT JOIN kept USING (doc_id)
+    """
+
+
 def q_corpus_length_profile(spark, sf_dir):
     """Per-(lang, source) corpus length reconnaissance
     (textstats.length_profile): doc counts, token totals, mean and EXACT
@@ -4920,6 +4988,7 @@ def extra_queries():
         "curate_representatives": q_curate_representatives,
         "dedup_semantic": q_dedup_semantic,
         "sample_dsir_topk": q_sample_dsir_topk,
+        "dedup_substring_spans": q_dedup_substring_spans,
         # round-5 demotion from the driver window (slot given to
         # kg_pattern_triples); identical contract here
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -4976,5 +5045,6 @@ def extra_oracle_sql():
         "curate_representatives": SQL_CURATE_REPRESENTATIVES,
         "dedup_semantic": SQL_DEDUP_SEMANTIC,
         "sample_dsir_topk": _sql_sample_dsir_topk(),
+        "dedup_substring_spans": _sql_dedup_substring_spans(),
         "agg_pricing_summary": SQL_AGG_PRICING,
     }

@@ -1154,3 +1154,49 @@ def test_semantic_dedup_star_cap_keeps_one_per_clique(spark):
     assert sorted(len(v) for v in comps.values()) == [1, 1, 1, 40]
     for grp in comps.values():
         assert sum(1 for r in grp if r.keep) == 1
+
+
+def test_substring_spans_cut_semantics(spark):
+    # Doc 0 carries the shared trigram "a b c" at pos 0 and pos 4 (gap 4
+    # > n=3: two SEPARATE spans, 6 tokens cut of 8, kept text is the two
+    # survivors). Doc 1 has it once mid-stream. Doc 2 repeats "p q r"
+    # only within itself (min_docs=2 distinct docs: no cut). Doc 3 is
+    # shorter than n and passes through whole. Doc 4 IS the duplicated
+    # trigram exactly: full coverage, empty kept_text.
+    rows = [
+        {"doc_id": 0, "text": "a b c k a b c m"},
+        {"doc_id": 1, "text": "x a b c y"},
+        {"doc_id": 2, "text": "p q r p q r"},
+        {"doc_id": 3, "text": "q r"},
+        {"doc_id": 4, "text": "A B C"},
+    ]
+    out = {r.doc_id: r for r in
+           dedup.substring_spans(spark.createDataFrame(rows),
+                                 n=3, min_docs=2).collect()}
+    assert len(out) == 5
+    assert (out[0].n_spans, out[0].cut_tokens, out[0].kept_text) == \
+        (2, 6, "k m")
+    assert (out[1].n_spans, out[1].cut_tokens, out[1].kept_text) == \
+        (1, 3, "x y")
+    assert (out[2].n_spans, out[2].cut_tokens,
+            out[2].kept_text) == (0, 0, "p q r p q r")
+    assert (out[3].n_spans, out[3].kept_text) == (0, "q r")
+    assert (out[4].n_tokens, out[4].n_spans, out[4].cut_tokens,
+            out[4].kept_text) == (3, 1, 3, "")
+
+
+def test_substring_spans_adjacent_islands_merge(spark):
+    # Two duplicated trigrams at pos 0 and pos 3 in doc 0 (gap exactly n:
+    # intervals [0,2] and [3,5] are adjacent) must merge into ONE span of
+    # 6 even though the trigrams differ — the island break fires only
+    # when the gap EXCEEDS n.
+    rows = [
+        {"doc_id": 0, "text": "a b c d e f tail"},
+        {"doc_id": 1, "text": "a b c one"},
+        {"doc_id": 2, "text": "d e f two"},
+    ]
+    out = {r.doc_id: r for r in
+           dedup.substring_spans(spark.createDataFrame(rows),
+                                 n=3, min_docs=2).collect()}
+    assert (out[0].n_spans, out[0].cut_tokens, out[0].kept_text) == \
+        (1, 6, "tail")
