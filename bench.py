@@ -87,6 +87,12 @@ HEADLINE = [
     # ORACLE twin); the clustered scale path is pytest-gated in
     # test_dedup_similarity.
     "sample_dsir_topk",
+    # exact-substring span cutting (shares passage_dedup's staging; adds
+    # the island-merge windows + per-doc span-list cut)
+    "dedup_substring_spans",
+    # CCNet head/middle/tail bucketing (surprisal model + histogram
+    # thresholds; the per-language window never sees raw docs)
+    "sample_ccnet_buckets",
 ]
 
 

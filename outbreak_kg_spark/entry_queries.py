@@ -4929,6 +4929,65 @@ def _sql_sample_dsir_topk() -> str:
     """
 
 
+def q_sample_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail partitioning (sampling.perplexity_buckets;
+    Wenzek et al. 2020, arXiv:1911.00359): per-language thirds by the
+    unigram-surprisal perplexity proxy — histogram-quantile thresholds
+    (dimension-sized agg + broadcast-back comparison), never a
+    per-language sort, so the 'en is most of the web' stratum skew costs
+    nothing. The oracle replays the surprisal model, the round-2 score,
+    the per-lang cumulative histogram, the two thresholds, and the
+    tie-inclusive assignment exactly; the 1/3 and 1/3+1/3 fraction
+    literals are spelled identically on both sides so the IEEE doubles
+    agree bit-for-bit."""
+    d = _docs(spark, sf_dir)
+    surp = textstats.unigram_surprisal(d)
+    scored = surp.join(d.select("doc_id", "lang"), "doc_id")
+    return sampling.perplexity_buckets(
+        scored, "mean_surprisal", "lang",
+        head_frac=1.0 / 3, middle_frac=1.0 / 3, round_dp=2)
+
+
+def _sql_sample_ccnet_buckets() -> str:
+    return """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '')) AS token
+            FROM documents),
+        freq AS (SELECT token, count(*) AS tf FROM toks GROUP BY 1),
+        tot AS (SELECT sum(tf) AS t FROM freq),
+        surp AS (
+            SELECT doc_id,
+                   round(avg(-log2(tf / (SELECT t FROM tot))), 2) AS score_r
+            FROM toks JOIN freq USING (token)
+            GROUP BY doc_id),
+        scored AS (
+            SELECT s.doc_id, d.lang, s.score_r
+            FROM surp s JOIN documents d USING (doc_id)),
+        hist AS (
+            SELECT lang, score_r, count(*) AS n
+            FROM scored GROUP BY 1, 2),
+        cum AS (
+            SELECT lang, score_r,
+                   sum(n) OVER (PARTITION BY lang ORDER BY score_r) AS c,
+                   sum(n) OVER (PARTITION BY lang) AS t
+            FROM hist),
+        thr AS (
+            SELECT lang,
+                   min(CASE WHEN c >= (1.0/3) * t
+                            THEN score_r END) AS th,
+                   min(CASE WHEN c >= (1.0/3 + 1.0/3) * t
+                            THEN score_r END) AS tm
+            FROM cum GROUP BY lang)
+        SELECT s.doc_id, s.lang, s.score_r,
+               CASE WHEN s.score_r <= thr.th THEN 'head'
+                    WHEN s.score_r <= thr.tm THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM scored s JOIN thr USING (lang)
+    """
+
+
 def extra_queries():
     """Oracle-gated entries BEYOND the driver's 50-entry window.
 
@@ -4989,6 +5048,7 @@ def extra_queries():
         "dedup_semantic": q_dedup_semantic,
         "sample_dsir_topk": q_sample_dsir_topk,
         "dedup_substring_spans": q_dedup_substring_spans,
+        "sample_ccnet_buckets": q_sample_ccnet_buckets,
         # round-5 demotion from the driver window (slot given to
         # kg_pattern_triples); identical contract here
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -5046,5 +5106,6 @@ def extra_oracle_sql():
         "dedup_semantic": SQL_DEDUP_SEMANTIC,
         "sample_dsir_topk": _sql_sample_dsir_topk(),
         "dedup_substring_spans": _sql_dedup_substring_spans(),
+        "sample_ccnet_buckets": _sql_sample_ccnet_buckets(),
         "agg_pricing_summary": SQL_AGG_PRICING,
     }

@@ -674,3 +674,67 @@ def dsir_topk(df: DataFrame, logratios: list[float], k: int,
         F.round(lw + gumbel, 6).alias("key_r"),
     )
     return scored.orderBy(F.desc("key_r"), F.col(id_col)).limit(k)
+
+
+def perplexity_buckets(df: DataFrame, score_col: str, strata_col: str,
+                       id_col: str = "doc_id",
+                       head_frac: float = 1.0 / 3,
+                       middle_frac: float = 1.0 / 3,
+                       round_dp: int = 2) -> DataFrame:
+    """CCNet-style head/middle/tail partitioning (Wenzek et al. 2020,
+    arXiv:1911.00359): per stratum (language, in CCNet), rank documents by
+    a fluency score — LOWER is better, e.g. textstats.unigram_surprisal's
+    mean_surprisal as the LM-perplexity proxy — and label the best
+    head_frac as ``head``, the next middle_frac as ``middle``, the rest
+    ``tail``. Pre-training pipelines keep head+middle and drop or
+    down-weight tail.
+
+    NOT a per-stratum sort: CCNet's own recipe (percentile thresholds,
+    then a comparison pass) is the scale path here. The score is rounded
+    to ``round_dp`` and histogrammed per stratum — a partial-combined agg
+    whose output is bounded by |strata| x distinct rounded scores
+    (dimension-sized, thousands of rows at ANY corpus size, where a
+    window over raw docs would put all of 'en' — most of the web — in one
+    reducer task). Cumulative counts over that histogram ride one window
+    on the tiny frame; the per-stratum thresholds (smallest rounded score
+    whose cumulative count reaches frac * total) broadcast back for a
+    filter-only assignment pass. Ties at a threshold all take the better
+    bucket, so bucket sizes are fraction * |stratum| up to tie granularity
+    — deterministic, partition-invariant, engine-portable (no floats
+    beyond the rounded score itself).
+
+    Output: (id, stratum, score_r, bucket) — one row per input row.
+    """
+    from pyspark.sql import Window
+
+    s_r = F.round(F.col(score_col), round_dp)
+    scored = df.select(
+        F.col(id_col), F.col(strata_col), s_r.alias("score_r"))
+    hist = scored.groupBy(strata_col, "score_r").agg(
+        F.count(F.lit(1)).alias("_n"))
+    w = Window.partitionBy(strata_col).orderBy("score_r")
+    cum = hist.select(
+        strata_col, "score_r", "_n",
+        F.sum("_n").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_cum"),
+        F.sum("_n").over(
+            Window.partitionBy(strata_col)).alias("_tot"),
+    )
+    thr = cum.groupBy(strata_col).agg(
+        F.min(F.when(
+            F.col("_cum") >= F.lit(head_frac) * F.col("_tot"),
+            F.col("score_r"))).alias("_thr_head"),
+        F.min(F.when(
+            F.col("_cum") >= F.lit(head_frac + middle_frac) * F.col("_tot"),
+            F.col("score_r"))).alias("_thr_mid"),
+    )
+    return (
+        scored.join(F.broadcast(thr), strata_col)
+        .select(
+            id_col, strata_col, "score_r",
+            F.when(F.col("score_r") <= F.col("_thr_head"), F.lit("head"))
+            .when(F.col("score_r") <= F.col("_thr_mid"), F.lit("middle"))
+            .otherwise(F.lit("tail")).alias("bucket"),
+        )
+    )

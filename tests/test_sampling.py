@@ -444,3 +444,41 @@ def test_dsir_alpha_guard():
 
     with pytest.raises(ValueError):
         sampling.dsir_logratios(None, None, alpha=0.0)
+
+
+def test_perplexity_buckets_thresholds_and_ties(spark):
+    # Stratum "en": scores 1..9 -> exact thirds (head 1-3, middle 4-6,
+    # tail 7-9). Stratum "de": five docs all tied at 2.0 except one at
+    # 9.0 -> the 4-way tie crosses BOTH thresholds, so every tied doc
+    # takes head (tie-inclusive) and only the outlier lands in tail —
+    # middle is empty, the documented tie-granularity behavior.
+    rows = [{"doc_id": i, "lang": "en", "s": float(i)}
+            for i in range(1, 10)]
+    rows += [{"doc_id": 100 + i, "lang": "de", "s": 2.0} for i in range(4)]
+    rows += [{"doc_id": 104, "lang": "de", "s": 9.0}]
+    out = sampling.perplexity_buckets(
+        spark.createDataFrame(rows), "s", "lang").collect()
+    en = {r.doc_id: r.bucket for r in out if r.lang == "en"}
+    de = {r.doc_id: r.bucket for r in out if r.lang == "de"}
+    assert en == {1: "head", 2: "head", 3: "head",
+                  4: "middle", 5: "middle", 6: "middle",
+                  7: "tail", 8: "tail", 9: "tail"}
+    assert de == {100: "head", 101: "head", 102: "head", 103: "head",
+                  104: "tail"}
+
+
+def test_perplexity_buckets_partition_invariant(spark):
+    # Same corpus at 1 and 16 input partitions must bucket identically —
+    # thresholds come from a histogram, not from any per-partition order.
+    rows = [{"doc_id": i, "lang": "en", "s": float((i * 7) % 50)}
+            for i in range(300)]
+    a = spark.createDataFrame(rows).coalesce(1)
+    b = spark.createDataFrame(rows).repartition(16)
+    ra = {r.doc_id: r.bucket
+          for r in sampling.perplexity_buckets(a, "s", "lang").collect()}
+    rb = {r.doc_id: r.bucket
+          for r in sampling.perplexity_buckets(b, "s", "lang").collect()}
+    assert ra == rb
+    from collections import Counter
+    c = Counter(ra.values())
+    assert abs(c["head"] - 100) <= 6 and abs(c["tail"] - 100) <= 6
