@@ -93,6 +93,9 @@ HEADLINE = [
     # CCNet head/middle/tail bucketing (surprisal model + histogram
     # thresholds; the per-language window never sees raw docs)
     "sample_ccnet_buckets",
+    # SCD-2 attribute history over the events change log (single
+    # exchange, two window passes sharing one sort)
+    "kg_scd2_history",
 ]
 
 

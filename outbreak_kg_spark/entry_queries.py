@@ -4929,6 +4929,47 @@ def _sql_sample_dsir_topk() -> str:
     """
 
 
+def q_kg_scd2_history(spark, sf_dir):
+    """Type-2 SCD attribute history (incremental.scd2_history): the
+    events change log compressed into per-user event_type validity
+    intervals — consecutive identical values collapse, each surviving
+    change opens [effective_from, effective_to) closed by the next one,
+    latest open-ended + flagged current, per-key version numbering,
+    (ts, event_id) tie-break. One exchange: the change-detection lag,
+    the interval-closing lead, and the version row_number all ride the
+    same (key, order) window spec. The oracle replays both window
+    passes and the null-safe change filter exactly."""
+    from . import incremental
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return incremental.scd2_history(
+        ev, key_col="user_id", attr_col="event_type",
+        ts_col="ts", tiebreak_col="event_id")
+
+
+def _sql_kg_scd2_history() -> str:
+    return """
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER w AS prev,
+                   row_number() OVER w AS rn
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        changed AS (
+            SELECT user_id, event_type, ts, event_id
+            FROM ordered
+            WHERE rn = 1 OR event_type IS DISTINCT FROM prev)
+        SELECT user_id,
+               event_type AS attr_value,
+               ts AS effective_from,
+               lead(ts) OVER w2 AS effective_to,
+               (row_number() OVER w2)::INT AS version,
+               lead(ts) OVER w2 IS NULL AS is_current
+        FROM changed
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
 def q_sample_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail partitioning (sampling.perplexity_buckets;
     Wenzek et al. 2020, arXiv:1911.00359): per-language thirds by the
@@ -5049,6 +5090,7 @@ def extra_queries():
         "sample_dsir_topk": q_sample_dsir_topk,
         "dedup_substring_spans": q_dedup_substring_spans,
         "sample_ccnet_buckets": q_sample_ccnet_buckets,
+        "kg_scd2_history": q_kg_scd2_history,
         # round-5 demotion from the driver window (slot given to
         # kg_pattern_triples); identical contract here
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -5107,5 +5149,6 @@ def extra_oracle_sql():
         "sample_dsir_topk": _sql_sample_dsir_topk(),
         "dedup_substring_spans": _sql_dedup_substring_spans(),
         "sample_ccnet_buckets": _sql_sample_ccnet_buckets(),
+        "kg_scd2_history": _sql_kg_scd2_history(),
         "agg_pricing_summary": SQL_AGG_PRICING,
     }

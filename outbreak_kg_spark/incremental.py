@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import datetime
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 EDGE_KEYS = ("subj", "pred", "obj")
@@ -316,3 +316,45 @@ def vacuum_edge_versions(spark: SparkSession, base_root: str,
     for v in sorted(doomed):
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{base_root}/v={v}"), True)
     return sorted(doomed)
+
+
+def scd2_history(df: DataFrame, key_col: str, attr_col: str,
+                 ts_col: str, tiebreak_col: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: compress an append-only
+    change log into per-key attribute VALIDITY INTERVALS — the node-
+    attribute-history table a temporal KG needs (what was this entity's
+    status on date X? -> one asof_join against this output; the reference
+    rebuilds the world per dump and keeps no history).
+
+    Consecutive identical values collapse (true SCD-2: a row exists only
+    where the attribute actually CHANGED); each surviving change opens an
+    interval [effective_from, effective_to) closed by the NEXT change,
+    with the latest interval open-ended (effective_to null, is_current
+    true) and numbered by per-key version. Ties in ``ts_col`` break on
+    ``tiebreak_col`` so the build is deterministic under any input
+    partitioning.
+
+    Scale shape: ONE exchange — everything rides windows over the same
+    (key, order) spec, so the change-detection lag, the interval-closing
+    lead, and the version row_number share a single sort within the one
+    per-key shuffle (the filter between them is narrow). Per-key state is
+    never collected; a key with 10^6 updates streams through the window
+    like any other. Null-safe change comparison keeps genuinely-null
+    attribute values as their own regime rather than infinite churn.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    changed = df.select(
+        key_col, attr_col, ts_col, tiebreak_col,
+        F.lag(attr_col).over(w).alias("_prev"),
+        F.row_number().over(w).alias("_rn"),
+    ).filter(
+        (F.col("_rn") == 1) | ~F.col(attr_col).eqNullSafe(F.col("_prev"))
+    )
+    w2 = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    return changed.select(
+        F.col(key_col),
+        F.col(attr_col).alias("attr_value"),
+        F.col(ts_col).alias("effective_from"),
+        F.lead(ts_col).over(w2).alias("effective_to"),
+        F.row_number().over(w2).cast("int").alias("version"),
+    ).withColumn("is_current", F.col("effective_to").isNull())

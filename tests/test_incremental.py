@@ -214,3 +214,47 @@ def test_upsert_bootstrap_map_payload_aggregates(spark, tmp_path):
     rows = spark.read.parquet(path).collect()
     assert len(rows) == 1
     assert rows[0]["count"] == 3
+
+
+def test_scd2_history_collapse_and_intervals(spark):
+    import datetime as dt
+    import re
+
+    from outbreak_kg_spark.incremental import scd2_history
+
+    t = lambda d: dt.datetime(2024, 1, d)
+    # user 1: a,a,b,b,a -> three regimes (a,b,a); the consecutive repeats
+    # collapse. user 2: value -> NULL -> value: the null regime is ITS OWN
+    # version (null-safe comparison), not infinite churn. Same-ts rows in
+    # user 1 break ties on event_id (events 1,2 share t(1): event 1's 'a'
+    # opens the history, event 2's repeat collapses).
+    rows = [
+        (1, t(1), 1, "a"), (2, t(1), 1, "a"), (3, t(2), 1, "b"),
+        (4, t(3), 1, "b"), (5, t(4), 1, "a"),
+        (6, t(1), 2, "x"), (7, t(2), 2, None), (8, t(3), 2, "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    out = scd2_history(df, "user_id", "event_type", "ts", "event_id")
+    u1 = sorted([r for r in out.collect() if r.user_id == 1],
+                key=lambda r: r.version)
+    u2 = sorted([r for r in out.collect() if r.user_id == 2],
+                key=lambda r: r.version)
+    assert [(r.attr_value, r.effective_from, r.effective_to, r.is_current)
+            for r in u1] == [
+        ("a", t(1), t(2), False),
+        ("b", t(2), t(4), False),
+        ("a", t(4), None, True),
+    ]
+    assert [(r.attr_value, r.is_current) for r in u2] == [
+        ("x", False), (None, False), ("x", True)]
+    # intervals tile: each effective_to equals the next effective_from
+    for hist in (u1, u2):
+        for a, b in zip(hist, hist[1:]):
+            assert a.effective_to == b.effective_from
+    # plan contract: everything rides ONE per-key exchange (AQE prints
+    # the pre-adaptive plan again under '== Initial Plan ==' — count only
+    # the executed section)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"Exchange hashpartitioning", final)) == 1
