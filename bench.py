@@ -96,6 +96,9 @@ HEADLINE = [
     # SCD-2 attribute history over the events change log (single
     # exchange, two window passes sharing one sort)
     "kg_scd2_history",
+    # batch twin of the stateful episode sessionizer (gaps-and-islands
+    # over the events log)
+    "kg_batch_episodes",
 ]
 
 

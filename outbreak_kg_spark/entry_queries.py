@@ -4970,6 +4970,47 @@ def _sql_kg_scd2_history() -> str:
     """
 
 
+def q_kg_batch_episodes(spark, sf_dir):
+    """Batch episode sessionization (streaming.batch_episodes — the
+    relational twin of the stateful streaming_episodes operator, same
+    episode definition): per-user maximal event runs with no gap over
+    12 hours, from the events change log. Gaps-and-islands on one
+    per-key exchange (lag + running sum share the window sort), then
+    one (key, island) agg with exact distinct-doc counts. The oracle
+    replays the integer-microsecond gap test (epoch_us vs unix_micros —
+    no float round-trip) and both window passes exactly."""
+    from . import streaming as streaming_mod
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return streaming_mod.batch_episodes(
+        ev, key_col="user_id", ts_col="ts", doc_col="event_id",
+        gap="12 hours")
+
+
+def _sql_kg_batch_episodes() -> str:
+    gap_us = 12 * 3600 * 1000 * 1000
+    return f"""
+        WITH brk AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN epoch_us(ts)
+                             - epoch_us(lag(ts) OVER w) > {gap_us}
+                        THEN 1 ELSE 0 END AS b
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        isl AS (
+            SELECT user_id, ts, event_id,
+                   sum(b) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS g
+            FROM brk)
+        SELECT user_id,
+               min(ts) AS episode_start,
+               max(ts) AS episode_end,
+               count(*)::INT AS n_events,
+               count(DISTINCT event_id)::INT AS n_docs
+        FROM isl GROUP BY user_id, g
+    """
+
+
 def q_sample_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail partitioning (sampling.perplexity_buckets;
     Wenzek et al. 2020, arXiv:1911.00359): per-language thirds by the
@@ -5091,6 +5132,7 @@ def extra_queries():
         "dedup_substring_spans": q_dedup_substring_spans,
         "sample_ccnet_buckets": q_sample_ccnet_buckets,
         "kg_scd2_history": q_kg_scd2_history,
+        "kg_batch_episodes": q_kg_batch_episodes,
         # round-5 demotion from the driver window (slot given to
         # kg_pattern_triples); identical contract here
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -5150,5 +5192,6 @@ def extra_oracle_sql():
         "dedup_substring_spans": _sql_dedup_substring_spans(),
         "sample_ccnet_buckets": _sql_sample_ccnet_buckets(),
         "kg_scd2_history": _sql_kg_scd2_history(),
+        "kg_batch_episodes": _sql_kg_batch_episodes(),
         "agg_pricing_summary": SQL_AGG_PRICING,
     }

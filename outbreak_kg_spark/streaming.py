@@ -278,6 +278,63 @@ def entity_episodes(mentions_with_ts: DataFrame, gap: str = "7 days",
     )
 
 
+def batch_episodes(df: DataFrame, key_col: str = "curie",
+                   ts_col: str = "warc_ts", doc_col: str = "doc_id",
+                   gap: str = "7 days") -> DataFrame:
+    """Batch twin of :func:`entity_episodes` — the SAME episode
+    definition (maximal runs of events with no inter-event gap larger
+    than ``gap``) computed relationally over an at-rest table, for
+    backfill/replay: the streaming operator maintains live state on the
+    incoming crawl, this one recomputes history after a bulk load or a
+    definition change, and the two must agree on closed episodes.
+
+    Output: (key, episode_start, episode_end, n_events, n_docs) — every
+    episode, including the still-open last one per key (a streaming
+    reconciliation compares only episodes the watermark has closed).
+
+    Scale shape: gaps-and-islands on ONE per-key exchange — the gap lag
+    and the island running sum share the (key, (ts, doc)) window sort —
+    then one (key, island) hash agg; n_docs is an exact count(DISTINCT)
+    inside that agg (two-phase under the hood: Spark plans partial
+    dedup before the final). Per-key state is never collected; the
+    'COVID-19' hot key streams through the window like any other, and
+    the agg's island sub-key keeps even a hot key's groups bounded by
+    its episode count."""
+    from pyspark.sql import Window
+
+    gap_us = _duration_ms(gap) * 1000
+    w = Window.partitionBy(key_col).orderBy(ts_col, doc_col)
+    isl = (
+        df.select(key_col, ts_col, doc_col)
+        .withColumn(
+            "_brk",
+            F.when(
+                # exact integer microseconds — no float round-trip, so
+                # the DuckDB oracle (epoch_us) replays it bit-for-bit.
+                # The cast lifts TIMESTAMP_NTZ inputs (parquet default)
+                # into the session zone; the DIFFERENCE cancels the
+                # offset, so the gap test is zone-invariant
+                F.unix_micros(F.col(ts_col).cast("timestamp"))
+                - F.unix_micros(F.lag(ts_col).over(w).cast("timestamp"))
+                > gap_us,
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("_isl", F.sum("_brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    )
+    return (
+        isl.groupBy(key_col, "_isl")
+        .agg(
+            F.min(ts_col).alias("episode_start"),
+            F.max(ts_col).alias("episode_end"),
+            F.count(F.lit(1)).cast("int").alias("n_events"),
+            F.countDistinct(doc_col).cast("int").alias("n_docs"),
+        )
+        .drop("_isl")
+    )
+
+
 def _duration_ms(s: str) -> int:
     n, unit = s.split()
     mult = {"second": 1000, "seconds": 1000, "minute": 60000,

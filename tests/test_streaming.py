@@ -356,3 +356,65 @@ def test_streaming_triples_compact_to_batch_parity(spark, tmp_path):
     # re-compaction with no new batches is a no-op at the same version
     info2 = compact_edge_deltas(spark, delta_dir, base)
     assert info2["n_batches"] == 0 and info2["version"] == info["version"]
+
+
+def test_batch_episodes_agrees_with_streaming_fixture(spark):
+    """batch_episodes is the relational twin of entity_episodes: on the
+    exact fixture test_entity_episodes_stateful streams, the batch build
+    must produce burst 1 as the SAME closed episode the stateful operator
+    emits — (5 mentions, 5 docs, start day 0, end day 0+40h) — plus the
+    episodes the stream still holds open (burst 2 and the watermark
+    driver), since batch recomputation sees the whole log."""
+    import datetime
+
+    from outbreak_kg_spark.streaming import batch_episodes
+
+    base = datetime.datetime(2020, 1, 1)
+    rows = []
+    for i in range(5):
+        rows.append({"curie": "MESH:D0103",
+                     "warc_ts": base + datetime.timedelta(hours=10 * i),
+                     "doc_id": f"a{i}"})
+    for i in range(3):
+        rows.append({"curie": "MESH:D0103",
+                     "warc_ts": base + datetime.timedelta(days=30, hours=6 * i),
+                     "doc_id": f"b{i}"})
+    rows.append({"curie": "MESH:D9999",
+                 "warc_ts": base + datetime.timedelta(days=365),
+                 "doc_id": "z"})
+    out = batch_episodes(
+        spark.createDataFrame(rows), key_col="curie", ts_col="warc_ts",
+        doc_col="doc_id", gap="7 days").collect()
+    eps = {(r.curie, r.episode_start, r.episode_end, r.n_events, r.n_docs)
+           for r in out}
+    assert eps == {
+        ("MESH:D0103", base, base + datetime.timedelta(hours=40), 5, 5),
+        ("MESH:D0103", base + datetime.timedelta(days=30),
+         base + datetime.timedelta(days=30, hours=12), 3, 3),
+        ("MESH:D9999", base + datetime.timedelta(days=365),
+         base + datetime.timedelta(days=365), 1, 1),
+    }
+
+
+def test_batch_episodes_gap_boundary(spark):
+    """An inter-event gap of EXACTLY the threshold does not break the
+    episode (the streaming operator merges runs with gap <= threshold;
+    strict > breaks) — and a one-microsecond overshoot does."""
+    import datetime
+
+    from outbreak_kg_spark.streaming import batch_episodes
+
+    base = datetime.datetime(2020, 1, 1)
+    rows = [
+        {"curie": "x", "warc_ts": base, "doc_id": "a"},
+        {"curie": "x", "warc_ts": base + datetime.timedelta(days=7),
+         "doc_id": "b"},
+        {"curie": "x",
+         "warc_ts": base + datetime.timedelta(days=14,
+                                              microseconds=1),
+         "doc_id": "c"},
+    ]
+    out = batch_episodes(
+        spark.createDataFrame(rows), key_col="curie", ts_col="warc_ts",
+        doc_col="doc_id", gap="7 days").collect()
+    assert sorted((r.n_events, r.n_docs) for r in out) == [(1, 1), (2, 2)]
