@@ -1200,3 +1200,48 @@ def test_substring_spans_adjacent_islands_merge(spark):
                                  n=3, min_docs=2).collect()}
     assert (out[0].n_spans, out[0].cut_tokens, out[0].kept_text) == \
         (1, 6, "tail")
+
+
+def test_substring_spans_fuzz_python_reference(spark):
+    # Differential fuzz vs a pure-Python cut on random tiny-vocab corpora
+    # (heavy cross-doc collisions -> many multi-island docs): span count,
+    # cut size, and the rebuilt kept text must all match exactly.
+    import random
+
+    rng = random.Random(20260820)
+    vocab = ["aa", "bb", "cc", "dd"]
+    n, min_docs = 3, 2
+    rows = [{"doc_id": i,
+             "text": " ".join(rng.choice(vocab)
+                              for _ in range(rng.randint(0, 12)))}
+            for i in range(30)]
+
+    def ref():
+        toks = {r["doc_id"]: [t for t in r["text"].lower().split()
+                              if t] for r in rows}
+        grams = {}
+        for d, t in toks.items():
+            for i in range(len(t) - n + 1):
+                grams.setdefault(" ".join(t[i:i + n]), set()).add(d)
+        dup = {g for g, ds in grams.items() if len(ds) >= min_docs}
+        exp = {}
+        for d, t in toks.items():
+            covered = set()
+            for i in range(len(t) - n + 1):
+                if " ".join(t[i:i + n]) in dup:
+                    covered.update(range(i, i + n))
+            # merged islands = runs of consecutive covered positions
+            spans = 0
+            for i in sorted(covered):
+                if i - 1 not in covered:
+                    spans += 1
+            kept = " ".join(t[i] for i in range(len(t))
+                            if i not in covered)
+            exp[d] = (len(t), spans, len(covered), kept)
+        return exp
+
+    got = {r.doc_id: (r.n_tokens, r.n_spans, r.cut_tokens, r.kept_text)
+           for r in dedup.substring_spans(
+               spark.createDataFrame(rows), n=n, min_docs=min_docs
+           ).collect()}
+    assert got == ref()
