@@ -99,6 +99,8 @@ HEADLINE = [
     # batch twin of the stateful episode sessionizer (gaps-and-islands
     # over the events log)
     "kg_batch_episodes",
+    # Morton layout key over orders (pure codegen bit arithmetic)
+    "layout_zorder",
 ]
 
 

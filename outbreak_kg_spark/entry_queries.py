@@ -5011,6 +5011,39 @@ def _sql_kg_batch_episodes() -> str:
     """
 
 
+def q_layout_zorder(spark, sf_dir):
+    """Z-order layout key (layout.zorder_key2, the OPTIMIZE ZORDER
+    primitive): Morton interleave of (o_custkey, o_orderkey) low 16
+    bits — the clustering key that makes parquet row-group min/max
+    stats tight on BOTH columns so either-key point lookups skip. The
+    key is a pure shift/and/or codegen expression; the oracle replays
+    the identical 32-term bit arithmetic. (The clustering itself —
+    repartitionByRange + sortWithinPartitions in layout.cluster_zorder
+    — is a physical layout with no row-content signature, so its
+    locality property is pytest-gated in test_layout instead.)"""
+    from . import layout
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return o.select(
+        "o_orderkey", "o_custkey",
+        layout.zorder_key2(
+            F.col("o_custkey"), F.col("o_orderkey"), bits=16
+        ).alias("zkey"),
+    )
+
+
+def _sql_layout_zorder(bits: int = 16) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((o_custkey >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"(((o_orderkey >> {i}) & 1) << {2 * i})")
+    expr = " | ".join(terms)
+    return f"""
+        SELECT o_orderkey, o_custkey, ({expr})::BIGINT AS zkey
+        FROM orders
+    """
+
+
 def q_sample_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail partitioning (sampling.perplexity_buckets;
     Wenzek et al. 2020, arXiv:1911.00359): per-language thirds by the
@@ -5133,6 +5166,7 @@ def extra_queries():
         "sample_ccnet_buckets": q_sample_ccnet_buckets,
         "kg_scd2_history": q_kg_scd2_history,
         "kg_batch_episodes": q_kg_batch_episodes,
+        "layout_zorder": q_layout_zorder,
         # round-5 demotion from the driver window (slot given to
         # kg_pattern_triples); identical contract here
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -5193,5 +5227,6 @@ def extra_oracle_sql():
         "sample_ccnet_buckets": _sql_sample_ccnet_buckets(),
         "kg_scd2_history": _sql_kg_scd2_history(),
         "kg_batch_episodes": _sql_kg_batch_episodes(),
+        "layout_zorder": _sql_layout_zorder(),
         "agg_pricing_summary": SQL_AGG_PRICING,
     }

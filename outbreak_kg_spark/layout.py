@@ -1,0 +1,83 @@
+"""Storage-layout optimization: Z-order (Morton) clustering for
+multi-column data skipping.
+
+A 100 TB edge/fact table is usually sorted by ONE key (subj, or time).
+Point lookups on the OTHER key (obj, or user) then scan everything:
+every parquet row group's min/max for that column spans the whole
+domain, so nothing prunes. Z-ordering interleaves the bits of two keys
+into one clustering key; sorting by it bounds EVERY row group's
+min/max box on BOTH columns (each row group covers a small Morton-curve
+segment, and a Morton segment's projection onto either axis is a small
+number of short ranges), so either-key predicates skip most row groups.
+This is the OPTIMIZE ZORDER operation of lakehouse engines, expressed
+as plain Spark relational ops: a narrow key projection + one
+repartitionByRange exchange + an in-partition sort.
+
+No reference analog (the reference materializes unsorted TSVs for
+neo4j-admin bulk load, reference kg/build.py); this is part of the
+at-rest layout layer alongside catalog.py's bucketing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# 2 x 31 interleaved bits = 62 < 63: the key stays a positive BIGINT
+# under ANSI arithmetic on both engines
+MAX_BITS = 31
+
+
+def zorder_key2(a, b, bits: int = 16):
+    """Morton interleave of the low ``bits`` of two non-negative integer
+    Columns into one BIGINT: bit i of ``a`` lands at position 2i+1, bit i
+    of ``b`` at 2i. Pure shift/and/or expression tree (2*bits terms) —
+    whole-stage codegen folds it into straight-line JVM integer ops, and
+    DuckDB replays the identical arithmetic for the oracle.
+
+    ``bits`` caps the clustered range: values >= 2^bits alias into the
+    top cell (their high bits are dropped), which degrades skipping for
+    those rows but never correctness — the key is a LAYOUT hint, not
+    data. 16 bits (65k x 65k cells) is plenty: row-group pruning only
+    needs enough cells that one group never spans the domain.
+    """
+    if not 1 <= bits <= MAX_BITS:
+        raise ValueError(f"bits must be in [1, {MAX_BITS}]")
+    a = a.cast("long")
+    b = b.cast("long")
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = (
+            key
+            .bitwiseOR(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)),
+                                   2 * i + 1))
+            .bitwiseOR(F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)),
+                                   2 * i))
+        )
+    return key
+
+
+def cluster_zorder(df: DataFrame, col_a: str, col_b: str,
+                   bits: int = 16, num_partitions: int | None = None,
+                   key_col: str = "_zkey") -> DataFrame:
+    """Cluster ``df`` for two-column data skipping: compute the Morton
+    key, range-partition on it (contiguous curve segments per output
+    file), and sort within partitions so parquet row-group min/max stats
+    are tight on BOTH columns. Write the result with plain
+    ``.write.parquet`` — the layout, not the writer, is the operator.
+
+    Scale shape: one narrow projection + ONE exchange
+    (repartitionByRange samples the key distribution — reservoir over
+    partitions, no full scan collected) + an in-partition sort. Exactly
+    the cost of the single-column sort the table was going to get
+    anyway; the Morton key just spends that one sort on both columns at
+    once. Skew in the key space concentrates curve cells, but
+    range-partitioning by SAMPLED boundaries splits hot cells across
+    files like any hot sort key — no salting needed for a layout sort.
+    """
+    keyed = df.withColumn(key_col, zorder_key2(F.col(col_a),
+                                               F.col(col_b), bits))
+    parts = [num_partitions] if num_partitions else []
+    return (
+        keyed.repartitionByRange(*parts, key_col)
+        .sortWithinPartitions(key_col)
+    )

@@ -1,0 +1,69 @@
+"""Z-order (Morton) clustering layout (layout.py).
+
+Two properties:
+- the interleave expression is EXACTLY the Morton code (differential
+  check vs a pure-Python bit loop, incl. the high-bit aliasing cap);
+- the layout delivers what it exists for: after cluster_zorder, every
+  output partition's bounding box is tight on BOTH columns, where a
+  single-key sort leaves the second column's per-partition spread at
+  the full domain (the measurable stand-in for parquet row-group
+  min/max pruning).
+"""
+
+from pyspark.sql import functions as F
+
+from outbreak_kg_spark import layout
+
+
+def _py_morton(a: int, b: int, bits: int) -> int:
+    k = 0
+    for i in range(bits):
+        k |= ((a >> i) & 1) << (2 * i + 1)
+        k |= ((b >> i) & 1) << (2 * i)
+    return k
+
+
+def test_zorder_key_matches_python_reference(spark):
+    rows = [(a, b) for a in range(0, 40, 3) for b in range(0, 40, 7)]
+    # include values past the bits cap to pin the aliasing behavior
+    rows += [(1 << 10, 5), (123456, 654321)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {(r.a, r.b): r.k for r in df.select(
+        "a", "b", layout.zorder_key2(F.col("a"), F.col("b"),
+                                     bits=8).alias("k")).collect()}
+    for (a, b), k in got.items():
+        assert k == _py_morton(a, b, 8), (a, b)
+
+
+def test_zorder_bits_guard():
+    import pytest
+
+    with pytest.raises(ValueError):
+        layout.zorder_key2(F.lit(1), F.lit(2), bits=0)
+    with pytest.raises(ValueError):
+        layout.zorder_key2(F.lit(1), F.lit(2), bits=32)
+
+
+def test_cluster_zorder_bounds_both_columns(spark):
+    # 128x128 uniform grid -> 16 partitions. Under a plain sort by `a`,
+    # each partition spans ~8 rows of `a` but ALL of `b` (spread 127).
+    # Under z-order each partition covers a contiguous Morton segment;
+    # 16 equal segments of a 128x128 curve are 32x32-ish tiles, so both
+    # spreads sit near 32 — we assert the mean b-spread is at most HALF
+    # the single-sort domain spread (it measures ~0.3x in practice,
+    # bound left loose for boundary-cell effects of sampled ranges).
+    n = 128
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("a"), (F.col("id") / n).cast("long").alias("b"))
+
+    def spreads(df, col):
+        per = (df.withColumn("_p", F.spark_partition_id())
+               .groupBy("_p").agg((F.max(col) - F.min(col)).alias("s"))
+               .collect())
+        return sum(r.s for r in per) / len(per)
+
+    z = layout.cluster_zorder(grid, "a", "b", bits=8, num_partitions=16)
+    plain = grid.repartitionByRange(16, "a").sortWithinPartitions("a")
+    assert spreads(plain, "b") >= n - 1  # single-key sort: b unbounded
+    assert spreads(z, "b") <= (n - 1) / 2
+    assert spreads(z, "a") <= (n - 1) / 2
