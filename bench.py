@@ -101,6 +101,9 @@ HEADLINE = [
     "kg_batch_episodes",
     # Morton layout key over orders (pure codegen bit arithmetic)
     "layout_zorder",
+    # DeepWalk corpus over the shared synthetic link graph (walk_len-1
+    # frontier joins against the degree-bounded adjacency)
+    "graph_walks",
 ]
 
 

@@ -5044,6 +5044,61 @@ def _sql_layout_zorder(bits: int = 16) -> str:
     """
 
 
+def q_graph_walks(spark, sf_dir):
+    """DeepWalk random-walk corpus (graphrank.random_walks) over the
+    same deterministic doc-derived link graph the pagerank entry uses
+    (dangling targets present by construction, so truncation is
+    exercised): 2 walks per source node, up to 5 nodes each, every
+    step md5-driven into the sorted neighbor array. The oracle unrolls
+    all four steps as chained CTEs replaying the identical hash, mod,
+    and 1-based list indexing."""
+    from .graphrank import random_walks
+
+    d = _docs(spark, sf_dir)
+    edges = d.select(
+        (F.col("doc_id") % 101).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 101).alias("dst"),
+    ).filter(F.col("src") % 10 != 0)
+    return random_walks(edges, walks_per_node=2, walk_len=5)
+
+
+def _sql_graph_walks(walks_per_node: int = 2, walk_len: int = 5,
+                     salt: str = "walk-v1") -> str:
+    steps = []
+    prev = "w"
+    for step in range(walk_len - 1):
+        h = (f"('0x' || substr(md5('{salt}:' "
+             f"|| CAST(start_node AS VARCHAR) || ':' "
+             f"|| CAST(walk_ix AS VARCHAR) || ':{step}'), 1, 12))::BIGINT")
+        steps.append(f"""
+        s{step} AS (
+            SELECT start_node, walk_ix,
+                   CASE WHEN a.nbrs IS NOT NULL
+                        THEN a.nbrs[({h} % len(a.nbrs))::INT + 1]
+                        END AS cur,
+                   CASE WHEN a.nbrs IS NOT NULL
+                        THEN {prev}.walk || ' ' || CAST(
+                            a.nbrs[({h} % len(a.nbrs))::INT + 1]
+                            AS VARCHAR)
+                        ELSE {prev}.walk END AS walk
+            FROM {prev} LEFT JOIN adj a ON a.n = {prev}.cur)""")
+        prev = f"s{step}"
+    return f"""
+        WITH edges AS (
+            SELECT doc_id % 101 AS src, (doc_id * 7 + 3) % 101 AS dst
+            FROM documents WHERE (doc_id % 101) % 10 != 0),
+        adj AS (
+            SELECT src AS n, list_sort(list(DISTINCT dst)) AS nbrs
+            FROM edges GROUP BY src),
+        w AS (
+            SELECT n AS start_node, r.walk_ix::INT AS walk_ix, n AS cur,
+                   CAST(n AS VARCHAR) AS walk
+            FROM adj, range({walks_per_node}) r(walk_ix)),
+        {",".join(steps)}
+        SELECT start_node, walk_ix, walk FROM {prev}
+    """
+
+
 def q_sample_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail partitioning (sampling.perplexity_buckets;
     Wenzek et al. 2020, arXiv:1911.00359): per-language thirds by the
@@ -5167,6 +5222,7 @@ def extra_queries():
         "kg_scd2_history": q_kg_scd2_history,
         "kg_batch_episodes": q_kg_batch_episodes,
         "layout_zorder": q_layout_zorder,
+        "graph_walks": q_graph_walks,
         # round-5 demotion from the driver window (slot given to
         # kg_pattern_triples); identical contract here
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -5228,5 +5284,6 @@ def extra_oracle_sql():
         "kg_scd2_history": _sql_kg_scd2_history(),
         "kg_batch_episodes": _sql_kg_batch_episodes(),
         "layout_zorder": _sql_layout_zorder(),
+        "graph_walks": _sql_graph_walks(),
         "agg_pricing_summary": SQL_AGG_PRICING,
     }

@@ -305,3 +305,83 @@ def k_core(edges: DataFrame, k: int, src: str = "src",
         .unionAll(cur.select(F.col("v").alias("node")))
         .groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
     )
+
+
+def random_walks(edges: DataFrame, src: str = "src", dst: str = "dst",
+                 walks_per_node: int = 2, walk_len: int = 4,
+                 salt: str = "walk-v1") -> DataFrame:
+    """DeepWalk/node2vec(p=q=1)-style random-walk corpus generation —
+    the graph-to-sequence step that turns a KG edge list into skip-gram
+    training data (Perozzi et al. 2014). Every node with out-degree >= 1
+    starts ``walks_per_node`` walks of up to ``walk_len`` nodes; each
+    step moves to a uniformly-pseudo-random out-neighbor. Walks reaching
+    a dangling node truncate (DeepWalk's behavior on directed graphs).
+
+    Determinism contract: step choices are md5-driven —
+    hash(salt:start:walk_ix:step) mod out-degree indexes into the
+    node's SORTED DISTINCT neighbor array — so the corpus is a pure
+    function of (edges, salt): stable across runs, partitionings, and
+    engines (the DuckDB oracle replays every choice), and re-saltable
+    for fresh epochs, the same reproducibility contract as the
+    hash-threshold samplers in sampling.py.
+
+    Output: (start_node, walk_ix, walk) with the walk space-joined.
+
+    Scale shape: ONE adjacency agg (collect_set per src — bounded by
+    out-degree; sort_array makes indexing deterministic), then
+    walk_len-1 equi-joins of the live walk frontier against that
+    adjacency relation. The frontier is (nodes x walks_per_node) rows
+    with a ~walk_len-string payload — never exploded per edge — and a
+    hot node (every walk passes through 'COVID-19') costs linear probe
+    hits on the build side, never pairs. For vocabulary-sized KGs the
+    adjacency side broadcasts (Catalyst's estimate decides; the agg
+    output is degree-bounded); web-scale graphs fall back to a shuffled
+    hash join under AQE like any fact-fact join. Paths are carried as a
+    single growing string column, NOT a per-step row explosion: the
+    total state is walks x walk_len node ids, the theoretical minimum
+    for materializing the corpus."""
+    adj = (
+        edges.groupBy(F.col(src).alias("_n"))
+        .agg(F.sort_array(F.collect_set(F.col(dst))).alias("_nbrs"))
+    )
+    starts = adj.select("_n").crossJoin(
+        F.broadcast(
+            edges.sparkSession.range(walks_per_node)
+            .select(F.col("id").cast("int").alias("walk_ix"))
+        )
+    )
+    state = starts.select(
+        F.col("_n").alias("start_node"),
+        "walk_ix",
+        F.col("_n").alias("_cur"),
+        F.col("_n").cast("string").alias("walk"),
+    )
+    for step in range(walk_len - 1):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(
+                    ":", F.lit(salt), F.col("start_node").cast("string"),
+                    F.col("walk_ix").cast("string"), F.lit(str(step)))),
+                1, 12),
+            16, 10,
+        ).cast("long")
+        state = (
+            state.join(adj, state["_cur"] == adj["_n"], "left")
+            .select(
+                "start_node", "walk_ix",
+                F.element_at(
+                    "_nbrs",
+                    (F.pmod(h, F.size("_nbrs")) + 1).cast("int"),
+                ).alias("_next"),
+                "walk",
+            )
+            .select(
+                "start_node", "walk_ix",
+                F.col("_next").alias("_cur"),
+                F.when(
+                    F.col("_next").isNotNull(),
+                    F.concat_ws(" ", "walk", F.col("_next").cast("string")),
+                ).otherwise(F.col("walk")).alias("walk"),
+            )
+        )
+    return state.select("start_node", "walk_ix", "walk")

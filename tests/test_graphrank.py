@@ -239,3 +239,45 @@ def test_kcore_matches_python_reference(spark):
         edges = [(rng.randrange(16), rng.randrange(16)) for _ in range(40)]
         assert _spark_kcore(spark, edges, k) == _python_kcore(edges, k), (
             trial, k)
+
+
+def test_random_walks_valid_deterministic_and_resaltable(spark):
+    from outbreak_kg_spark.graphrank import random_walks
+
+    edges = [(i, (i * 3 + 1) % 20) for i in range(20)]
+    edges += [(i, (i * 7 + 2) % 20) for i in range(20)]
+    e1 = spark.createDataFrame(edges, "src long, dst long").coalesce(1)
+    e16 = spark.createDataFrame(edges, "src long, dst long").repartition(16)
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+
+    def run(df, salt="walk-v1"):
+        return {(r.start_node, r.walk_ix): r.walk
+                for r in random_walks(df, walks_per_node=3, walk_len=6,
+                                      salt=salt).collect()}
+
+    w = run(e1)
+    # every node starts exactly 3 walks; every hop follows a real edge
+    assert len(w) == 20 * 3
+    for (s, _), walk in w.items():
+        nodes = [int(x) for x in walk.split()]
+        assert nodes[0] == s and len(nodes) == 6
+        for a, b in zip(nodes, nodes[1:]):
+            assert b in adj[a], (a, b)
+    # pure function of (edges, salt): partitioning-invariant
+    assert run(e16) == w
+    # a fresh salt yields a genuinely different epoch
+    assert run(e1, salt="walk-v2") != w
+
+
+def test_random_walks_truncate_at_dangling(spark):
+    from outbreak_kg_spark.graphrank import random_walks
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    out = {r.start_node: r.walk
+           for r in random_walks(e, walks_per_node=1,
+                                 walk_len=5).collect()}
+    # 3 is dangling: both walks stop there instead of padding; node 3
+    # itself starts no walk (out-degree 0)
+    assert out == {1: "1 2 3", 2: "2 3"}
