@@ -102,8 +102,10 @@ HEADLINE = [
     # Morton layout key over orders (pure codegen bit arithmetic)
     "layout_zorder",
     # DeepWalk corpus over the shared synthetic link graph (walk_len-1
-    # frontier joins against the degree-bounded adjacency)
+    # frontier joins against the degree-bounded adjacency), plus the
+    # skip-gram pair consumption side (nested-HOF window expansion)
     "graph_walks",
+    "graph_skipgram",
 ]
 
 

@@ -5099,6 +5099,43 @@ def _sql_graph_walks(walks_per_node: int = 2, walk_len: int = 5,
     """
 
 
+def q_graph_skipgram(spark, sf_dir):
+    """Skip-gram pair extraction (graphrank.skipgram_pairs) composed
+    over the graph_walks corpus: every (center, context) pair within
+    +-2 positions of each walk, counted — the word2vec/GloVe input
+    relation. The pair expansion is ONE nested-HOF projection per walk
+    row (never a self-join); the only exchange is the count agg. The
+    oracle nests the full walks replay and expands pairs with chained
+    laterals over the same clipped window."""
+    from .graphrank import random_walks, skipgram_pairs
+
+    d = _docs(spark, sf_dir)
+    edges = d.select(
+        (F.col("doc_id") % 101).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 101).alias("dst"),
+    ).filter(F.col("src") % 10 != 0)
+    return skipgram_pairs(
+        random_walks(edges, walks_per_node=2, walk_len=5), window=2)
+
+
+def _sql_graph_skipgram(window: int = 2) -> str:
+    return f"""
+        WITH walks AS ({_sql_graph_walks()}),
+        toks AS (SELECT string_split(walk, ' ') AS t FROM walks),
+        p AS (
+            SELECT t[u.i + 1]::BIGINT AS center,
+                   t[v.j + 1]::BIGINT AS context
+            FROM toks,
+                 LATERAL unnest(range(len(t))) u(i),
+                 LATERAL unnest(range(greatest(u.i - {window}, 0),
+                                      least(u.i + {window + 1},
+                                            len(t)))) v(j)
+            WHERE v.j != u.i)
+        SELECT center, context, count(*)::INT AS pair_count
+        FROM p GROUP BY 1, 2
+    """
+
+
 def q_sample_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail partitioning (sampling.perplexity_buckets;
     Wenzek et al. 2020, arXiv:1911.00359): per-language thirds by the
@@ -5223,6 +5260,7 @@ def extra_queries():
         "kg_batch_episodes": q_kg_batch_episodes,
         "layout_zorder": q_layout_zorder,
         "graph_walks": q_graph_walks,
+        "graph_skipgram": q_graph_skipgram,
         # round-5 demotion from the driver window (slot given to
         # kg_pattern_triples); identical contract here
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -5285,5 +5323,6 @@ def extra_oracle_sql():
         "kg_batch_episodes": _sql_kg_batch_episodes(),
         "layout_zorder": _sql_layout_zorder(),
         "graph_walks": _sql_graph_walks(),
+        "graph_skipgram": _sql_graph_skipgram(),
         "agg_pricing_summary": SQL_AGG_PRICING,
     }

@@ -385,3 +385,49 @@ def random_walks(edges: DataFrame, src: str = "src", dst: str = "dst",
             )
         )
     return state.select("start_node", "walk_ix", "walk")
+
+
+def skipgram_pairs(walks: DataFrame, walk_col: str = "walk",
+                   window: int = 2) -> DataFrame:
+    """Skip-gram training pairs from a random-walk corpus (the word2vec
+    consumption side of :func:`random_walks`): every (center, context)
+    node pair within +-``window`` positions inside a walk, aggregated to
+    counted pairs — the co-occurrence relation that embedding trainers
+    (and GloVe-style factorizations) consume.
+
+    NOT a self-join: each walk row emits its <= L * 2*window pairs from
+    ONE higher-order-function projection (nested transform/filter over
+    the split walk, flattened), so the only exchange is the final
+    (center, context) count agg — whose hot pairs (every walk crosses
+    the 'COVID-19' hub) collapse in the map-side partial. Window
+    clipping at walk edges matches word2vec's sentence-boundary
+    behavior.
+
+    Output: (center, context, pair_count), nodes as BIGINT.
+    """
+    t = F.split(F.col(walk_col), " ")
+    n = F.size(t)
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.transform(
+                F.filter(
+                    F.sequence(F.greatest(i - window, F.lit(0)),
+                               F.least(i + window, n - 1)),
+                    lambda j: j != i,
+                ),
+                lambda j: F.struct(
+                    F.element_at(t, (i + 1).cast("int"))
+                    .cast("long").alias("center"),
+                    F.element_at(t, (j + 1).cast("int"))
+                    .cast("long").alias("context"),
+                ),
+            ),
+        )
+    )
+    return (
+        walks.select(F.explode(pairs).alias("_p"))
+        .select("_p.center", "_p.context")
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("int").alias("pair_count"))
+    )

@@ -281,3 +281,30 @@ def test_random_walks_truncate_at_dangling(spark):
     # 3 is dangling: both walks stop there instead of padding; node 3
     # itself starts no walk (out-degree 0)
     assert out == {1: "1 2 3", 2: "2 3"}
+
+
+def test_skipgram_pairs_window_and_counts(spark):
+    from outbreak_kg_spark.graphrank import skipgram_pairs
+
+    # one walk "1 2 3 4", window 1: adjacent pairs only, both directions,
+    # interior nodes pair twice-ways; repeat the walk to check counting
+    walks = spark.createDataFrame(
+        [("x", 0, "1 2 3 4"), ("x", 1, "1 2 3 4")],
+        "start_node string, walk_ix int, walk string")
+    got = {(r.center, r.context): r.pair_count
+           for r in skipgram_pairs(walks, window=1).collect()}
+    assert got == {(1, 2): 2, (2, 1): 2, (2, 3): 2, (3, 2): 2,
+                   (3, 4): 2, (4, 3): 2}
+
+
+def test_skipgram_pairs_clips_at_walk_edges(spark):
+    from outbreak_kg_spark.graphrank import skipgram_pairs
+
+    walks = spark.createDataFrame(
+        [("x", 0, "7 8 9")], "start_node string, walk_ix int, walk string")
+    got = {(r.center, r.context): r.pair_count
+           for r in skipgram_pairs(walks, window=5).collect()}
+    # window far larger than the walk: every ordered pair exactly once,
+    # no out-of-range slots, no self-pairs
+    assert got == {(a, b): 1 for a in (7, 8, 9) for b in (7, 8, 9)
+                   if a != b}
