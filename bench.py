@@ -106,6 +106,9 @@ HEADLINE = [
     # skip-gram pair consumption side (nested-HOF window expansion)
     "graph_walks",
     "graph_skipgram",
+    # ontology rollup: mention mass per isa subtree (dimension-sized
+    # closure join after the mentions agg)
+    "kg_hierarchy_rollup",
 ]
 
 

@@ -288,3 +288,42 @@ def connected_components(
     if stats is not None:
         stats["rounds"] = rounds
     return comp
+
+
+def hierarchy_rollup(edges: DataFrame, weights: DataFrame,
+                     node_col: str = "node",
+                     weight_col: str = "n",
+                     subj: str = "subj", obj: str = "obj") -> DataFrame:
+    """Ontology rollup: aggregate per-node weights (mention counts,
+    document counts, token mass) up the isa hierarchy so every ancestor
+    reports the TOTAL over its subtree, itself included — the
+    'mentions per MeSH subtree' analytic an outbreak dashboard or a
+    class-balance audit reads (OLAP ROLLUP along an arbitrary DAG
+    instead of a fixed column hierarchy; no reference analog — the
+    reference's hierarchy is query-time only, kg/client.py isa* paths).
+
+    Output: (ancestor, n_nodes, total) — n_nodes counts the DISTINCT
+    weighted nodes in the subtree (self included), total sums their
+    weights. Hierarchy nodes absent from ``weights`` contribute
+    nothing; weighted nodes absent from the hierarchy are dropped
+    (union identity rows into ``edges`` first to keep them as their
+    own roots).
+
+    Scale shape: the closure is hierarchy-sized (nodes x bounded depth
+    — vocabulary-like, NOT corpus-like; built once by the filtered-
+    doubling operator above), so the weights join is dimension x
+    dimension. The rollup agg's hot key — the ROOT, which every node
+    reaches — collapses in the map-side partial like any hot group key;
+    nothing here touches corpus-scale rows after the weights agg the
+    caller supplies."""
+    cl = transitive_closure(edges, subj, obj, include_self=True)
+    return (
+        cl.select("node", "ancestor")
+        .join(weights.select(F.col(node_col).alias("node"),
+                             F.col(weight_col).alias("_w")), "node")
+        .groupBy("ancestor")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_nodes"),
+            F.sum("_w").cast("long").alias("total"),
+        )
+    )

@@ -5136,6 +5136,47 @@ def _sql_graph_skipgram(window: int = 2) -> str:
     """
 
 
+def q_kg_hierarchy_rollup(spark, sf_dir):
+    """Ontology rollup (closure.hierarchy_rollup): real NER mention
+    counts per curie aggregated up the ENTRY_ISA hierarchy — every
+    ancestor reports its subtree's distinct weighted nodes and total
+    mention mass (self included), the 'mentions per MeSH subtree'
+    analytic. The oracle rebuilds the closure recursively, adds the
+    depth-0 self rows for every hierarchy node, and replays the
+    mention-count join + rollup agg."""
+    from .closure import hierarchy_rollup
+
+    edges = spark.createDataFrame(ENTRY_ISA, "subj string, obj string")
+    w = (entry_mentions(spark, sf_dir)
+         .groupBy("curie").agg(F.count(F.lit(1)).alias("n")))
+    return hierarchy_rollup(edges, w, node_col="curie", weight_col="n")
+
+
+def _sql_kg_hierarchy_rollup() -> str:
+    vals = ", ".join(f"('{s}', '{o}')" for s, o in ENTRY_ISA)
+    return f"""
+        WITH RECURSIVE e(subj, obj) AS (VALUES {vals}),
+        c AS (
+            SELECT subj AS node, obj AS ancestor FROM e
+            UNION
+            SELECT c.node, e.obj FROM c JOIN e ON c.ancestor = e.subj),
+        cs AS (
+            -- explicit DISTINCT: inside a WITH RECURSIVE clause DuckDB
+            -- does not set-dedupe a plain UNION chain in a non-recursive
+            -- member, so self rows already discovered by c would double
+            SELECT DISTINCT node, ancestor FROM (
+                SELECT node, ancestor FROM c
+                UNION ALL SELECT subj, subj FROM e
+                UNION ALL SELECT obj, obj FROM e)),
+        m AS ({_SQL_MENTIONS}),
+        w AS (SELECT curie, count(*) AS n FROM m GROUP BY curie)
+        SELECT cs.ancestor, count(*)::INT AS n_nodes,
+               sum(w.n)::BIGINT AS total
+        FROM cs JOIN w ON cs.node = w.curie
+        GROUP BY 1
+    """
+
+
 def q_sample_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail partitioning (sampling.perplexity_buckets;
     Wenzek et al. 2020, arXiv:1911.00359): per-language thirds by the
@@ -5261,6 +5302,7 @@ def extra_queries():
         "layout_zorder": q_layout_zorder,
         "graph_walks": q_graph_walks,
         "graph_skipgram": q_graph_skipgram,
+        "kg_hierarchy_rollup": q_kg_hierarchy_rollup,
         # round-5 demotion from the driver window (slot given to
         # kg_pattern_triples); identical contract here
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -5324,5 +5366,6 @@ def extra_oracle_sql():
         "layout_zorder": _sql_layout_zorder(),
         "graph_walks": _sql_graph_walks(),
         "graph_skipgram": _sql_graph_skipgram(),
+        "kg_hierarchy_rollup": _sql_kg_hierarchy_rollup(),
         "agg_pricing_summary": SQL_AGG_PRICING,
     }

@@ -160,3 +160,32 @@ def test_closure_with_roots_isolated_nodes(spark):
             for r in closure_with_roots(edges, nodes).collect()}
     assert rows[("lonely", "lonely")] == 0
     assert rows[("a", "b")] == 1 and rows[("a", "a")] == 0
+
+
+def test_hierarchy_rollup_subtree_totals(spark):
+    from pyspark.sql import functions as F
+
+    from outbreak_kg_spark.closure import hierarchy_rollup
+
+    #      r
+    #     / \
+    #    a   b     (diamond: d isa both a and b -> d must count ONCE
+    #     \ / \     under r, not twice)
+    #      d   c
+    edges = spark.createDataFrame(
+        [("a", "r"), ("b", "r"), ("d", "a"), ("d", "b"), ("c", "b")],
+        "subj string, obj string")
+    w = spark.createDataFrame(
+        [("r", 1), ("a", 10), ("b", 100), ("d", 1000), ("c", 7),
+         ("zzz", 555)],  # zzz: weighted but not in the hierarchy -> dropped
+        "node string, n long")
+    got = {r.ancestor: (r.n_nodes, r.total)
+           for r in hierarchy_rollup(edges, w, node_col="node",
+                                     weight_col="n").collect()}
+    assert got == {
+        "r": (5, 1118),   # all of r a b c d, d once (diamond)
+        "a": (2, 1010),
+        "b": (3, 1107),
+        "c": (1, 7),
+        "d": (1, 1000),
+    }
