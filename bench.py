@@ -109,6 +109,8 @@ HEADLINE = [
     # ontology rollup: mention mass per isa subtree (dimension-sized
     # closure join after the mentions agg)
     "kg_hierarchy_rollup",
+    # politeness-capped frontier (salted two-phase per-host top-k)
+    "web_crawl_frontier",
 ]
 
 

@@ -171,3 +171,53 @@ def delta_stats(delta: DataFrame) -> DataFrame:
     guard: an 'unchanged' share far below the historical band means the
     fingerprint recipe changed, not the web)."""
     return delta.groupBy("status").agg(F.count("*").alias("n_urls"))
+
+
+def frontier_schedule(frontier: DataFrame, host_col: str = "host",
+                      url_col: str = "url",
+                      priority_col: str = "priority",
+                      k_per_host: int = 10, delay_s: int = 2,
+                      salt_buckets: int = 16) -> DataFrame:
+    """Politeness-aware crawl-frontier scheduling: keep the top
+    ``k_per_host`` URLs of each host by priority and space their fetches
+    ``delay_s`` seconds apart (rank 1 fetches at offset 0) — the
+    per-host budget + crawl-delay plan a polite fetcher executes, fed by
+    the link-graph/pagerank and crawl-delta signals upstream.
+
+    Hot-host safe: a per-host rank window would put a host with 10^8
+    frontier URLs into ONE sort partition (the straggler that kills
+    frontier builds at web scale), so the top-k runs in TWO phases —
+    (1) rank within (host, md5-salt-bucket) and keep k per bucket,
+    bounding any host's survivors at salt_buckets * k; (2) exact rank
+    over that bounded set. Phase 1's per-bucket top-k is a superset of
+    the host's true top-k (every global top-k row is top-k in its own
+    bucket), so the composition is exact, order ties broken by url for
+    determinism. Two window exchanges, the second over <= buckets * k
+    rows per host.
+
+    Output: (host, url, rank, fetch_offset_s), rank 1-based per host.
+    """
+    salt = F.pmod(
+        F.conv(F.substring(F.md5(F.col(url_col)), 1, 12), 16, 10)
+        .cast("long"),
+        F.lit(salt_buckets),
+    )
+    w1 = Window.partitionBy(host_col, "_salt").orderBy(
+        F.desc(priority_col), F.col(url_col))
+    pre = (
+        frontier.withColumn("_salt", salt)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k_per_host)
+    )
+    w2 = Window.partitionBy(host_col).orderBy(
+        F.desc(priority_col), F.col(url_col))
+    return (
+        pre.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k_per_host)
+        .select(
+            host_col, url_col,
+            F.col("rank").cast("int").alias("rank"),
+            ((F.col("rank") - 1) * delay_s).cast("long")
+            .alias("fetch_offset_s"),
+        )
+    )

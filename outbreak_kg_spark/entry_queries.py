@@ -5177,6 +5177,45 @@ def _sql_kg_hierarchy_rollup() -> str:
     """
 
 
+def q_web_crawl_frontier(spark, sf_dir):
+    """Politeness-capped crawl frontier (crawl.frontier_schedule): the
+    doc-derived URL table scored with a deterministic priority, top 5
+    per host with 2 s politeness spacing, via the salted two-phase
+    per-host top-k (hot-host safe). The oracle ranks each host with a
+    single window — equality with the two-phase plan IS the exactness
+    claim of the salted decomposition."""
+    from .crawl import frontier_schedule
+
+    d = _docs(spark, sf_dir)
+    site = F.pmod("doc_id", F.lit(11)).cast("string")
+    frontier = d.select(
+        F.concat(F.lit("site-"), site, F.lit(".example")).alias("host"),
+        F.concat(F.lit("https://site-"), site, F.lit(".example/d/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.pmod(F.col("doc_id") * 13, F.lit(97)).alias("priority"),
+    )
+    return frontier_schedule(frontier, k_per_host=5, delay_s=2)
+
+
+def _sql_web_crawl_frontier(k: int = 5, delay_s: int = 2) -> str:
+    return f"""
+        WITH f AS (
+            SELECT 'site-' || (doc_id % 11) || '.example' AS host,
+                   'https://site-' || (doc_id % 11) || '.example/d/'
+                       || doc_id AS url,
+                   (doc_id * 13) % 97 AS priority
+            FROM documents),
+        r AS (
+            SELECT host, url,
+                   row_number() OVER (PARTITION BY host
+                                      ORDER BY priority DESC, url) AS rank
+            FROM f)
+        SELECT host, url, rank::INT AS rank,
+               ((rank - 1) * {delay_s})::BIGINT AS fetch_offset_s
+        FROM r WHERE rank <= {k}
+    """
+
+
 def q_sample_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail partitioning (sampling.perplexity_buckets;
     Wenzek et al. 2020, arXiv:1911.00359): per-language thirds by the
@@ -5303,6 +5342,7 @@ def extra_queries():
         "graph_walks": q_graph_walks,
         "graph_skipgram": q_graph_skipgram,
         "kg_hierarchy_rollup": q_kg_hierarchy_rollup,
+        "web_crawl_frontier": q_web_crawl_frontier,
         # round-5 demotion from the driver window (slot given to
         # kg_pattern_triples); identical contract here
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -5367,5 +5407,6 @@ def extra_oracle_sql():
         "graph_walks": _sql_graph_walks(),
         "graph_skipgram": _sql_graph_skipgram(),
         "kg_hierarchy_rollup": _sql_kg_hierarchy_rollup(),
+        "web_crawl_frontier": _sql_web_crawl_frontier(),
         "agg_pricing_summary": SQL_AGG_PRICING,
     }

@@ -113,3 +113,34 @@ def test_delta_plan_two_exchanges_no_bodies(spark):
     # body never crosses the exchange
     join_zone = simple[:simple.find("Exchange")]
     assert "text" not in join_zone
+
+
+def test_frontier_schedule_two_phase_exact_on_hot_host(spark):
+    from pyspark.sql import Window, functions as F
+
+    from outbreak_kg_spark.crawl import frontier_schedule
+
+    # one hot host with 5000 urls (>> salt_buckets * k) + two small hosts;
+    # duplicate priorities everywhere so the url tiebreak is load-bearing
+    rows = [("hot.example", f"https://hot.example/{i:05d}", i % 7)
+            for i in range(5000)]
+    rows += [("a.example", f"https://a.example/{i}", i) for i in range(3)]
+    rows += [("b.example", f"https://b.example/{i}", 1) for i in range(8)]
+    f = spark.createDataFrame(rows, "host string, url string, priority long")
+    got = frontier_schedule(f, k_per_host=4, delay_s=3).collect()
+    # reference: plain single-window rank (fine at test scale)
+    w = Window.partitionBy("host").orderBy(F.desc("priority"), "url")
+    want = (f.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 4)
+            .select("host", "url", F.col("rank").cast("int").alias("rank"),
+                    ((F.col("rank") - 1) * 3).cast("long")
+                    .alias("fetch_offset_s")).collect())
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    by_host = {}
+    for r in got:
+        by_host.setdefault(r.host, []).append(r)
+    assert {h: len(v) for h, v in by_host.items()} == \
+        {"hot.example": 4, "a.example": 3, "b.example": 4}
+    for v in by_host.values():
+        for r in v:
+            assert r.fetch_offset_s == (r.rank - 1) * 3
