@@ -5216,6 +5216,61 @@ def _sql_web_crawl_frontier(k: int = 5, delay_s: int = 2) -> str:
     """
 
 
+def q_kg_attr_asof(spark, sf_dir):
+    """Point-in-time attribute lookup — the SCD-2 history table IN USE:
+    'what was each user's event_type on Jan 15 / Jan 25?' answered by
+    an as-of join (temporal.asof_join, single-shuffle union+window)
+    against incremental.scd2_history's validity intervals; probes
+    before a user's first change report null. Composes three session
+    operators (history build, asof, the tiling guarantee: greatest
+    effective_from <= t IS the valid version). The oracle nests the
+    full SCD-2 replay and resolves each probe with a max-effective_from
+    join."""
+    from . import incremental
+    from .temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hist = incremental.scd2_history(
+        ev, key_col="user_id", attr_col="event_type",
+        ts_col="ts", tiebreak_col="event_id")
+    probes = ev.select("user_id").distinct().crossJoin(
+        spark.createDataFrame(
+            [("2024-01-15 00:00:00",), ("2024-01-25 00:00:00",)],
+            "t string"
+        ).select(F.col("t").cast("timestamp_ntz").alias("probe_ts"))
+    )
+    out = asof_join(
+        probes,
+        hist.select("user_id", "effective_from", "attr_value"),
+        ["user_id"], left_ts="probe_ts", right_ts="effective_from",
+        right_value_cols=["attr_value"],
+    )
+    return out.select(
+        "user_id", "probe_ts",
+        F.col("attr_value_asof").alias("attr_value"),
+        F.col("effective_from_asof").alias("valid_from"),
+    )
+
+
+def _sql_kg_attr_asof() -> str:
+    return f"""
+        WITH hist AS ({_sql_kg_scd2_history()}),
+        probes AS (
+            SELECT DISTINCT user_id, t.ts AS probe_ts
+            FROM events, (VALUES (TIMESTAMP '2024-01-15'),
+                                 (TIMESTAMP '2024-01-25')) t(ts)),
+        m AS (
+            SELECT p.user_id, p.probe_ts,
+                   max(h.effective_from) AS valid_from
+            FROM probes p LEFT JOIN hist h
+              ON h.user_id = p.user_id AND h.effective_from <= p.probe_ts
+            GROUP BY 1, 2)
+        SELECT m.user_id, m.probe_ts, h.attr_value, m.valid_from
+        FROM m LEFT JOIN hist h
+          ON h.user_id = m.user_id AND h.effective_from = m.valid_from
+    """
+
+
 def q_sample_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail partitioning (sampling.perplexity_buckets;
     Wenzek et al. 2020, arXiv:1911.00359): per-language thirds by the
@@ -5343,6 +5398,7 @@ def extra_queries():
         "graph_skipgram": q_graph_skipgram,
         "kg_hierarchy_rollup": q_kg_hierarchy_rollup,
         "web_crawl_frontier": q_web_crawl_frontier,
+        "kg_attr_asof": q_kg_attr_asof,
         # round-5 demotion from the driver window (slot given to
         # kg_pattern_triples); identical contract here
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -5408,5 +5464,6 @@ def extra_oracle_sql():
         "graph_skipgram": _sql_graph_skipgram(),
         "kg_hierarchy_rollup": _sql_kg_hierarchy_rollup(),
         "web_crawl_frontier": _sql_web_crawl_frontier(),
+        "kg_attr_asof": _sql_kg_attr_asof(),
         "agg_pricing_summary": SQL_AGG_PRICING,
     }

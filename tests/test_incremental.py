@@ -258,3 +258,30 @@ def test_scd2_history_collapse_and_intervals(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert len(re.findall(r"Exchange hashpartitioning", final)) == 1
+
+
+def test_scd2_asof_point_in_time_lookup(spark):
+    """The SCD-2 output composes with asof_join into a point-in-time
+    lookup: greatest effective_from <= t IS the valid version (interval
+    tiling), and a probe before the key's first change matches nothing."""
+    import datetime as dt
+
+    from outbreak_kg_spark.incremental import scd2_history
+    from outbreak_kg_spark.temporal import asof_join
+
+    t = lambda d: dt.datetime(2024, 1, d)
+    df = spark.createDataFrame(
+        [(1, t(10), 1, "a"), (2, t(20), 1, "b")],
+        "event_id long, ts timestamp, user_id long, event_type string")
+    hist = scd2_history(df, "user_id", "event_type", "ts", "event_id")
+    probes = spark.createDataFrame(
+        [(1, t(5)), (1, t(10)), (1, t(15)), (1, t(25))],
+        "user_id long, probe_ts timestamp")
+    out = {r.probe_ts.day: r.attr_value_asof
+           for r in asof_join(
+               probes, hist.select("user_id", "effective_from",
+                                   "attr_value"),
+               ["user_id"], left_ts="probe_ts",
+               right_ts="effective_from",
+               right_value_cols=["attr_value"]).collect()}
+    assert out == {5: None, 10: "a", 15: "a", 25: "b"}
