@@ -111,6 +111,8 @@ HEADLINE = [
     "kg_hierarchy_rollup",
     # politeness-capped frontier (salted two-phase per-host top-k)
     "web_crawl_frontier",
+    # point-in-time lookup over the SCD-2 history (asof composition)
+    "kg_attr_asof",
 ]
 
 
