@@ -113,6 +113,8 @@ HEADLINE = [
     "web_crawl_frontier",
     # point-in-time lookup over the SCD-2 history (asof composition)
     "kg_attr_asof",
+    # one-scan column profile over orders
+    "table_profile",
 ]
 
 

@@ -171,3 +171,57 @@ def _iceberg_available(spark: SparkSession) -> bool:
         return True
     except Exception:
         return False
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None,
+                  exact_distinct: bool = True) -> DataFrame:
+    """Column-level data-quality profile (the dbt/DataHub-style table
+    audit a pipeline runs before trusting an input drop): one output row
+    per column with null count, cardinality, and a type-appropriate
+    range — numerics report round-6 min/max, strings report min/max
+    LENGTH (engine-portable, unlike raw float/timestamp renderings),
+    other types report nulls/cardinality only.
+
+    Scale shape: ONE scan. All per-column stats ride a single global
+    aggregate (partial-combined; no per-column passes), then a literal
+    stack() unpivots the 1-row wide result — driver-side only in the
+    sense that the unpivot input is ONE row. With ``exact_distinct``
+    the multi-column count(DISTINCT) makes Catalyst plan an Expand
+    (input amplified x |columns| before the partial agg) — fine for an
+    audit job; at 100 TB pass exact_distinct=False for
+    approx_count_distinct (HLL, single non-expanded pass, ~2% error —
+    the profile's cardinality is a sanity signal, not an invariant).
+
+    Output: (column, n_rows, n_null, n_distinct, min_d, max_d).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    cols = columns or df.columns
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in cols:
+        dt = schema[c]
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_nn_{c}"))
+        if exact_distinct:
+            aggs.append(F.count_distinct(F.col(c)).alias(f"_nd_{c}"))
+        else:
+            aggs.append(F.approx_count_distinct(F.col(c)).alias(f"_nd_{c}"))
+        if isinstance(dt, T.NumericType):
+            lo, hi = F.min(c).cast("double"), F.max(c).cast("double")
+        elif isinstance(dt, T.StringType):
+            lo, hi = (F.min(F.length(c)).cast("double"),
+                      F.max(F.length(c)).cast("double"))
+        else:
+            lo = hi = F.lit(None).cast("double")
+        aggs.append(F.round(lo, 6).alias(f"_lo_{c}"))
+        aggs.append(F.round(hi, 6).alias(f"_hi_{c}"))
+    one = df.agg(*aggs)
+    args = ", ".join(
+        f"'{c}', _nn_{c}, _nd_{c}, _lo_{c}, _hi_{c}" for c in cols
+    )
+    return one.selectExpr(
+        "_rows AS n_rows",
+        f"stack({len(cols)}, {args}) "
+        "AS (column, n_null, n_distinct, min_d, max_d)",
+    ).select("column", "n_rows", "n_null", "n_distinct", "min_d", "max_d")

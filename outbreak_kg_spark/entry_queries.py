@@ -5271,6 +5271,46 @@ def _sql_kg_attr_asof() -> str:
     """
 
 
+def q_table_profile(spark, sf_dir):
+    """Column-level data-quality profile (catalog.profile_table, the
+    dbt/DataHub-style input audit): one scan over orders, one row per
+    column with null count, exact cardinality, and a type-appropriate
+    round-6 range (numeric min/max; string LENGTH min/max — renderings
+    of raw floats/timestamps are not engine-portable, lengths are;
+    timestamp columns report range nulls). The oracle computes each
+    column's row independently and unions — same numbers, different
+    plan, which is the point of the contract."""
+    from .catalog import profile_table
+
+    return profile_table(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+
+
+def _sql_table_profile() -> str:
+    def num(c):
+        return (f"SELECT '{c}' AS \"column\", count(*) AS n_rows, "
+                f"count(*) - count({c}) AS n_null, "
+                f"count(DISTINCT {c}) AS n_distinct, "
+                f"round(min({c})::DOUBLE, 6) AS min_d, "
+                f"round(max({c})::DOUBLE, 6) AS max_d FROM orders")
+
+    def strl(c):
+        return (f"SELECT '{c}', count(*), count(*) - count({c}), "
+                f"count(DISTINCT {c}), "
+                f"round(min(length({c}))::DOUBLE, 6), "
+                f"round(max(length({c}))::DOUBLE, 6) FROM orders")
+
+    def other(c):
+        return (f"SELECT '{c}', count(*), count(*) - count({c}), "
+                f"count(DISTINCT {c}), NULL::DOUBLE, NULL::DOUBLE "
+                f"FROM orders")
+
+    return " UNION ALL ".join([
+        num("o_orderkey"), num("o_custkey"), strl("o_orderstatus"),
+        num("o_totalprice"), other("o_orderdate"),
+        strl("o_orderpriority"),
+    ])
+
+
 def q_sample_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail partitioning (sampling.perplexity_buckets;
     Wenzek et al. 2020, arXiv:1911.00359): per-language thirds by the
@@ -5399,6 +5439,7 @@ def extra_queries():
         "kg_hierarchy_rollup": q_kg_hierarchy_rollup,
         "web_crawl_frontier": q_web_crawl_frontier,
         "kg_attr_asof": q_kg_attr_asof,
+        "table_profile": q_table_profile,
         # round-5 demotion from the driver window (slot given to
         # kg_pattern_triples); identical contract here
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -5465,5 +5506,6 @@ def extra_oracle_sql():
         "kg_hierarchy_rollup": _sql_kg_hierarchy_rollup(),
         "web_crawl_frontier": _sql_web_crawl_frontier(),
         "kg_attr_asof": _sql_kg_attr_asof(),
+        "table_profile": _sql_table_profile(),
         "agg_pricing_summary": SQL_AGG_PRICING,
     }

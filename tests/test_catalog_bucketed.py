@@ -103,3 +103,34 @@ def test_legacy_location_guard_rejects_other_roots():
     # alias schemes for the same store ARE the same location
     assert _norm_location("s3://x/kg/e") == _norm_location("s3a://x/kg/e")
     assert _norm_location("s3n://x/kg/e") == _norm_location("s3a://x/kg/e")
+
+
+def test_profile_table_nulls_types_and_approx_path(spark):
+    from pyspark.sql import functions as F
+
+    from outbreak_kg_spark.catalog import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "aa", 1.5), (2, None, None), (None, "bbbb", 2.5),
+         (2, "aa", 2.5)],
+        "k long, s string, v double")
+    got = {r.column: r for r in profile_table(df).collect()}
+    assert set(got) == {"k", "s", "v"}
+    assert (got["k"].n_rows, got["k"].n_null, got["k"].n_distinct,
+            got["k"].min_d, got["k"].max_d) == (4, 1, 2, 1.0, 2.0)
+    # string range = LENGTH range, not lexicographic values
+    assert (got["s"].n_null, got["s"].n_distinct,
+            got["s"].min_d, got["s"].max_d) == (1, 2, 2.0, 4.0)
+    assert (got["v"].n_null, got["v"].min_d, got["v"].max_d) == \
+        (1, 1.5, 2.5)
+    # approx path: same shape, cardinality within HLL tolerance
+    ap = {r.column: r for r in
+          profile_table(df, exact_distinct=False).collect()}
+    for c in got:
+        assert abs(ap[c].n_distinct - got[c].n_distinct) <= 1
+        assert ap[c].n_null == got[c].n_null
+    # the approx plan must NOT contain the Expand the exact multi-distinct
+    # agg needs — that's the whole point of the 100 TB path
+    plan = profile_table(df, exact_distinct=False)\
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan.split("== Initial Plan ==")[0]
