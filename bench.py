@@ -115,6 +115,8 @@ HEADLINE = [
     "kg_attr_asof",
     # one-scan column profile over orders
     "table_profile",
+    # C4 line/page cleaning rules (zero-exchange codegen pass)
+    "text_c4_clean",
 ]
 
 

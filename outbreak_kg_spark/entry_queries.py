@@ -5311,6 +5311,82 @@ def _sql_table_profile() -> str:
     ])
 
 
+def q_text_c4_clean(spark, sf_dir):
+    """C4 cleaning recipe (textstats.c4_clean; Raffel et al. 2020): the
+    word-soup corpus is page-ified into three lines — first chunk with a
+    terminal '.', middle chunk with NO terminal punctuation (always
+    dropped), third chunk terminal '!' only on even docs — plus a
+    'lorem ipsum' line on doc_id%17==0 and a '{' code line on
+    doc_id%13==0, so every line rule and both page rules fire. The
+    oracle replays the splice, the terminal-punct regex, the 5-word
+    minimum, and the page gates exactly."""
+    d = _docs(spark, sf_dir)
+    text2 = F.concat(
+        F.concat_ws(
+            "\n",
+            F.concat(F.substring("text", 1, 80), F.lit(".")),
+            F.substring("text", 81, 40),
+            F.concat(
+                F.substring("text", 121, 80),
+                F.when(F.col("doc_id") % 2 == 0, F.lit("!"))
+                .otherwise(F.lit("")),
+            ),
+        ),
+        F.when(F.col("doc_id") % 17 == 0,
+               F.lit("\nlorem ipsum dolor sit amet consectetur."))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0,
+               F.lit("\nfunction f() { return 1; } end of code."))
+        .otherwise(F.lit("")),
+    )
+    return textstats.c4_clean(
+        d.select("doc_id", text2.alias("text")), min_sentences=2)
+
+
+def _sql_text_c4_clean(min_words: int = 5, min_sentences: int = 2) -> str:
+    return f"""
+        WITH p AS (
+            SELECT doc_id,
+                   substr(text, 1, 80) || '.' || chr(10) ||
+                   substr(text, 81, 40) || chr(10) ||
+                   substr(text, 121, 80) ||
+                   CASE WHEN doc_id % 2 = 0 THEN '!' ELSE '' END ||
+                   CASE WHEN doc_id % 17 = 0 THEN chr(10) ||
+                        'lorem ipsum dolor sit amet consectetur.'
+                        ELSE '' END ||
+                   CASE WHEN doc_id % 13 = 0 THEN chr(10) ||
+                        'function f() {{ return 1; }} end of code.'
+                        ELSE '' END AS t
+            FROM documents),
+        s AS (
+            SELECT doc_id, t, string_split(t, chr(10)) AS lines,
+                   list_filter(string_split(t, chr(10)), ln ->
+                       regexp_matches(ln, '[.!?]["'']?\\s*$')
+                       AND len(list_filter(
+                           regexp_split_to_array(ln, '\\s+'),
+                           w -> w <> '')) >= {min_words}
+                       AND position('{{' IN ln) = 0
+                       AND NOT contains(lower(ln), 'lorem ipsum')
+                   ) AS kept
+            FROM p),
+        c AS (
+            SELECT doc_id, t, lines, kept,
+                   array_to_string(kept, chr(10)) AS text_clean
+            FROM s)
+        SELECT doc_id,
+               len(lines)::INT AS n_lines,
+               len(kept)::INT AS n_kept,
+               len(regexp_extract_all(text_clean, '[.!?]'))::INT
+                   AS n_sentences,
+               (len(regexp_extract_all(text_clean, '[.!?]'))
+                    >= {min_sentences}
+                AND position('{{' IN t) = 0
+                AND NOT contains(lower(t), 'lorem ipsum')) AS keep_page,
+               text_clean
+        FROM c
+    """
+
+
 def q_sample_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail partitioning (sampling.perplexity_buckets;
     Wenzek et al. 2020, arXiv:1911.00359): per-language thirds by the
@@ -5440,6 +5516,7 @@ def extra_queries():
         "web_crawl_frontier": q_web_crawl_frontier,
         "kg_attr_asof": q_kg_attr_asof,
         "table_profile": q_table_profile,
+        "text_c4_clean": q_text_c4_clean,
         # round-5 demotion from the driver window (slot given to
         # kg_pattern_triples); identical contract here
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -5507,5 +5584,6 @@ def extra_oracle_sql():
         "web_crawl_frontier": _sql_web_crawl_frontier(),
         "kg_attr_asof": _sql_kg_attr_asof(),
         "table_profile": _sql_table_profile(),
+        "text_c4_clean": _sql_text_c4_clean(),
         "agg_pricing_summary": SQL_AGG_PRICING,
     }

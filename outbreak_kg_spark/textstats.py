@@ -760,3 +760,58 @@ def cardinality_profile(df: DataFrame, key_col: str,
     if by:
         return df.groupBy(*by).agg(agg)
     return df.agg(agg)
+
+
+def c4_clean(df: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id", min_words: int = 5,
+             min_sentences: int = 3) -> DataFrame:
+    """The C4 cleaning recipe (Raffel et al. 2020, arXiv:1910.10683
+    §2.2) as one narrow projection — the canonical webtext line filter,
+    complementary to the generic quality score: rule-based, auditable,
+    and what several public corpora literally are.
+
+    Line rules (a line survives iff ALL hold):
+    - ends in a terminal punctuation mark (. ! ? or closing quote);
+    - has at least ``min_words`` whitespace words;
+    - does not contain the curly brace '{' (code);
+    - does not contain 'lorem ipsum' (case-insensitive).
+
+    Page rules: keep_page iff the CLEANED text has at least
+    ``min_sentences`` sentences (terminal-punct count) and the raw page
+    had neither 'lorem ipsum' nor '{' anywhere (C4 drops such pages
+    outright rather than salvaging lines). The three-sentence-span
+    dedup C4 applies afterwards is :func:`dedup.passage_dedup` /
+    ``substring_spans`` — separate operators by design.
+
+    Output: (doc_id, n_lines, n_kept, n_sentences, keep_page,
+    text_clean).
+
+    Scale shape: zero exchanges — split/filter/regexp higher-order
+    expressions inside whole-stage codegen, one pass over the corpus;
+    every downstream decision (drop page, keep lines) is carried as
+    columns so the caller composes filters without a second scan."""
+    lines = F.split(F.col(text_col), "\n")
+    keep = F.filter(
+        lines,
+        lambda ln: (
+            ln.rlike('[.!?]["\']?\\s*$')
+            & (F.size(F.filter(F.split(ln, r"\s+"), lambda w: w != ""))
+               >= min_words)
+            & ~ln.contains("{")
+            & ~F.lower(ln).contains("lorem ipsum")
+        ),
+    )
+    cleaned = F.array_join(keep, "\n")
+    n_sent = F.regexp_count(cleaned, F.lit(r"[.!?]"))
+    return df.select(
+        id_col,
+        F.size(lines).cast("int").alias("n_lines"),
+        F.size(keep).cast("int").alias("n_kept"),
+        n_sent.cast("int").alias("n_sentences"),
+        (
+            (n_sent >= min_sentences)
+            & ~F.col(text_col).contains("{")
+            & ~F.lower(F.col(text_col)).contains("lorem ipsum")
+        ).alias("keep_page"),
+        cleaned.alias("text_clean"),
+    )

@@ -1245,3 +1245,30 @@ def test_substring_spans_fuzz_python_reference(spark):
                spark.createDataFrame(rows), n=n, min_docs=min_docs
            ).collect()}
     assert got == ref()
+
+
+def test_c4_clean_rules(spark):
+    from outbreak_kg_spark import textstats
+
+    rows = [
+        # quote after terminal punct still terminal; exactly-5-words
+        # boundary kept, 4 words dropped
+        {"doc_id": 1, "text": 'He said "five words right here."\n'
+                              "only has four words.\n"
+                              "Another proper sentence with enough words!"},
+        # lorem-ipsum page: its lines AND the page both go
+        {"doc_id": 2, "text": "A good long sentence sits here.\n"
+                              "Lorem Ipsum filler text goes here."},
+        # brace page: salvageable line exists but the PAGE is dropped
+        {"doc_id": 3, "text": "This perfectly valid sentence stays intact.\n"
+                              "if (x) { return; }"},
+    ]
+    got = {r.doc_id: r for r in textstats.c4_clean(
+        spark.createDataFrame(rows), min_sentences=2).collect()}
+    assert (got[1].n_kept, got[1].n_sentences, got[1].keep_page) == \
+        (2, 2, True)
+    assert got[1].text_clean == (
+        'He said "five words right here."\n'
+        "Another proper sentence with enough words!")
+    assert (got[2].n_kept, got[2].keep_page) == (1, False)
+    assert (got[3].n_kept, got[3].keep_page) == (1, False)
