@@ -117,6 +117,8 @@ HEADLINE = [
     "table_profile",
     # C4 line/page cleaning rules (zero-exchange codegen pass)
     "text_c4_clean",
+    # Gopher A1 doc-level rules (zero-exchange, per-rule audit columns)
+    "text_gopher_rules",
 ]
 
 

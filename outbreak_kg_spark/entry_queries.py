@@ -5387,6 +5387,66 @@ def _sql_text_c4_clean(min_words: int = 5, min_sentences: int = 2) -> str:
     """
 
 
+def q_text_gopher_rules(spark, sf_dir):
+    """Gopher quality rules (textstats.gopher_rules; Rae et al. 2021
+    A1) over the raw documents table with sandbox-scaled thresholds
+    (min 30 words, >= 1 stop hit — the soup corpus carries 'the' in
+    ~78% of docs and 23-90-word lengths, so the word-count and
+    stop-word gates BOTH fire differentially; ~⅓ of docs drop). The
+    oracle replays every metric with identical integer/double
+    arithmetic and the same unrounded threshold comparisons."""
+    return textstats.gopher_rules(
+        _docs(spark, sf_dir), min_words=30, min_stop_hits=1)
+
+
+def _sql_text_gopher_rules(min_words: int = 30,
+                           min_stop_hits: int = 1) -> str:
+    sw = ", ".join(f"'{s}'" for s in textstats.GOPHER_STOPWORDS)
+    return f"""
+        WITH base AS (
+            SELECT doc_id, text,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS toks,
+                   string_split(text, chr(10)) AS lines,
+                   length(regexp_replace(text,
+                       '[^\\p{{L}}\\p{{N}}_]', '', 'g')) AS word_chars
+            FROM documents),
+        m AS (
+            SELECT doc_id,
+                   len(toks) AS n_words,
+                   word_chars / greatest(len(toks), 1)::DOUBLE AS mean_wl,
+                   (len(string_split(text, '#')) - 1
+                    + len(string_split(text, '...')) - 1)
+                       / greatest(len(toks), 1)::DOUBLE AS sym_r,
+                   len(list_filter(lines, ln ->
+                       regexp_matches(ln, '^\\s*[-*•]')))
+                       / greatest(len(lines), 1)::DOUBLE AS bullet_r,
+                   len(list_filter(lines, ln ->
+                       regexp_matches(ln, '\\.\\.\\.\\s*$')))
+                       / greatest(len(lines), 1)::DOUBLE AS ellipsis_r,
+                   len(list_filter(toks, w ->
+                       regexp_matches(w, '[a-zA-Z]')))
+                       / greatest(len(toks), 1)::DOUBLE AS alpha_r,
+                   len(list_filter([{sw}], s -> list_contains(toks, s)))
+                       AS stop_hits
+            FROM base)
+        SELECT doc_id,
+               n_words::INT AS n_words,
+               round(mean_wl, 6) AS mean_word_len,
+               round(sym_r, 6) AS symbol_ratio,
+               round(bullet_r, 6) AS bullet_ratio,
+               round(ellipsis_r, 6) AS ellipsis_ratio,
+               round(alpha_r, 6) AS alpha_word_ratio,
+               stop_hits::INT AS stop_hits,
+               (n_words BETWEEN {min_words} AND 100000
+                AND mean_wl BETWEEN 3.0 AND 10.0
+                AND sym_r <= 0.1 AND bullet_r <= 0.9
+                AND ellipsis_r <= 0.3 AND alpha_r >= 0.8
+                AND stop_hits >= {min_stop_hits}) AS keep
+        FROM m
+    """
+
+
 def q_sample_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail partitioning (sampling.perplexity_buckets;
     Wenzek et al. 2020, arXiv:1911.00359): per-language thirds by the
@@ -5517,6 +5577,7 @@ def extra_queries():
         "kg_attr_asof": q_kg_attr_asof,
         "table_profile": q_table_profile,
         "text_c4_clean": q_text_c4_clean,
+        "text_gopher_rules": q_text_gopher_rules,
         # round-5 demotion from the driver window (slot given to
         # kg_pattern_triples); identical contract here
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -5585,5 +5646,6 @@ def extra_oracle_sql():
         "kg_attr_asof": _sql_kg_attr_asof(),
         "table_profile": _sql_table_profile(),
         "text_c4_clean": _sql_text_c4_clean(),
+        "text_gopher_rules": _sql_text_gopher_rules(),
         "agg_pricing_summary": SQL_AGG_PRICING,
     }

@@ -815,3 +815,77 @@ def c4_clean(df: DataFrame, text_col: str = "text",
         ).alias("keep_page"),
         cleaned.alias("text_clean"),
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", min_words: int = 50,
+                 max_words: int = 100_000, min_stop_hits: int = 2
+                 ) -> DataFrame:
+    """The Gopher quality rules (Rae et al. 2021, arXiv:2112.11446
+    Appendix A1) as auditable per-rule columns — the doc-level
+    complement to the C4 LINE rules: a document keeps iff
+    - word count in [min_words, max_words];
+    - mean word length in [3, 10];
+    - symbol-to-word ratio ('#' or '...') <= 0.1;
+    - <= 90% of lines start with a bullet, <= 30% end with an ellipsis;
+    - >= 80% of words contain an alphabetic character;
+    - >= min_stop_hits DISTINCT Gopher stop words present.
+
+    Every metric is emitted alongside the keep flag so a curation run
+    can audit WHICH rule fired per document (threshold sweeps reuse the
+    same scan output instead of re-scanning).
+
+    Scale shape: zero exchanges — one tokens_col staging plus line
+    split, all rules narrow codegen expressions over the two arrays;
+    the stop-word hit count is a literal 8-element array membership
+    fold, not a join."""
+    lines = F.split(F.col(text_col), "\n")
+    pre = df.select(
+        id_col, text_col,
+        tokens_col(text_col).alias("_toks"),
+        lines.alias("_lines"),
+    )
+    toks = F.col("_toks")
+    n_words = F.size(toks)
+    word_chars = F.length(
+        F.regexp_replace(F.col(text_col), NONWORD_CLASS, ""))
+    mean_wl = word_chars / F.greatest(n_words, F.lit(1))
+    n_sym = (
+        F.size(F.split(F.col(text_col), "#", -1)) - 1
+        + F.size(F.split(F.col(text_col), r"\.\.\.", -1)) - 1
+    )
+    sym_ratio = n_sym / F.greatest(n_words, F.lit(1))
+    nl = F.greatest(F.size(F.col("_lines")), F.lit(1))
+    bullet_r = F.size(F.filter(
+        F.col("_lines"),
+        lambda ln: ln.rlike(r"^\s*([-*•])"))) / nl
+    ellipsis_r = F.size(F.filter(
+        F.col("_lines"), lambda ln: ln.rlike(r"\.\.\.\s*$"))) / nl
+    alpha_r = F.size(F.filter(
+        toks, lambda w: w.rlike("[a-zA-Z]"))) / F.greatest(
+            n_words, F.lit(1))
+    sw = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stop_hits = F.size(F.filter(
+        sw, lambda s: F.array_contains(toks, s)))
+    return pre.select(
+        id_col,
+        n_words.cast("int").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_r, 6).alias("bullet_ratio"),
+        F.round(ellipsis_r, 6).alias("ellipsis_ratio"),
+        F.round(alpha_r, 6).alias("alpha_word_ratio"),
+        stop_hits.cast("int").alias("stop_hits"),
+        (
+            n_words.between(min_words, max_words)
+            & mean_wl.between(3.0, 10.0)
+            & (sym_ratio <= 0.1)
+            & (bullet_r <= 0.9)
+            & (ellipsis_r <= 0.3)
+            & (alpha_r >= 0.8)
+            & (stop_hits >= min_stop_hits)
+        ).alias("keep"),
+    )

@@ -1272,3 +1272,31 @@ def test_c4_clean_rules(spark):
         "Another proper sentence with enough words!")
     assert (got[2].n_kept, got[2].keep_page) == (1, False)
     assert (got[3].n_kept, got[3].keep_page) == (1, False)
+
+
+def test_gopher_rules_line_and_word_metrics(spark):
+    from outbreak_kg_spark import textstats
+
+    good = ("the data and results show that we have strong findings "
+            "with clear methods here today okay fine") * 2
+    rows = [
+        # healthy prose: passes everything
+        {"doc_id": 1, "text": good},
+        # bullet-dominated page: 3 of 3 lines bulleted -> bullet_ratio 1
+        {"doc_id": 2, "text": "- the first item\n* the second item\n"
+                              "• the third item"},
+        # ellipsis-heavy + symbol-heavy
+        {"doc_id": 3, "text": "the teaser goes on...\nmore # tags # "
+                              "here # now # okay # and # that..."},
+        # no alphabetic words at all
+        {"doc_id": 4, "text": "123 456 789 000 111 222 333 444 555 "
+                              "666 777 888 999 101 202 303 404 505"},
+    ]
+    got = {r.doc_id: r for r in textstats.gopher_rules(
+        spark.createDataFrame(rows), min_words=10,
+        min_stop_hits=2).collect()}
+    assert got[1].keep and got[1].stop_hits >= 2
+    assert got[2].bullet_ratio == 1.0 and not got[2].keep
+    assert got[3].ellipsis_ratio == 1.0
+    assert got[3].symbol_ratio > 0.1 and not got[3].keep
+    assert got[4].alpha_word_ratio == 0.0 and not got[4].keep
