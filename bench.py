@@ -119,6 +119,8 @@ HEADLINE = [
     "text_c4_clean",
     # Gopher A1 doc-level rules (zero-exchange, per-rule audit columns)
     "text_gopher_rules",
+    # Luhn-verified credit-card audit (indexed HOF checksum fold)
+    "text_pii_luhn",
 ]
 
 

@@ -5447,6 +5447,71 @@ def _sql_text_gopher_rules(min_words: int = 30,
     """
 
 
+def q_text_pii_luhn(spark, sf_dir):
+    """Checksum-verified credit-card audit (textstats.pii_luhn_hits):
+    docs get residue-keyed injections — a Luhn-VALID card (doc_id%5==0,
+    spaced groups), a Luhn-INVALID same-shape number (doc_id%7==0,
+    dashed groups), and a 13-digit bare run (doc_id%11==0, valid) — so
+    candidate extraction, separator stripping, the length band, the
+    checksum fold, and last-4 retention all fire differentially. The
+    oracle replays the maximal-run regex (RE2-safe, no lookarounds)
+    and the indexed Luhn fold with DuckDB's 1-based lambdas."""
+    d = _docs(spark, sf_dir)
+    text2 = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit(" card 4111 1111 1111 1111 ok")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit(" ref 4111-1111-1111-1112 bad")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.lit(" acct 4222222222222 end")).otherwise(F.lit("")),
+    )
+    return textstats.pii_luhn_hits(d.select("doc_id", text2.alias("text")))
+
+
+def _sql_text_pii_luhn() -> str:
+    return r"""
+        WITH p AS (
+            SELECT doc_id,
+                   text ||
+                   CASE WHEN doc_id % 5 = 0
+                        THEN ' card 4111 1111 1111 1111 ok' ELSE '' END ||
+                   CASE WHEN doc_id % 7 = 0
+                        THEN ' ref 4111-1111-1111-1112 bad' ELSE '' END ||
+                   CASE WHEN doc_id % 11 = 0
+                        THEN ' acct 4222222222222 end' ELSE '' END AS t
+            FROM documents),
+        c AS (
+            SELECT doc_id,
+                   list_filter(
+                       list_transform(
+                           regexp_extract_all(t, '\d(?:[ -]?\d)*'),
+                           x -> regexp_replace(x, '[ -]', '', 'g')),
+                       x -> len(x) BETWEEN 13 AND 19) AS cands
+            FROM p),
+        v AS (
+            SELECT doc_id, cands,
+                   list_filter(cands, x ->
+                       list_aggregate(
+                           list_transform(
+                               string_split(reverse(x), ''),
+                               (d, i) -> CASE WHEN i % 2 = 0
+                                   THEN d::INT * 2 - CASE WHEN d::INT * 2 > 9
+                                                          THEN 9 ELSE 0 END
+                                   ELSE d::INT END),
+                           'sum') % 10 = 0) AS valid
+            FROM c)
+        SELECT doc_id,
+               len(cands)::INT AS n_candidates,
+               len(valid)::INT AS n_valid,
+               coalesce(array_to_string(
+                   list_sort(list_distinct(
+                       list_transform(valid, x -> x[-4:]))), ','), '')
+                   AS last4s
+        FROM v
+    """
+
+
 def q_sample_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail partitioning (sampling.perplexity_buckets;
     Wenzek et al. 2020, arXiv:1911.00359): per-language thirds by the
@@ -5578,6 +5643,7 @@ def extra_queries():
         "table_profile": q_table_profile,
         "text_c4_clean": q_text_c4_clean,
         "text_gopher_rules": q_text_gopher_rules,
+        "text_pii_luhn": q_text_pii_luhn,
         # round-5 demotion from the driver window (slot given to
         # kg_pattern_triples); identical contract here
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -5647,5 +5713,6 @@ def extra_oracle_sql():
         "table_profile": _sql_table_profile(),
         "text_c4_clean": _sql_text_c4_clean(),
         "text_gopher_rules": _sql_text_gopher_rules(),
+        "text_pii_luhn": _sql_text_pii_luhn(),
         "agg_pricing_summary": SQL_AGG_PRICING,
     }

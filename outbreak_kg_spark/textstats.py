@@ -889,3 +889,63 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
             & (stop_hits >= min_stop_hits)
         ).alias("keep"),
     )
+
+
+def luhn_valid_col(digits):
+    """Luhn checksum (ISO/IEC 7812) over a digit-string Column — the
+    verification step that separates real card numbers from the random
+    13-19-digit runs a bare regex flags (Presidio-style checksum
+    validation; regex-only CC detection overfires badly on web text).
+    Pure higher-order expressions: reverse the digits, double every
+    second one (indexed transform lambda) with the >9 fold, sum
+    mod 10 == 0. No UDF, engine-portable (DuckDB list_transform
+    replays it with 1-based indexes)."""
+    rev = F.reverse(F.filter(F.split(digits, ""), lambda d: d != ""))
+    terms = F.transform(
+        rev,
+        lambda d, i: F.when(
+            i % 2 == 1,
+            d.cast("int") * 2
+            - F.when(d.cast("int") * 2 > 9, F.lit(9)).otherwise(F.lit(0)),
+        ).otherwise(d.cast("int")),
+    )
+    return (
+        F.aggregate(terms, F.lit(0), lambda acc, x: acc + x) % 10 == 0
+    )
+
+
+def pii_luhn_hits(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Checksum-verified credit-card detection per document: extract
+    every 13-19 digit candidate run (separators stripped: spaces or
+    dashes between groups), validate each with :func:`luhn_valid_col`,
+    report candidate and verified counts plus the verified numbers'
+    last-4 (the only part a PII audit may retain).
+
+    Output: (doc_id, n_candidates, n_valid, last4s — sorted distinct).
+
+    Scale shape: zero exchanges — regexp_extract_all + per-candidate
+    HOF validation inside one codegen projection; the verified last-4
+    list is bounded by candidates per doc, never corpus-sized. The
+    redaction counterpart stays in redact_pii (regex class); this
+    operator is the auditor that MEASURES how much of the regex's
+    catch survives the checksum."""
+    # maximal digit runs (separators allowed between groups), then a
+    # 13-19 normalized-length filter — NOT lookarounds, which RE2 (the
+    # DuckDB oracle's engine) does not support; greedy maximal runs
+    # match identically in Java regex and RE2
+    cand = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"\d(?:[ -]?\d)*"), 0)
+    normed = F.transform(cand, lambda c: F.regexp_replace(c, "[ -]", ""))
+    in_range = F.filter(
+        normed, lambda c: F.length(c).between(13, 19))
+    valid = F.filter(in_range, lambda c: luhn_valid_col(c))
+    return df.select(
+        id_col,
+        F.size(in_range).cast("int").alias("n_candidates"),
+        F.size(valid).cast("int").alias("n_valid"),
+        F.array_join(
+            F.array_sort(F.array_distinct(
+                F.transform(valid, lambda c: F.substring(c, -4, 4)))),
+            ",").alias("last4s"),
+    )

@@ -1300,3 +1300,25 @@ def test_gopher_rules_line_and_word_metrics(spark):
     assert got[3].ellipsis_ratio == 1.0
     assert got[3].symbol_ratio > 0.1 and not got[3].keep
     assert got[4].alpha_word_ratio == 0.0 and not got[4].keep
+
+
+def test_pii_luhn_checksum_discrimination(spark):
+    from outbreak_kg_spark import textstats
+
+    rows = [
+        # valid spaced card + invalid dashed sibling in one doc
+        {"doc_id": 1, "text": "pay 4111 1111 1111 1111 or "
+                              "4111-1111-1111-1112 now"},
+        # 13-digit valid bare run; 11-digit valid number too SHORT to count
+        {"doc_id": 2, "text": "acct 4222222222222 ref 79927398713"},
+        # 20-digit run: outside the band entirely
+        {"doc_id": 3, "text": "id 41111111111111111111 x"},
+        {"doc_id": 4, "text": "clean text"},
+    ]
+    got = {r.doc_id: (r.n_candidates, r.n_valid, r.last4s)
+           for r in textstats.pii_luhn_hits(
+               spark.createDataFrame(rows)).collect()}
+    assert got[1] == (2, 1, "1111")
+    assert got[2] == (1, 1, "2222")
+    assert got[3] == (0, 0, "")
+    assert got[4] == (0, 0, "")
