@@ -121,6 +121,8 @@ HEADLINE = [
     "text_gopher_rules",
     # Luhn-verified credit-card audit (indexed HOF checksum fold)
     "text_pii_luhn",
+    # trailing-window rate features (incremental RANGE frame)
+    "events_rolling_counts",
 ]
 
 

@@ -5512,6 +5512,31 @@ def _sql_text_pii_luhn() -> str:
     """
 
 
+def q_events_rolling_counts(spark, sf_dir):
+    """Trailing-window rate features (temporal.rolling_counts): per
+    user, events and value mass in the trailing 6 hours inclusive —
+    burst detection over the at-rest log, the batch twin of the
+    streaming tumbling rates. RANGE frame over integer epoch seconds,
+    so equal timestamps are full peers and the result is independent
+    of within-timestamp order; DuckDB replays the identical frame."""
+    from .temporal import rolling_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return rolling_counts(ev, "user_id", "ts", 6 * 3600, "value").select(
+        "event_id", "user_id", "ts", "n_window", "sum_window")
+
+
+def _sql_events_rolling_counts(window_s: int = 6 * 3600) -> str:
+    return f"""
+        SELECT event_id, user_id, ts,
+               (count(*) OVER w)::INT AS n_window,
+               round(sum(value) OVER w, 6) AS sum_window
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
+                     RANGE BETWEEN {window_s} PRECEDING AND CURRENT ROW)
+    """
+
+
 def q_sample_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail partitioning (sampling.perplexity_buckets;
     Wenzek et al. 2020, arXiv:1911.00359): per-language thirds by the
@@ -5644,6 +5669,7 @@ def extra_queries():
         "text_c4_clean": q_text_c4_clean,
         "text_gopher_rules": q_text_gopher_rules,
         "text_pii_luhn": q_text_pii_luhn,
+        "events_rolling_counts": q_events_rolling_counts,
         # round-5 demotion from the driver window (slot given to
         # kg_pattern_triples); identical contract here
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -5714,5 +5740,6 @@ def extra_oracle_sql():
         "text_c4_clean": _sql_text_c4_clean(),
         "text_gopher_rules": _sql_text_gopher_rules(),
         "text_pii_luhn": _sql_text_pii_luhn(),
+        "events_rolling_counts": _sql_events_rolling_counts(),
         "agg_pricing_summary": SQL_AGG_PRICING,
     }

@@ -191,3 +191,38 @@ def range_join(
     # the two exploded cells matched (cl == cr xor cl == cr - 1), so each
     # qualifying pair is emitted exactly once
     return out.drop("_cell", "_lt", "_rt")
+
+
+def rolling_counts(df: DataFrame, key_col: str, ts_col: str,
+                   window_s: int = 3600, value_col: str | None = None
+                   ) -> DataFrame:
+    """Per-key trailing-window aggregates: for every event, how many
+    events (and optionally how much ``value_col`` mass) the same key
+    produced in the last ``window_s`` seconds INCLUSIVE of now — the
+    batch twin of streaming.mention_rate's tumbling windows, used for
+    burst detection and rate features over an at-rest event log.
+
+    The frame is a RANGE window over integer epoch seconds
+    (rangeBetween(-window_s, 0)), so rows with equal timestamps are
+    full peers — the result is a pure function of the data, not of any
+    within-timestamp order, and DuckDB's RANGE ... PRECEDING replays it
+    bit-for-bit.
+
+    Scale shape: ONE per-key exchange + sort; the range frame is
+    maintained incrementally by Spark's window operator (two pointers
+    over the sorted run — O(n) per key, not O(n * window)); a hot key
+    streams through without per-key state collection.
+
+    Output: (all input columns, n_window[, sum_window]).
+    """
+    from pyspark.sql import Window
+
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    w = (Window.partitionBy(key_col).orderBy(epoch.alias("_ep"))
+         .rangeBetween(-window_s, 0))
+    out = df.withColumn("n_window",
+                        F.count(F.lit(1)).over(w).cast("int"))
+    if value_col is not None:
+        out = out.withColumn(
+            "sum_window", F.round(F.sum(value_col).over(w), 6))
+    return out

@@ -185,3 +185,24 @@ def test_dotted_key_column_name(spark):
     rows = range_join(left, right, ["grp.id"],
                       delta_seconds=120.0).collect()
     assert [(r["grp.id"], r["dt_seconds"]) for r in rows] == [("b", 90.0)]
+
+
+def test_rolling_counts_inclusive_range_and_ties(spark):
+    import datetime as dt
+
+    from outbreak_kg_spark.temporal import rolling_counts
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    rows = [
+        (1, s(0), "u"), (2, s(3600), "u"),      # exactly window_s apart:
+                                                 # INCLUSIVE -> both count
+        (3, s(3600), "u"),                       # tie with event 2: peers
+        (4, s(7201), "u"),                       # 3601s after the ties:
+                                                 # only itself
+        (5, s(0), "v"),                          # other key isolated
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id string")
+    got = {r.event_id: r.n_window
+           for r in rolling_counts(df, "user_id", "ts", 3600).collect()}
+    assert got == {1: 1, 2: 3, 3: 3, 4: 1, 5: 1}
