@@ -123,6 +123,8 @@ HEADLINE = [
     "text_pii_luhn",
     # trailing-window rate features (incremental RANGE frame)
     "events_rolling_counts",
+    # equi-width histogram over orders.o_totalprice
+    "table_histogram",
 ]
 
 

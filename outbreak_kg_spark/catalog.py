@@ -225,3 +225,50 @@ def profile_table(df: DataFrame, columns: list[str] | None = None,
         f"stack({len(cols)}, {args}) "
         "AS (column, n_null, n_distinct, min_d, max_d)",
     ).select("column", "n_rows", "n_null", "n_distinct", "min_d", "max_d")
+
+
+def column_histogram(df: DataFrame, col: str, bins: int = 10) -> DataFrame:
+    """Equi-width histogram of a numeric column — the profiler's
+    drill-down (the shape behind profile_table's min/max): bin width =
+    (max - min) / bins over the OBSERVED range, nulls excluded, the max
+    value closed into the last bin (the standard right-closed-last-bin
+    convention, so no row is lost to the boundary).
+
+    Scale shape: two scans — a 1-row global min/max agg (broadcast back
+    as literals via a cross join of the single-row frame, no collect)
+    and the binning pass, which is a narrow floor() projection + one
+    partial-combined count agg over <= bins keys. Degenerate case
+    (min == max) puts everything in bin 0 rather than dividing by
+    zero. Empty bins are NOT emitted (bins present = bins with mass;
+    callers needing dense output left-join a range).
+
+    Output: (bin, lo, hi, n) — lo/hi round-6 bin edges.
+    """
+    from pyspark.sql import functions as F
+
+    v = df.select(F.col(col).cast("double").alias("_v")).filter(
+        F.col("_v").isNotNull())
+    mm = v.agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
+    width = (F.col("_hi") - F.col("_lo")) / bins
+    binned = (
+        v.crossJoin(F.broadcast(mm))
+        .select(
+            F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.floor((F.col("_v") - F.col("_lo")) / width),
+                    F.lit(bins - 1),
+                )
+            ).cast("int").alias("bin"),
+            "_lo", "_hi",
+        )
+        .groupBy("bin", "_lo", "_hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = (F.col("_hi") - F.col("_lo")) / bins
+    return binned.select(
+        "bin",
+        F.round(F.col("_lo") + F.col("bin") * w, 6).alias("lo"),
+        F.round(F.col("_lo") + (F.col("bin") + 1) * w, 6).alias("hi"),
+        "n",
+    )

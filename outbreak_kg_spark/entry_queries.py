@@ -5537,6 +5537,40 @@ def _sql_events_rolling_counts(window_s: int = 6 * 3600) -> str:
     """
 
 
+def q_table_histogram(spark, sf_dir):
+    """Equi-width histogram (catalog.column_histogram) of
+    orders.o_totalprice in 8 bins — the profiler's shape drill-down:
+    observed-range width, right-closed last bin, nulls excluded, empty
+    bins absent. The oracle replays the two-scan recipe (global
+    min/max, then floor-binning) with identical IEEE division."""
+    from .catalog import column_histogram
+
+    return column_histogram(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        "o_totalprice", bins=8)
+
+
+def _sql_table_histogram(bins: int = 8) -> str:
+    return f"""
+        WITH v AS (
+            SELECT o_totalprice::DOUBLE AS v FROM orders
+            WHERE o_totalprice IS NOT NULL),
+        mm AS (SELECT min(v) AS lo, max(v) AS hi FROM v),
+        b AS (
+            SELECT CASE WHEN mm.hi = mm.lo THEN 0
+                        ELSE least(floor((v.v - mm.lo)
+                                         / ((mm.hi - mm.lo) / {bins})),
+                                   {bins} - 1) END::INT AS bin,
+                   mm.lo AS lo0, mm.hi AS hi0
+            FROM v, mm)
+        SELECT bin,
+               round(lo0 + bin * ((hi0 - lo0) / {bins}), 6) AS lo,
+               round(lo0 + (bin + 1) * ((hi0 - lo0) / {bins}), 6) AS hi,
+               count(*)::BIGINT AS n
+        FROM b GROUP BY bin, lo0, hi0
+    """
+
+
 def q_sample_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail partitioning (sampling.perplexity_buckets;
     Wenzek et al. 2020, arXiv:1911.00359): per-language thirds by the
@@ -5670,6 +5704,7 @@ def extra_queries():
         "text_gopher_rules": q_text_gopher_rules,
         "text_pii_luhn": q_text_pii_luhn,
         "events_rolling_counts": q_events_rolling_counts,
+        "table_histogram": q_table_histogram,
         # round-5 demotion from the driver window (slot given to
         # kg_pattern_triples); identical contract here
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -5741,5 +5776,6 @@ def extra_oracle_sql():
         "text_gopher_rules": _sql_text_gopher_rules(),
         "text_pii_luhn": _sql_text_pii_luhn(),
         "events_rolling_counts": _sql_events_rolling_counts(),
+        "table_histogram": _sql_table_histogram(),
         "agg_pricing_summary": SQL_AGG_PRICING,
     }

@@ -134,3 +134,21 @@ def test_profile_table_nulls_types_and_approx_path(spark):
     plan = profile_table(df, exact_distinct=False)\
         ._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan.split("== Initial Plan ==")[0]
+
+
+def test_column_histogram_edges_and_degenerate(spark):
+    from outbreak_kg_spark.catalog import column_histogram
+
+    df = spark.createDataFrame(
+        [(float(x),) for x in [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10]]
+        + [(None,)], "v double")
+    got = {r.bin: (r.lo, r.hi, r.n)
+           for r in column_histogram(df, "v", bins=5).collect()}
+    # width 2: [0,2) [2,4) [4,6) [6,8) [8,10] — the max closes into the
+    # last bin, the null row is excluded
+    assert got == {0: (0.0, 2.0, 2), 1: (2.0, 4.0, 2), 2: (4.0, 6.0, 2),
+                   3: (6.0, 8.0, 2), 4: (8.0, 10.0, 3)}
+    # degenerate: constant column -> single bin 0 holding everything
+    const = spark.createDataFrame([(7.0,), (7.0,), (7.0,)], "v double")
+    got1 = column_histogram(const, "v", bins=4).collect()
+    assert len(got1) == 1 and got1[0].bin == 0 and got1[0].n == 3
