@@ -125,6 +125,8 @@ HEADLINE = [
     "events_rolling_counts",
     # equi-width histogram over orders.o_totalprice
     "table_histogram",
+    # PMI collocations (one-pass union-encoded unigram+bigram counts)
+    "text_collocations",
 ]
 
 

@@ -5571,6 +5571,44 @@ def _sql_table_histogram(bins: int = 8) -> str:
     """
 
 
+def q_text_collocations(spark, sf_dir):
+    """PMI collocations (textstats.collocations; Church & Hanks 1990):
+    top-50 bigrams by round-6 pointwise mutual information with a
+    min-count-3 floor over the raw documents — phrase-mining for
+    tokenizer vocab / entity-name candidates. The Spark plan feeds both
+    count tables from ONE union-encoded explode; the oracle counts
+    unigrams and bigrams separately — same numbers from a different
+    plan, deterministic (pmi desc, w1, w2) tie-break on both sides."""
+    return textstats.collocations(
+        _docs(spark, sf_dir), k=50, min_count=3)
+
+
+def _sql_text_collocations(k: int = 50, min_count: int = 3) -> str:
+    return f"""
+        WITH toks AS (
+            SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS tk
+            FROM documents),
+        uni AS (
+            SELECT u.t AS w, count(*) AS cu
+            FROM toks, unnest(tk) u(t) GROUP BY 1),
+        big AS (
+            SELECT tk[r.i + 1] AS w1, tk[r.i + 2] AS w2, count(*) AS cb
+            FROM toks, unnest(range(len(tk) - 1)) r(i)
+            GROUP BY 1, 2),
+        n AS (SELECT sum(cu)::DOUBLE AS n FROM uni),
+        m AS (SELECT sum(cb)::DOUBLE AS m FROM big)
+        SELECT b.w1, b.w2, b.cb::INT AS n_pair,
+               round(log2((b.cb / m.m)
+                          / ((u1.cu / n.n) * (u2.cu / n.n))), 6) AS pmi_r
+        FROM big b
+        JOIN uni u1 ON u1.w = b.w1
+        JOIN uni u2 ON u2.w = b.w2, n, m
+        WHERE b.cb >= {min_count}
+        ORDER BY pmi_r DESC, b.w1, b.w2 LIMIT {k}
+    """
+
+
 def q_sample_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail partitioning (sampling.perplexity_buckets;
     Wenzek et al. 2020, arXiv:1911.00359): per-language thirds by the
@@ -5705,6 +5743,7 @@ def extra_queries():
         "text_pii_luhn": q_text_pii_luhn,
         "events_rolling_counts": q_events_rolling_counts,
         "table_histogram": q_table_histogram,
+        "text_collocations": q_text_collocations,
         # round-5 demotion from the driver window (slot given to
         # kg_pattern_triples); identical contract here
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -5777,5 +5816,6 @@ def extra_oracle_sql():
         "text_pii_luhn": _sql_text_pii_luhn(),
         "events_rolling_counts": _sql_events_rolling_counts(),
         "table_histogram": _sql_table_histogram(),
+        "text_collocations": _sql_text_collocations(),
         "agg_pricing_summary": SQL_AGG_PRICING,
     }

@@ -949,3 +949,75 @@ def pii_luhn_hits(df: DataFrame, text_col: str = "text",
                 F.transform(valid, lambda c: F.substring(c, -4, 4)))),
             ",").alias("last4s"),
     )
+
+
+def collocations(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = 50,
+                 min_count: int = 5,
+                 vocab_fits_broadcast: bool = True) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information
+    (Church & Hanks 1990): PMI(a,b) = log2( p(ab) / (p(a) p(b)) ) with
+    a min-count floor (PMI without one surfaces hapax noise) — the
+    phrase-mining signal that feeds tokenizer vocabulary candidates
+    and entity-name discovery.
+
+    Scale shape: ONE corpus pass feeds BOTH count tables — unigram and
+    bigram occurrences ride a single exploded union-encoded stream
+    ('u', w, '') / ('b', w1, w2) into one partial-combined agg (the
+    zipfian hot rows collapse map-side), so the text is tokenized and
+    shuffled once, not twice. The two totals come off the same counts
+    frame; the PMI join hits the unigram side twice and is explicitly
+    broadcast by default (vocabulary-sized — Heaps' law; pass
+    vocab_fits_broadcast=False on ID-soup corpora to fall back to
+    shuffled joins). Selection is orderBy+limit =
+    TakeOrderedAndProject: per-partition top-k, k-row driver merge.
+
+    Output: (w1, w2, n_pair, pmi_r) — round-6 PMI, ties broken by
+    (w1, w2) for determinism.
+    """
+    pre = df.select(tokens_col(text_col).alias("_toks"))
+    toks = F.col("_toks")
+    uni = F.transform(toks, lambda w: F.struct(
+        F.lit("u").alias("kind"), w.alias("w1"), F.lit("").alias("w2")))
+    big = F.when(F.size(toks) >= 2, F.transform(
+        F.slice(toks, 1, F.size(toks) - 1),
+        lambda w, i: F.struct(
+            F.lit("b").alias("kind"), w.alias("w1"),
+            F.element_at(toks, (i + 2).cast("int")).alias("w2")),
+    )).otherwise(F.array().cast(
+        "array<struct<kind:string,w1:string,w2:string>>"))
+    stream = pre.select(
+        F.explode_outer(F.concat(uni, big)).alias("_e")
+    ).filter(F.col("_e").isNotNull()).select("_e.kind", "_e.w1", "_e.w2")
+    counts = stream.groupBy("kind", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("kind").agg(F.sum("c").alias("t"))
+    n_uni = totals.filter(F.col("kind") == "u").select("t")
+    n_big = totals.filter(F.col("kind") == "b").select("t")
+    u = counts.filter(F.col("kind") == "u").select(
+        F.col("w1").alias("w"), F.col("c").alias("cu"))
+    b = counts.filter(
+        (F.col("kind") == "b") & (F.col("c") >= min_count)
+    ).select("w1", "w2", F.col("c").alias("cb"))
+    if vocab_fits_broadcast:
+        u = F.broadcast(u)
+    joined = (
+        b.join(u.withColumnRenamed("w", "w1")
+               .withColumnRenamed("cu", "c1"), "w1")
+        .join(u.withColumnRenamed("w", "w2")
+              .withColumnRenamed("cu", "c2"), "w2")
+        .crossJoin(F.broadcast(n_uni.select(F.col("t").alias("_n"))))
+        .crossJoin(F.broadcast(n_big.select(F.col("t").alias("_m"))))
+    )
+    pmi = F.log2(
+        (F.col("cb") / F.col("_m"))
+        / ((F.col("c1") / F.col("_n")) * (F.col("c2") / F.col("_n")))
+    )
+    return (
+        joined.select(
+            "w1", "w2", F.col("cb").cast("int").alias("n_pair"),
+            F.round(pmi, 6).alias("pmi_r"),
+        )
+        .orderBy(F.desc("pmi_r"), "w1", "w2")
+        .limit(k)
+    )

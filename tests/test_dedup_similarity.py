@@ -1322,3 +1322,28 @@ def test_pii_luhn_checksum_discrimination(spark):
     assert got[2] == (1, 1, "2222")
     assert got[3] == (0, 0, "")
     assert got[4] == (0, 0, "")
+
+
+def test_collocations_pmi_math_and_floor(spark):
+    import math
+
+    from outbreak_kg_spark import textstats
+
+    # "strong tea" always adjacent (PMI high); "the" everywhere (low
+    # PMI with anything); "rare gem" occurs twice -> under the floor
+    rows = [{"doc_id": i, "text": "the strong tea the cup the"}
+            for i in range(5)]
+    rows += [{"doc_id": 10 + i, "text": "rare gem"} for i in range(2)]
+    got = {(r.w1, r.w2): (r.n_pair, r.pmi_r)
+           for r in textstats.collocations(
+               spark.createDataFrame(rows), k=20,
+               min_count=3).collect()}
+    assert ("rare", "gem") not in got          # floor
+    n_pair, pmi = got[("strong", "tea")]
+    assert n_pair == 5
+    # hand-check: N=34 unigrams, M=27 bigrams, c(strong)=c(tea)=5
+    want = math.log2((5 / 27) / ((5 / 34) * (5 / 34)))
+    assert pmi == round(want, 6)
+    # the↦strong co-occurs as often as strong↦tea but 'the' is 3x more
+    # frequent -> strictly lower PMI
+    assert got[("the", "strong")][1] < pmi
