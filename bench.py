@@ -127,6 +127,8 @@ HEADLINE = [
     "table_histogram",
     # PMI collocations (one-pass union-encoded unigram+bigram counts)
     "text_collocations",
+    # leakage-safe split keyed on exact-dedup canonical ids
+    "sample_leakage_safe",
 ]
 
 

@@ -5609,6 +5609,47 @@ def _sql_text_collocations(k: int = 50, min_count: int = 3) -> str:
     """
 
 
+def q_sample_leakage_safe(spark, sf_dir):
+    """Contamination-free split (sampling.leakage_safe_split composed
+    over dedup.exact_dedup): docs with residue < 2 get a shared
+    per-(doc_id%50) text so real duplicate groups exist; the split then
+    hashes the CANONICAL id, putting every group member in the same
+    split by construction (memorization can't leak into held-out
+    metrics). 90/5/5 weights so val/test are populated at gate scale.
+    The oracle replays the text override, the md5-group min-id dedup,
+    and the byte-identical hash-threshold CASE."""
+    d = _docs(spark, sf_dir)
+    text2 = F.when(
+        F.col("doc_id") % 10 < 2,
+        F.concat(F.lit("shared boilerplate text number "),
+                 F.pmod("doc_id", F.lit(50)).cast("string")),
+    ).otherwise(F.col("text"))
+    base = d.select("doc_id", text2.alias("text"))
+    groups = dedup.exact_dedup(base)
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    return sampling.leakage_safe_split(
+        groups, "canonical_id", "doc_id", weights=w
+    ).select("doc_id", "canonical_id", "split")
+
+
+def _sql_sample_leakage_safe() -> str:
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    case = sampling.sql_hash_split("canonical_id", weights=w)
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 < 2
+                        THEN 'shared boilerplate text number '
+                             || (doc_id % 50)
+                        ELSE text END AS text
+            FROM documents),
+        g AS (SELECT doc_id, md5(text) AS h FROM base),
+        rep AS (SELECT h, min(doc_id) AS canonical_id FROM g GROUP BY h)
+        SELECT g.doc_id, rep.canonical_id, {case} AS split
+        FROM g JOIN rep USING (h)
+    """
+
+
 def q_sample_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail partitioning (sampling.perplexity_buckets;
     Wenzek et al. 2020, arXiv:1911.00359): per-language thirds by the
@@ -5744,6 +5785,7 @@ def extra_queries():
         "events_rolling_counts": q_events_rolling_counts,
         "table_histogram": q_table_histogram,
         "text_collocations": q_text_collocations,
+        "sample_leakage_safe": q_sample_leakage_safe,
         # round-5 demotion from the driver window (slot given to
         # kg_pattern_triples); identical contract here
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -5817,5 +5859,6 @@ def extra_oracle_sql():
         "events_rolling_counts": _sql_events_rolling_counts(),
         "table_histogram": _sql_table_histogram(),
         "text_collocations": _sql_text_collocations(),
+        "sample_leakage_safe": _sql_sample_leakage_safe(),
         "agg_pricing_summary": SQL_AGG_PRICING,
     }

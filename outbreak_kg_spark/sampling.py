@@ -738,3 +738,26 @@ def perplexity_buckets(df: DataFrame, score_col: str, strata_col: str,
             .otherwise(F.lit("tail")).alias("bucket"),
         )
     )
+
+
+def leakage_safe_split(df: DataFrame, group_col: str, id_col: str,
+                       weights: dict[str, float] | None = None,
+                       salt: str = "split-v1",
+                       split_col: str = "split") -> DataFrame:
+    """Train/val/test split keyed on a DUPLICATE-GROUP id instead of the
+    row id — the contamination guard every eval pipeline needs: when two
+    (near-)identical documents land on opposite sides of a split, the
+    held-out metric silently measures memorization. Hashing the group
+    key (exact_dedup's canonical_id, a near-dup component id from
+    minhash_dedup, or a domain for site-level holdout) puts every member
+    of a group in the SAME split by construction — no pairwise check,
+    no second pass, and the split stays a pure function of
+    (grouping, salt) with hash_split's nested-threshold property intact
+    (shrinking the test fraction keeps it a subset).
+
+    Scale shape: identical to hash_split — one narrow projection over
+    whatever frame carries the group column; the cost of leakage safety
+    is wherever the group id came from (already paid if the pipeline
+    dedups at all), not here."""
+    return hash_split(df, group_col, weights=weights, salt=salt,
+                      split_col=split_col)

@@ -482,3 +482,34 @@ def test_perplexity_buckets_partition_invariant(spark):
     from collections import Counter
     c = Counter(ra.values())
     assert abs(c["head"] - 100) <= 6 and abs(c["tail"] - 100) <= 6
+
+
+def test_leakage_safe_split_groups_never_straddle(spark):
+    from outbreak_kg_spark import dedup, sampling
+
+    # 60 docs in 12 exact-dup groups of 5 — with per-DOC hashing, P(all
+    # five of a group landing together) is tiny; group-keyed hashing
+    # makes it certain
+    rows = [{"doc_id": g * 5 + i, "text": f"group text {g}"}
+            for g in range(12) for i in range(5)]
+    groups = dedup.exact_dedup(spark.createDataFrame(rows))
+    out = sampling.leakage_safe_split(
+        groups, "canonical_id", "doc_id",
+        weights={"train": 0.5, "val": 0.25, "test": 0.25}).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.canonical_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_group.values())
+    # and the splits genuinely differ across groups at these weights
+    assert len({next(iter(s)) for s in by_group.values()}) >= 2
+    # nested-threshold property survives the composition: a smaller val
+    # fraction selects a SUBSET of the larger one's val groups
+    small = sampling.leakage_safe_split(
+        groups, "canonical_id", "doc_id",
+        weights={"train": 0.9, "val": 0.1}).collect()
+    big = sampling.leakage_safe_split(
+        groups, "canonical_id", "doc_id",
+        weights={"train": 0.5, "val": 0.5}).collect()
+    v_small = {r.doc_id for r in small if r.split == "val"}
+    v_big = {r.doc_id for r in big if r.split == "val"}
+    assert v_small and v_small <= v_big
