@@ -129,6 +129,8 @@ HEADLINE = [
     "text_collocations",
     # leakage-safe split keyed on exact-dedup canonical ids
     "sample_leakage_safe",
+    # mojibake/control-char/U+FFFD triage (three regex length deltas)
+    "text_encoding_audit",
 ]
 
 

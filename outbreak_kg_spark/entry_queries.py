@@ -5650,6 +5650,61 @@ def _sql_sample_leakage_safe() -> str:
     """
 
 
+def q_text_encoding_audit(spark, sf_dir):
+    """Encoding-damage audit (textstats.encoding_audit): the pure-ASCII
+    soup corpus gets residue-keyed damage — two U+FFFD replacement
+    chars on doc_id%19==0, an accented ' café' on %23==0 (non-ASCII
+    but LEGIT: stays ok), a C0 control char on %29==0 — so the three
+    counters and the ok-flag boundary all fire differentially. The
+    oracle injects via chr() codepoints and replays the char-class
+    regex deltas exactly."""
+    d = _docs(spark, sf_dir)
+    text2 = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 19 == 0,
+               F.lit("��")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 23 == 0,
+               F.lit(" café")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 29 == 0,
+               F.lit(chr(1))).otherwise(F.lit("")),
+    )
+    return textstats.encoding_audit(d.select("doc_id", text2.alias("text")))
+
+
+def _sql_text_encoding_audit(max_nonascii_r: float = 0.5,
+                             max_bad: int = 0) -> str:
+    return f"""
+        WITH p AS (
+            SELECT doc_id,
+                   text ||
+                   CASE WHEN doc_id % 19 = 0
+                        THEN chr(65533) || chr(65533) ELSE '' END ||
+                   CASE WHEN doc_id % 23 = 0
+                        THEN ' caf' || chr(233) ELSE '' END ||
+                   CASE WHEN doc_id % 29 = 0
+                        THEN chr(1) ELSE '' END AS t
+            FROM p0),
+        m AS (
+            SELECT doc_id, length(t) AS n,
+                   length(t) - length(regexp_replace(
+                       t, '[^\\x01-\\x7F]', '', 'g')) AS nonascii,
+                   length(t) - length(regexp_replace(
+                       t, '[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]',
+                       '', 'g')) AS ctrl,
+                   length(t) - length(replace(t, chr(65533), ''))
+                       AS repl
+            FROM p)
+        SELECT doc_id, n::INT AS n_chars,
+               round(nonascii / greatest(n, 1)::DOUBLE, 6) AS nonascii_r,
+               ctrl::INT AS n_control,
+               repl::INT AS n_replacement,
+               (ctrl + repl <= {max_bad}
+                AND nonascii / greatest(n, 1)::DOUBLE
+                    <= {max_nonascii_r}) AS ok
+        FROM m
+    """.replace("FROM p0", "FROM documents")
+
+
 def q_sample_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail partitioning (sampling.perplexity_buckets;
     Wenzek et al. 2020, arXiv:1911.00359): per-language thirds by the
@@ -5786,6 +5841,7 @@ def extra_queries():
         "table_histogram": q_table_histogram,
         "text_collocations": q_text_collocations,
         "sample_leakage_safe": q_sample_leakage_safe,
+        "text_encoding_audit": q_text_encoding_audit,
         # round-5 demotion from the driver window (slot given to
         # kg_pattern_triples); identical contract here
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -5860,5 +5916,6 @@ def extra_oracle_sql():
         "table_histogram": _sql_table_histogram(),
         "text_collocations": _sql_text_collocations(),
         "sample_leakage_safe": _sql_sample_leakage_safe(),
+        "text_encoding_audit": _sql_text_encoding_audit(),
         "agg_pricing_summary": SQL_AGG_PRICING,
     }

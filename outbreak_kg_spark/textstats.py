@@ -1021,3 +1021,40 @@ def collocations(df: DataFrame, text_col: str = "text",
         .orderBy(F.desc("pmi_r"), "w1", "w2")
         .limit(k)
     )
+
+
+def encoding_audit(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   max_nonascii_r: float = 0.5,
+                   max_bad: int = 0) -> DataFrame:
+    """Encoding-damage audit -- the mojibake triage web corpora need
+    before any text operator trusts its input: per doc, the non-ASCII
+    character ratio (legit for non-English, so a RATIO with a loose
+    ceiling, not a ban), the count of C0 control characters
+    (tab/newline/CR excluded -- real text contains those; DEL included),
+    and the count of U+FFFD replacement characters (the smoking gun of
+    a decode-with-wrong-charset step upstream). ``ok`` = replacement +
+    control count <= max_bad AND non-ASCII ratio <= max_nonascii_r.
+
+    Scale shape: zero exchanges, zero UDFs -- three regexp_replace
+    length deltas in one codegen projection (the same Java/RE2-shared
+    char-class dialect as the quality signals, so the DuckDB oracle
+    replays the counts exactly)."""
+    n = F.length(F.col(text_col))
+    nonascii = n - F.length(
+        F.regexp_replace(F.col(text_col), "[^\\x01-\\x7F]", ""))
+    ctrl = n - F.length(
+        F.regexp_replace(
+            F.col(text_col),
+            "[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""))
+    repl = n - F.length(
+        F.regexp_replace(F.col(text_col), "\\uFFFD", ""))
+    r = nonascii / F.greatest(n, F.lit(1))
+    return df.select(
+        id_col,
+        n.cast("int").alias("n_chars"),
+        F.round(r, 6).alias("nonascii_r"),
+        ctrl.cast("int").alias("n_control"),
+        repl.cast("int").alias("n_replacement"),
+        ((ctrl + repl <= max_bad) & (r <= max_nonascii_r)).alias("ok"),
+    )

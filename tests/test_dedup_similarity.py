@@ -1347,3 +1347,30 @@ def test_collocations_pmi_math_and_floor(spark):
     # the↦strong co-occurs as often as strong↦tea but 'the' is 3x more
     # frequent -> strictly lower PMI
     assert got[("the", "strong")][1] < pmi
+
+
+
+def test_encoding_audit_counters_and_ok(spark):
+    from outbreak_kg_spark import textstats
+
+    rows = [
+        {"doc_id": 1, "text": "clean ascii\nwith newline\tand tab"},
+        {"doc_id": 2, "text": "caf\u00e9 na\u00efve r\u00e9sum\u00e9"},
+        {"doc_id": 3, "text": "broken \ufffd\ufffd decode"},
+        {"doc_id": 4, "text": "ctrl\x01\x02 chars \x7f here"},
+        {"doc_id": 5, "text": "\u00e9\u00e9\u00e9\u00e9 x"},
+    ]
+    got = {r.doc_id: r for r in textstats.encoding_audit(
+        spark.createDataFrame(rows)).collect()}
+    # whitespace controls (tab/newline) are NOT flagged
+    assert (got[1].n_control, got[1].n_replacement, got[1].ok) == (0, 0, True)
+    # accents: non-ascii but legit under the ratio ceiling
+    assert got[2].n_replacement == 0 and got[2].ok
+    assert got[2].nonascii_r == round(4 / 17, 6)
+    # U+FFFD is the smoking gun
+    assert (got[3].n_replacement, got[3].ok) == (2, False)
+    # C0 controls + DEL counted, ok false
+    assert (got[4].n_control, got[4].ok) == (3, False)
+    # ratio ceiling: 4 of 6 chars non-ascii > 0.5 -> not ok even clean
+    assert (got[5].n_replacement, got[5].n_control) == (0, 0)
+    assert not got[5].ok
