@@ -131,6 +131,8 @@ HEADLINE = [
     "sample_leakage_safe",
     # mojibake/control-char/U+FFFD triage (three regex length deltas)
     "text_encoding_audit",
+    # degree histogram + power-law slope audit
+    "graph_degree_profile",
 ]
 
 

@@ -5705,6 +5705,56 @@ def _sql_text_encoding_audit(max_nonascii_r: float = 0.5,
     """.replace("FROM p0", "FROM documents")
 
 
+def q_graph_degree_profile(spark, sf_dir):
+    """Degree-distribution audit (graphrank.degree_profile) over a
+    doc-derived multigraph (two generator rules per doc so out-degrees
+    spread): per-degree node counts + the log-log least-squares slope
+    carried on every row — the power-law sanity read a KG build checks
+    before trusting its extractor. The oracle replays the two-level
+    agg and the closed-form slope with identical double arithmetic."""
+    from .graphrank import degree_profile
+
+    d = _docs(spark, sf_dir)
+    edges = d.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 101).alias("dst"),
+    ).union(d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") % 31).alias("src"),
+        ((F.col("doc_id") * 11 + 5) % 101).alias("dst"),
+    ))
+    return degree_profile(edges)
+
+
+def _sql_graph_degree_profile() -> str:
+    return """
+        WITH e AS (
+            SELECT doc_id % 97 AS src, (doc_id * 7 + 3) % 101 AS dst
+            FROM documents
+            UNION ALL
+            SELECT doc_id % 31 AS src, (doc_id * 11 + 5) % 101 AS dst
+            FROM documents WHERE doc_id % 3 = 0),
+        deg AS (SELECT src, count(*) AS degree FROM e GROUP BY src),
+        hist AS (
+            SELECT degree, count(*)::BIGINT AS n_nodes
+            FROM deg GROUP BY degree),
+        pts AS (
+            SELECT degree, n_nodes,
+                   log2(degree::DOUBLE) AS x,
+                   log2(n_nodes::DOUBLE) AS y
+            FROM hist),
+        s AS (
+            SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx
+            FROM pts)
+        SELECT pts.degree::INT AS degree, pts.n_nodes,
+               round(CASE WHEN s.n * s.sxx - s.sx * s.sx != 0
+                          THEN (s.n * s.sxy - s.sx * s.sy)
+                               / (s.n * s.sxx - s.sx * s.sx)
+                          ELSE 0.0 END, 6) AS slope_r
+        FROM pts, s
+    """
+
+
 def q_sample_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail partitioning (sampling.perplexity_buckets;
     Wenzek et al. 2020, arXiv:1911.00359): per-language thirds by the
@@ -5842,6 +5892,7 @@ def extra_queries():
         "text_collocations": q_text_collocations,
         "sample_leakage_safe": q_sample_leakage_safe,
         "text_encoding_audit": q_text_encoding_audit,
+        "graph_degree_profile": q_graph_degree_profile,
         # round-5 demotion from the driver window (slot given to
         # kg_pattern_triples); identical contract here
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -5917,5 +5968,6 @@ def extra_oracle_sql():
         "text_collocations": _sql_text_collocations(),
         "sample_leakage_safe": _sql_sample_leakage_safe(),
         "text_encoding_audit": _sql_text_encoding_audit(),
+        "graph_degree_profile": _sql_graph_degree_profile(),
         "agg_pricing_summary": SQL_AGG_PRICING,
     }

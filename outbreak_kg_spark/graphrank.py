@@ -431,3 +431,49 @@ def skipgram_pairs(walks: DataFrame, walk_col: str = "walk",
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).cast("int").alias("pair_count"))
     )
+
+
+def degree_profile(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Degree-distribution audit of an edge list: per OUT-degree k, how
+    many nodes have it, plus a least-squares slope of log2(count) on
+    log2(k) over the whole distribution — the quick power-law read
+    (web/KG graphs run alpha ~ 2-3; a slope near 0 means the generator
+    or extraction produced something suspiciously uniform, a common
+    pipeline-bug signature).
+
+    Output: (degree, n_nodes, slope_r) — slope_r identical on every row
+    (a distribution-level scalar carried alongside, so one relation
+    serves both the histogram plot and the scalar check).
+
+    Scale shape: one partial-combined agg per level (node -> degree,
+    degree -> count); the slope is a closed-form least-squares over the
+    DISTINCT-degree rows (hundreds at any corpus size — degree counts,
+    not nodes), computed with window-free global aggregates on that
+    tiny frame and broadcast back by a cross join."""
+    deg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("degree"))
+    hist = deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    pts = hist.select(
+        "degree", "n_nodes",
+        F.log2(F.col("degree").cast("double")).alias("_x"),
+        F.log2(F.col("n_nodes").cast("double")).alias("_y"),
+    )
+    stats = pts.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sx"), F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    ).select(
+        F.when(
+            F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx") != 0,
+            (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+            / (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")),
+        ).otherwise(F.lit(0.0)).alias("_slope")
+    )
+    return pts.crossJoin(F.broadcast(stats)).select(
+        F.col("degree").cast("int").alias("degree"),
+        "n_nodes",
+        F.round("_slope", 6).alias("slope_r"),
+    )

@@ -308,3 +308,30 @@ def test_skipgram_pairs_clips_at_walk_edges(spark):
     # no out-of-range slots, no self-pairs
     assert got == {(a, b): 1 for a in (7, 8, 9) for b in (7, 8, 9)
                    if a != b}
+
+
+def test_degree_profile_histogram_and_slope(spark):
+    import math
+
+    from outbreak_kg_spark.graphrank import degree_profile
+
+    # 8 nodes of out-degree 1, 4 of degree 2, 2 of degree 4, 1 of
+    # degree 8 — exact power law count = 8 / degree: slope must be -1
+    rows = []
+    nid = 0
+    for deg, n in [(1, 8), (2, 4), (4, 2), (8, 1)]:
+        for _ in range(n):
+            rows += [(nid, 1000 + j) for j in range(deg)]
+            nid += 1
+    e = spark.createDataFrame(rows, "src long, dst long")
+    got = {r.degree: (r.n_nodes, r.slope_r)
+           for r in degree_profile(e).collect()}
+    assert {d: c for d, (c, _) in got.items()} == {1: 8, 2: 4, 4: 2, 8: 1}
+    for _, s in got.values():
+        assert s == -1.0
+    # single-degree graph: denominator zero -> slope 0, not NaN
+    flat = spark.createDataFrame([(i, 100 + i) for i in range(5)],
+                                 "src long, dst long")
+    one = degree_profile(flat).collect()
+    assert len(one) == 1 and one[0].slope_r == 0.0
+    assert math.isfinite(one[0].slope_r)
