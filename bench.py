@@ -133,6 +133,8 @@ HEADLINE = [
     "text_encoding_audit",
     # degree histogram + power-law slope audit
     "graph_degree_profile",
+    # edge snapshot diff between two residue-excluded builds
+    "kg_edge_diff",
 ]
 
 

@@ -5755,6 +5755,65 @@ def _sql_graph_degree_profile() -> str:
     """
 
 
+def q_kg_edge_diff(spark, sf_dir):
+    """Edge snapshot diff (incremental.edge_diff): two counted edge
+    relations derived from the documents table under DIFFERENT residue
+    exclusions (%17 vs %13 — so some edges lose all support on one
+    side, some change count, some hold), classified
+    added/removed/changed/unchanged per (subj, pred, obj) — what a
+    recurring KG build audits between compaction versions. The oracle
+    replays both snapshot aggs and the presence-flag full-outer CASE."""
+    from .incremental import edge_diff
+
+    d = _docs(spark, sf_dir)
+
+    def snap(excl):
+        return (
+            d.filter(F.col("doc_id") % excl != 0)
+            .select(
+                F.pmod("doc_id", F.lit(41)).cast("string").alias("subj"),
+                F.lit("occurs_with").alias("pred"),
+                F.pmod(F.col("doc_id") * 3, F.lit(43)).cast("string")
+                .alias("obj"),
+            )
+            .groupBy("subj", "pred", "obj")
+            .agg(F.count(F.lit(1)).alias("count"))
+        )
+
+    return edge_diff(snap(17), snap(13))
+
+
+def _sql_kg_edge_diff() -> str:
+    def snap(excl):
+        return f"""
+            SELECT (doc_id % 41)::VARCHAR AS subj,
+                   'occurs_with' AS pred,
+                   ((doc_id * 3) % 43)::VARCHAR AS obj,
+                   count(*) AS cnt
+            FROM documents WHERE doc_id % {excl} != 0
+            GROUP BY 1, 2, 3"""
+
+    return f"""
+        WITH o AS ({snap(17)}), n AS ({snap(13)}),
+        j AS (
+            SELECT coalesce(o.subj, n.subj) AS subj,
+                   coalesce(o.pred, n.pred) AS pred,
+                   coalesce(o.obj, n.obj) AS obj,
+                   o.cnt AS old_count, n.cnt AS new_count,
+                   o.subj IS NOT NULL AS in_old,
+                   n.subj IS NOT NULL AS in_new
+            FROM o FULL OUTER JOIN n
+              ON o.subj = n.subj AND o.pred = n.pred AND o.obj = n.obj)
+        SELECT subj, pred, obj, old_count, new_count,
+               CASE WHEN NOT in_old THEN 'added'
+                    WHEN NOT in_new THEN 'removed'
+                    WHEN old_count IS DISTINCT FROM new_count
+                         THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM j
+    """
+
+
 def q_sample_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail partitioning (sampling.perplexity_buckets;
     Wenzek et al. 2020, arXiv:1911.00359): per-language thirds by the
@@ -5893,6 +5952,7 @@ def extra_queries():
         "sample_leakage_safe": q_sample_leakage_safe,
         "text_encoding_audit": q_text_encoding_audit,
         "graph_degree_profile": q_graph_degree_profile,
+        "kg_edge_diff": q_kg_edge_diff,
         # round-5 demotion from the driver window (slot given to
         # kg_pattern_triples); identical contract here
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -5969,5 +6029,6 @@ def extra_oracle_sql():
         "sample_leakage_safe": _sql_sample_leakage_safe(),
         "text_encoding_audit": _sql_text_encoding_audit(),
         "graph_degree_profile": _sql_graph_degree_profile(),
+        "kg_edge_diff": _sql_kg_edge_diff(),
         "agg_pricing_summary": SQL_AGG_PRICING,
     }

@@ -358,3 +358,42 @@ def scd2_history(df: DataFrame, key_col: str, attr_col: str,
         F.lead(ts_col).over(w2).alias("effective_to"),
         F.row_number().over(w2).cast("int").alias("version"),
     ).withColumn("is_current", F.col("effective_to").isNull())
+
+
+def edge_diff(old: DataFrame, new: DataFrame,
+              count_col: str = "count") -> DataFrame:
+    """Snapshot diff of two KG edge relations (crawl.crawl_delta's
+    analog at the graph layer): per (subj, pred, obj) edge —
+    ``added`` (new only), ``removed`` (old only), ``changed`` (both,
+    count differs), ``unchanged`` — the audit a recurring build runs
+    between compaction versions to see what an increment actually did
+    (and the regression tripwire: a 'removed' burst after a crawl
+    increment means the extractor, not the web, changed).
+
+    Scale shape: ONE full-outer join on the edge key carrying only the
+    two count columns (~the key width per row, never payloads); status
+    is a narrow CASE; the usual consumer aggregates to per-status
+    counts, which collapses map-side. Null-safe count comparison keeps
+    payload-less edge relations (count null) classifiable.
+
+    Output: (subj, pred, obj, old_count, new_count, status).
+    """
+    # presence must come from the join SIDES, not the count values — a
+    # present edge with NULL count is not 'absent'
+    j = (
+        old.select(*EDGE_KEYS, F.col(count_col).alias("old_count"),
+                   F.lit(True).alias("_in_old"))
+        .join(
+            new.select(*EDGE_KEYS, F.col(count_col).alias("new_count"),
+                       F.lit(True).alias("_in_new")),
+            list(EDGE_KEYS), "full_outer")
+    )
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(~F.col("old_count").eqNullSafe(F.col("new_count")),
+              F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(*EDGE_KEYS, "old_count", "new_count",
+                    status.alias("status"))

@@ -285,3 +285,28 @@ def test_scd2_asof_point_in_time_lookup(spark):
                right_ts="effective_from",
                right_value_cols=["attr_value"]).collect()}
     assert out == {5: None, 10: "a", 15: "a", 25: "b"}
+
+
+def test_edge_diff_statuses_and_null_counts(spark):
+    from outbreak_kg_spark.incremental import edge_diff
+
+    old = _edges(spark, [
+        ("a", "p", "b", 3, "r1"),   # count changes -> changed
+        ("c", "p", "d", 1, "r1"),   # vanishes -> removed
+        ("e", "p", "f", 2, "r1"),   # identical -> unchanged
+        ("g", "p", "h", None, "r1"),  # relation-only edge, persists
+    ])
+    new = _edges(spark, [
+        ("a", "p", "b", 5, "r2"),
+        ("e", "p", "f", 2, "r2"),
+        ("g", "p", "h", None, "r2"),  # null == null (null-safe): unchanged
+        ("x", "p", "y", 7, "r2"),   # appears -> added
+    ])
+    got = {(r.subj, r.obj): (r.status, r.old_count, r.new_count)
+           for r in edge_diff(old, new).collect()}
+    assert got[("a", "b")] == ("changed", 3, 5)
+    assert got[("c", "d")] == ("removed", 1, None)
+    assert got[("e", "f")] == ("unchanged", 2, 2)
+    assert got[("g", "h")] == ("unchanged", None, None)
+    assert got[("x", "y")] == ("added", None, 7)
+    assert len(got) == 5
