@@ -135,6 +135,8 @@ HEADLINE = [
     "graph_degree_profile",
     # edge snapshot diff between two residue-excluded builds
     "kg_edge_diff",
+    # Bloom seen-set build + probe over doc urls
+    "web_bloom_seen",
 ]
 
 

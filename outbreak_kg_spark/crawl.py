@@ -221,3 +221,85 @@ def frontier_schedule(frontier: DataFrame, host_col: str = "host",
             .alias("fetch_offset_s"),
         )
     )
+
+
+def bloom_build(df: DataFrame, key_col: str = "url",
+                m_bits: int = 1 << 20, k_hashes: int = 4,
+                salt: str = "bloom-v1") -> DataFrame:
+    """Build a Bloom filter OVER a relation, AS a relation: the
+    seen-URL membership structure that lets a 10^12-row frontier skip
+    re-fetch checks without joining against the full seen set — the
+    filter itself is m_bits/32 rows of (word_idx, bits), small enough
+    to broadcast at any corpus size that fits the false-positive
+    budget (fp ~ (1 - e^(-k n / m))^k; size m per deployment).
+
+    Each key sets k md5-derived bits (hash_i = md5-48 of
+    '<salt>:<i>:<key>' mod m); words accumulate via a bit-or aggregate
+    — ONE exchange of at most m/32 groups, hot words collapsing
+    map-side. md5 keeps the filter engine-portable (a DuckDB oracle
+    reproduces every bit) AND time-portable: the same (salt, m, k)
+    rebuilds the identical filter, so at-rest filters from yesterday's
+    crawl union with today's by bit-or.
+
+    Output: (word_idx, bits) — only words with set bits are emitted
+    (probe treats absent words as zero)."""
+    idx = F.explode(F.array(*[F.lit(i) for i in range(k_hashes)]))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(
+                ":", F.lit(salt), F.col("_i").cast("string"),
+                F.col(key_col).cast("string"))),
+            1, 12),
+        16, 10,
+    ).cast("long") % m_bits
+    return (
+        df.select(key_col).withColumn("_i", idx)
+        .select(F.floor(h / 32).cast("long").alias("word_idx"),
+                (h % 32).cast("int").alias("_pos"))
+        # F.shiftleft takes a PYTHON-int bit count; the SQL function
+        # accepts a column — route through expr for the dynamic shift
+        .withColumn("_bit", F.expr("shiftleft(CAST(1 AS BIGINT), _pos)"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("_bit").alias("bits"))
+    )
+
+
+def bloom_probe(df: DataFrame, bloom: DataFrame, key_col: str = "url",
+                m_bits: int = 1 << 20, k_hashes: int = 4,
+                salt: str = "bloom-v1",
+                flag_col: str = "maybe_seen") -> DataFrame:
+    """Probe a bloom_build filter: flag_col is true iff ALL k bits for
+    the key are set (maybe-seen — false positives at the filter's
+    design rate, never false negatives). Plan: explode each key to its
+    k (word, bit) probes, LEFT join the broadcast filter relation
+    (m/32 rows), and require every probe to hit — a groupBy(key) with
+    a min() over hit flags, so the only exchange is keyed on the probe
+    keys themselves. Use the flag to short-circuit the exact
+    verification join to the maybe-seen slice only."""
+    idx = F.explode(F.array(*[F.lit(i) for i in range(k_hashes)]))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(
+                ":", F.lit(salt), F.col("_i").cast("string"),
+                F.col(key_col).cast("string"))),
+            1, 12),
+        16, 10,
+    ).cast("long") % m_bits
+    probes = (
+        df.select(key_col).distinct().withColumn("_i", idx)
+        .select(key_col,
+                F.floor(h / 32).cast("long").alias("word_idx"),
+                (h % 32).cast("int").alias("_pos"))
+        .withColumn("_bit", F.expr("shiftleft(CAST(1 AS BIGINT), _pos)"))
+    )
+    hit = (
+        probes.join(F.broadcast(bloom), "word_idx", "left")
+        .select(
+            key_col,
+            (F.coalesce(F.col("bits"), F.lit(0))
+             .bitwiseAND(F.col("_bit")) != 0).cast("int").alias("_hit"),
+        )
+        .groupBy(key_col)
+        .agg((F.min("_hit") == 1).alias(flag_col))
+    )
+    return df.join(hit, key_col, "left")

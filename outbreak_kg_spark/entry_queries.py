@@ -5814,6 +5814,60 @@ def _sql_kg_edge_diff() -> str:
     """
 
 
+def q_web_bloom_seen(spark, sf_dir):
+    """Bloom seen-set (crawl.bloom_build + bloom_probe): the %3!=0 doc
+    urls build the filter (m=2^16, k=4), then ALL doc urls probe it —
+    seen urls must flag (no false negatives), unseen flag only at the
+    design fp rate, so the output differs from plain membership by at
+    most a handful of engine-identical false positives. The oracle
+    rebuilds every bit (md5-48 mod m, 1<<pos, bit_or per word) and
+    replays the all-k-bits-set probe."""
+    from .crawl import bloom_build, bloom_probe
+
+    d = _docs(spark, sf_dir)
+    urls = d.select(
+        F.concat(F.lit("https://site-"),
+                 F.pmod("doc_id", F.lit(7)).cast("string"),
+                 F.lit(".example/d/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        "doc_id",
+    )
+    seen = urls.filter(F.col("doc_id") % 3 != 0)
+    bloom = bloom_build(seen, m_bits=1 << 16, k_hashes=4)
+    return bloom_probe(urls, bloom, m_bits=1 << 16, k_hashes=4).select(
+        "doc_id", "url", "maybe_seen")
+
+
+def _sql_web_bloom_seen(m_bits: int = 1 << 16, k: int = 4,
+                        salt: str = "bloom-v1") -> str:
+    return f"""
+        WITH u AS (
+            SELECT doc_id,
+                   'https://site-' || (doc_id % 7) || '.example/d/'
+                       || doc_id AS url
+            FROM documents),
+        probes AS (
+            SELECT u.doc_id, u.url, i.i,
+                   ('0x' || substr(md5('{salt}:' || i.i || ':' || u.url),
+                                   1, 12))::BIGINT % {m_bits} AS h
+            FROM u, range({k}) i(i)),
+        bloom AS (
+            SELECT h // 32 AS word_idx,
+                   bit_or(CAST(1 AS BIGINT) << (h % 32)::INT) AS bits
+            FROM probes WHERE doc_id % 3 != 0
+            GROUP BY 1),
+        hit AS (
+            SELECT p.doc_id, p.url,
+                   min(CASE WHEN coalesce(b.bits, 0)
+                                 & (CAST(1 AS BIGINT) << (p.h % 32)::INT)
+                                 != 0
+                            THEN 1 ELSE 0 END) = 1 AS maybe_seen
+            FROM probes p LEFT JOIN bloom b ON b.word_idx = p.h // 32
+            GROUP BY 1, 2)
+        SELECT doc_id, url, maybe_seen FROM hit
+    """
+
+
 def q_sample_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail partitioning (sampling.perplexity_buckets;
     Wenzek et al. 2020, arXiv:1911.00359): per-language thirds by the
@@ -5953,6 +6007,7 @@ def extra_queries():
         "text_encoding_audit": q_text_encoding_audit,
         "graph_degree_profile": q_graph_degree_profile,
         "kg_edge_diff": q_kg_edge_diff,
+        "web_bloom_seen": q_web_bloom_seen,
         # round-5 demotion from the driver window (slot given to
         # kg_pattern_triples); identical contract here
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -6030,5 +6085,6 @@ def extra_oracle_sql():
         "text_encoding_audit": _sql_text_encoding_audit(),
         "graph_degree_profile": _sql_graph_degree_profile(),
         "kg_edge_diff": _sql_kg_edge_diff(),
+        "web_bloom_seen": _sql_web_bloom_seen(),
         "agg_pricing_summary": SQL_AGG_PRICING,
     }

@@ -144,3 +144,33 @@ def test_frontier_schedule_two_phase_exact_on_hot_host(spark):
     for v in by_host.values():
         for r in v:
             assert r.fetch_offset_s == (r.rank - 1) * 3
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    from outbreak_kg_spark.crawl import bloom_build, bloom_probe
+
+    seen = spark.createDataFrame(
+        [(f"https://seen.example/{i}",) for i in range(500)], "url string")
+    bloom = bloom_build(seen, m_bits=1 << 16, k_hashes=4)
+    # every seen url MUST flag (no false negatives — the Bloom contract)
+    back = bloom_probe(seen, bloom, m_bits=1 << 16, k_hashes=4).collect()
+    assert all(r.maybe_seen for r in back)
+    # unseen urls flag at ~the design fp rate, not wholesale
+    fresh = spark.createDataFrame(
+        [(f"https://fresh.example/{i}",) for i in range(500)], "url string")
+    fp = sum(r.maybe_seen for r in
+             bloom_probe(fresh, bloom, m_bits=1 << 16,
+                         k_hashes=4).collect())
+    # n=500, m=65536, k=4 -> fp ~ 1e-5; allow generous slack
+    assert fp <= 5
+    # filters union by bit-or: yesterday's + today's = combined seen set
+    from pyspark.sql import functions as F
+
+    more = spark.createDataFrame(
+        [(f"https://more.example/{i}",) for i in range(100)], "url string")
+    b2 = bloom_build(more, m_bits=1 << 16, k_hashes=4)
+    merged = (bloom.unionByName(b2).groupBy("word_idx")
+              .agg(F.bit_or("bits").alias("bits")))
+    both = seen.unionByName(more)
+    out = bloom_probe(both, merged, m_bits=1 << 16, k_hashes=4).collect()
+    assert all(r.maybe_seen for r in out)
