@@ -137,6 +137,8 @@ HEADLINE = [
     "kg_edge_diff",
     # Bloom seen-set build + probe over doc urls
     "web_bloom_seen",
+    # HyperLogLog registers + corrected estimate vs exact distinct
+    "web_hll_cardinality",
 ]
 
 

@@ -303,3 +303,73 @@ def bloom_probe(df: DataFrame, bloom: DataFrame, key_col: str = "url",
         .agg((F.min("_hit") == 1).alias(flag_col))
     )
     return df.join(hit, key_col, "left")
+
+
+def hll_registers(df: DataFrame, key_col: str = "url", p: int = 12,
+                  salt: str = "hll-v1") -> DataFrame:
+    """HyperLogLog registers OVER a relation, AS a relation (Flajolet
+    et al. 2007) — the cardinality companion to bloom_build: distinct
+    URLs/entities across crawl shards without an exact distinct's
+    corpus-wide exchange. The sketch is <= 2^p rows of
+    (bucket, max_rho); shards' sketches merge by groupBy(bucket)
+    max(max_rho), exactly like the Bloom's bit-or.
+
+    Register math on the md5-48 hash: bucket = the top p bits, rho =
+    leading-zero count of the remaining (48-p)-bit suffix + 1 (an
+    all-zero suffix takes the max rho, 48-p+1). rho derives from
+    floor(log2(suffix)) — exact in doubles for 36-bit integers (powers
+    of two are exact doubles, so the floor boundary never wavers), and
+    identical in DuckDB, keeping the sketch engine-portable.
+
+    ONE partial-combined agg of at most 2^p groups — hot keys collapse
+    map-side; nothing here scales with the corpus beyond the scan."""
+    m = 1 << p
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(
+                ":", F.lit(salt), F.col(key_col).cast("string"))),
+            1, 12),
+        16, 10,
+    ).cast("long")
+    suffix_bits = 48 - p
+    bucket = F.floor(h / (1 << suffix_bits)).cast("int")
+    suffix = h % (1 << suffix_bits)
+    rho = F.when(
+        suffix == 0, F.lit(suffix_bits + 1)
+    ).otherwise(
+        F.lit(suffix_bits) - F.floor(F.log2(suffix.cast("double")))
+    ).cast("int")
+    return (
+        df.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 12) -> DataFrame:
+    """Cardinality estimate from hll_registers: the standard HLL
+    harmonic mean with the small-range (linear counting over empty
+    registers) correction — one row (n_buckets_used, n_empty,
+    estimate_r), estimate rounded to 4 so both engines agree after
+    identical double arithmetic. Plan: one tiny agg over <= 2^p rows
+    plus literal math; at scale the cost is wherever the registers
+    came from, not here."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    agg = registers.agg(
+        F.count(F.lit(1)).alias("_used"),
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("_s"),
+    )
+    used = F.col("_used")
+    empty = F.lit(m) - used
+    # empty registers contribute 2^0 = 1 each to the harmonic sum
+    raw = F.lit(alpha * m * m) / (F.col("_s") + empty)
+    est = F.when(
+        (raw <= 2.5 * m) & (empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / empty),
+    ).otherwise(raw)
+    return agg.select(
+        used.cast("int").alias("n_buckets_used"),
+        empty.cast("int").alias("n_empty"),
+        F.round(est, 4).alias("estimate_r"),
+    )

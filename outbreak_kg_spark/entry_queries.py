@@ -5868,6 +5868,66 @@ def _sql_web_bloom_seen(m_bits: int = 1 << 16, k: int = 4,
     """
 
 
+def q_web_hll_cardinality(spark, sf_dir):
+    """HyperLogLog cardinality (crawl.hll_registers + hll_estimate)
+    over per-doc urls replicated x3 with residue-keyed dups (so exact
+    distinct < row count and the sketch has real work): one row with
+    register usage, the corrected estimate, and the exact distinct for
+    the error read. The oracle rebuilds every register (top-p bucket,
+    floor-log2 rho) and replays the harmonic estimate + small-range
+    correction with identical doubles."""
+    from .crawl import hll_estimate, hll_registers
+
+    d = _docs(spark, sf_dir)
+    reps = spark.range(3).select(F.col("id").alias("rep"))
+    urls = d.crossJoin(F.broadcast(reps)).select(
+        F.concat(F.lit("https://h.example/"),
+                 F.pmod(F.col("doc_id") * 7 + F.col("rep") * 131,
+                        F.lit(1201)).cast("string")).alias("url"))
+    est = hll_estimate(hll_registers(urls))
+    exact = urls.agg(F.count_distinct("url").alias("exact_distinct"))
+    return est.crossJoin(exact)
+
+
+def _sql_web_hll_cardinality(p: int = 12, salt: str = "hll-v1") -> str:
+    m = 1 << p
+    sb = 48 - p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    return f"""
+        WITH u AS (
+            SELECT 'https://h.example/' ||
+                   ((doc_id * 7 + r.rep * 131) % 1201) AS url
+            FROM documents, range(3) r(rep)),
+        hsh AS (
+            SELECT ('0x' || substr(md5('{salt}:' || url), 1, 12))::BIGINT
+                   AS h
+            FROM u),
+        reg AS (
+            SELECT (h // {1 << sb})::INT AS bucket,
+                   max(CASE WHEN h % {1 << sb} = 0 THEN {sb + 1}
+                            ELSE {sb} - floor(log2((h % {1 << sb})
+                                                   ::DOUBLE))::INT
+                       END) AS max_rho
+            FROM hsh GROUP BY 1),
+        agg AS (
+            SELECT count(*) AS used,
+                   sum(pow(2.0, -max_rho)) AS s
+            FROM reg),
+        est AS (
+            SELECT used, {m} - used AS empty,
+                   {alpha!r}::DOUBLE * {m} * {m}
+                       / (s + ({m} - used)) AS raw
+            FROM agg)
+        SELECT used::INT AS n_buckets_used,
+               empty::INT AS n_empty,
+               round(CASE WHEN raw <= 2.5 * {m} AND empty > 0
+                          THEN {float(m)!r} * ln({float(m)!r} / empty)
+                          ELSE raw END, 4) AS estimate_r,
+               (SELECT count(DISTINCT url) FROM u) AS exact_distinct
+        FROM est
+    """
+
+
 def q_sample_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail partitioning (sampling.perplexity_buckets;
     Wenzek et al. 2020, arXiv:1911.00359): per-language thirds by the
@@ -6008,6 +6068,7 @@ def extra_queries():
         "graph_degree_profile": q_graph_degree_profile,
         "kg_edge_diff": q_kg_edge_diff,
         "web_bloom_seen": q_web_bloom_seen,
+        "web_hll_cardinality": q_web_hll_cardinality,
         # round-5 demotion from the driver window (slot given to
         # kg_pattern_triples); identical contract here
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -6086,5 +6147,6 @@ def extra_oracle_sql():
         "graph_degree_profile": _sql_graph_degree_profile(),
         "kg_edge_diff": _sql_kg_edge_diff(),
         "web_bloom_seen": _sql_web_bloom_seen(),
+        "web_hll_cardinality": _sql_web_hll_cardinality(),
         "agg_pricing_summary": SQL_AGG_PRICING,
     }

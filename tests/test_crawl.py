@@ -174,3 +174,29 @@ def test_bloom_no_false_negatives_and_fp_rate(spark):
     both = seen.unionByName(more)
     out = bloom_probe(both, merged, m_bits=1 << 16, k_hashes=4).collect()
     assert all(r.maybe_seen for r in out)
+
+
+def test_hll_accuracy_and_shard_merge(spark):
+    from pyspark.sql import functions as F
+
+    from outbreak_kg_spark.crawl import hll_estimate, hll_registers
+
+    def urls(a, b):
+        return spark.range(a, b).select(
+            F.concat(F.lit("u-"), F.col("id")).alias("url"))
+
+    # accuracy: p=12 -> sigma ~1.6%; allow 6%
+    est = hll_estimate(hll_registers(urls(0, 20000))).collect()[0]
+    assert abs(est.estimate_r - 20000) / 20000 < 0.06
+    # merge: two OVERLAPPING shards' registers max-merged == the union's
+    # registers exactly (not just approximately)
+    r1 = hll_registers(urls(0, 12000))
+    r2 = hll_registers(urls(8000, 20000))
+    merged = (r1.unionByName(r2).groupBy("bucket")
+              .agg(F.max("max_rho").alias("max_rho")))
+    direct = {(r.bucket, r.max_rho)
+              for r in hll_registers(urls(0, 20000)).collect()}
+    assert {(r.bucket, r.max_rho) for r in merged.collect()} == direct
+    # small-range correction path: tiny set stays near-exact
+    small = hll_estimate(hll_registers(urls(0, 50))).collect()[0]
+    assert abs(small.estimate_r - 50) < 3
