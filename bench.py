@@ -139,6 +139,8 @@ HEADLINE = [
     "web_bloom_seen",
     # HyperLogLog registers + corrected estimate vs exact distinct
     "web_hll_cardinality",
+    # Count-Min build + min-over-depth point queries vs truth
+    "web_cms_counts",
 ]
 
 

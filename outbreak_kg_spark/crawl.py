@@ -373,3 +373,71 @@ def hll_estimate(registers: DataFrame, p: int = 12) -> DataFrame:
         empty.cast("int").alias("n_empty"),
         F.round(est, 4).alias("estimate_r"),
     )
+
+
+def cms_build(df: DataFrame, key_col: str = "url", width: int = 1 << 14,
+              depth: int = 4, salt: str = "cms-v1") -> DataFrame:
+    """Count-Min sketch OVER a relation, AS a relation (Cormode &
+    Muthukrishnan 2005) — the frequency companion completing the sketch
+    family (Bloom: membership; HLL: cardinality; CMS: per-key counts):
+    approximate "how often did this URL/entity appear" against a
+    10^12-row stream using depth x width counters instead of a
+    full-key count table. Sketches merge by (row, bucket) SUM — the
+    additive analog of the Bloom's bit-or and the HLL's max (tested).
+
+    Build: each key increments one bucket per row i (md5-48 of
+    '<salt>:<i>:<key>' mod width) — a single partial-combined agg of at
+    most depth*width groups; the zipfian hot keys that motivate the
+    sketch are exactly the ones that collapse map-side.
+
+    Output: (row_idx, bucket, n)."""
+    idx = F.explode(F.array(*[F.lit(i) for i in range(depth)]))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(
+                ":", F.lit(salt), F.col("_i").cast("string"),
+                F.col(key_col).cast("string"))),
+            1, 12),
+        16, 10,
+    ).cast("long") % width
+    return (
+        df.select(key_col).withColumn("_i", idx)
+        .select(F.col("_i").alias("row_idx"), h.alias("bucket"))
+        .groupBy("row_idx", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def cms_query(keys: DataFrame, cms: DataFrame, key_col: str = "url",
+              width: int = 1 << 14, depth: int = 4,
+              salt: str = "cms-v1") -> DataFrame:
+    """Point-query a cms_build sketch: estimate = MIN over the key's
+    depth counters — NEVER an undercount (every occurrence incremented
+    all d counters), overcounts only by collisions (E[err] <= 2N/width
+    per row, min over d rows tightens it). Plan mirrors bloom_probe:
+    explode each key to its d probes, LEFT join the broadcast sketch
+    relation, min per key (absent buckets read 0 — they would only
+    occur for keys never built, whose true count is 0).
+
+    Output: keys' columns + est_count."""
+    idx = F.explode(F.array(*[F.lit(i) for i in range(depth)]))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(
+                ":", F.lit(salt), F.col("_i").cast("string"),
+                F.col(key_col).cast("string"))),
+            1, 12),
+        16, 10,
+    ).cast("long") % width
+    probes = (
+        keys.select(key_col).distinct().withColumn("_i", idx)
+        .select(key_col, F.col("_i").alias("row_idx"),
+                h.alias("bucket"))
+    )
+    est = (
+        probes.join(F.broadcast(cms), ["row_idx", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0)))
+             .cast("long").alias("est_count"))
+    )
+    return keys.join(est, key_col, "left")

@@ -5928,6 +5928,55 @@ def _sql_web_hll_cardinality(p: int = 12, salt: str = "hll-v1") -> str:
     """
 
 
+def q_web_cms_counts(spark, sf_dir):
+    """Count-Min frequency sketch (crawl.cms_build + cms_query): doc
+    urls folded to 701 distinct keys with skewed multiplicity (residue
+    square map), sketched at width 2^14 x depth 4, then every distinct
+    key point-queried with its true count alongside — est >= true
+    always (never undercounts), equal in the collision-free regime.
+    The oracle rebuilds all counters and replays the min-over-depth
+    query."""
+    from .crawl import cms_build, cms_query
+
+    d = _docs(spark, sf_dir)
+    urls = d.select(
+        F.concat(F.lit("https://c.example/"),
+                 F.pmod(F.col("doc_id") * F.col("doc_id"), F.lit(701))
+                 .cast("string")).alias("url"))
+    cms = cms_build(urls)
+    truth = urls.groupBy("url").agg(
+        F.count(F.lit(1)).cast("long").alias("true_count"))
+    return cms_query(truth, cms)
+
+
+def _sql_web_cms_counts(width: int = 1 << 14, depth: int = 4,
+                        salt: str = "cms-v1") -> str:
+    return f"""
+        WITH u AS (
+            SELECT 'https://c.example/' || ((doc_id * doc_id) % 701)
+                   AS url
+            FROM documents),
+        probes AS (
+            SELECT url, i.i AS row_idx,
+                   ('0x' || substr(md5('{salt}:' || i.i || ':' || url),
+                                   1, 12))::BIGINT % {width} AS bucket
+            FROM u, range({depth}) i(i)),
+        cms AS (
+            SELECT row_idx, bucket, count(*)::BIGINT AS n
+            FROM probes GROUP BY 1, 2),
+        truth AS (
+            SELECT url, count(*)::BIGINT AS true_count
+            FROM u GROUP BY 1),
+        est AS (
+            SELECT p.url, min(coalesce(c.n, 0))::BIGINT AS est_count
+            FROM (SELECT DISTINCT * FROM probes) p
+            LEFT JOIN cms c USING (row_idx, bucket)
+            GROUP BY 1)
+        SELECT t.url, t.true_count, e.est_count
+        FROM truth t LEFT JOIN est e USING (url)
+    """
+
+
 def q_sample_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail partitioning (sampling.perplexity_buckets;
     Wenzek et al. 2020, arXiv:1911.00359): per-language thirds by the
@@ -6069,6 +6118,7 @@ def extra_queries():
         "kg_edge_diff": q_kg_edge_diff,
         "web_bloom_seen": q_web_bloom_seen,
         "web_hll_cardinality": q_web_hll_cardinality,
+        "web_cms_counts": q_web_cms_counts,
         # round-5 demotion from the driver window (slot given to
         # kg_pattern_triples); identical contract here
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -6148,5 +6198,6 @@ def extra_oracle_sql():
         "kg_edge_diff": _sql_kg_edge_diff(),
         "web_bloom_seen": _sql_web_bloom_seen(),
         "web_hll_cardinality": _sql_web_hll_cardinality(),
+        "web_cms_counts": _sql_web_cms_counts(),
         "agg_pricing_summary": SQL_AGG_PRICING,
     }

@@ -200,3 +200,31 @@ def test_hll_accuracy_and_shard_merge(spark):
     # small-range correction path: tiny set stays near-exact
     small = hll_estimate(hll_registers(urls(0, 50))).collect()[0]
     assert abs(small.estimate_r - 50) < 3
+
+
+def test_cms_never_undercounts_and_merges(spark):
+    from pyspark.sql import functions as F
+
+    from outbreak_kg_spark.crawl import cms_build, cms_query
+
+    rows = [(f"k{k}",) for k in range(100) for _ in range(300 // (k + 1))]
+    df = spark.createDataFrame(rows, "url string")
+    truth = df.groupBy("url").agg(F.count(F.lit(1)).alias("t"))
+    # tiny width FORCES collisions: est >= true must still hold everywhere
+    got = cms_query(truth, cms_build(df, width=64, depth=4),
+                    width=64, depth=4).collect()
+    assert all(r.est_count >= r.t for r in got)
+    # generous width: collision-free, est == true
+    exact = cms_query(truth, cms_build(df), ).collect()
+    assert all(r.est_count == r.t for r in exact)
+    # never-built key reads 0
+    z = cms_query(spark.createDataFrame([("ghost",)], "url string"),
+                  cms_build(df)).collect()
+    assert z[0].est_count == 0
+    # sketches merge by (row, bucket) SUM: two halves == the whole
+    h1 = cms_build(df.filter(F.col("url") < "k5"))
+    h2 = cms_build(df.filter(F.col("url") >= "k5"))
+    merged = (h1.unionByName(h2).groupBy("row_idx", "bucket")
+              .agg(F.sum("n").alias("n")))
+    whole = {(r.row_idx, r.bucket, r.n) for r in cms_build(df).collect()}
+    assert {(r.row_idx, r.bucket, r.n) for r in merged.collect()} == whole
