@@ -141,6 +141,8 @@ HEADLINE = [
     "web_hll_cardinality",
     # Count-Min build + min-over-depth point queries vs truth
     "web_cms_counts",
+    # join-key skew advisor over the NER mention stream
+    "kg_key_skew",
 ]
 
 

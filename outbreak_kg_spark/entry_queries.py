@@ -5977,6 +5977,39 @@ def _sql_web_cms_counts(width: int = 1 << 14, depth: int = 4,
     """
 
 
+def q_kg_key_skew(spark, sf_dir):
+    """Join-key skew advisor (skew.key_skew_profile): the real NER
+    mention stream profiled on its curie key — top-10 heaviest
+    entities with row share and the salt flag at n_partitions=32 (the
+    'Disease'-at-80k-mentions read the salted operators in skew.py
+    exist for, taken BEFORE the job instead of after the straggler).
+    The oracle replays the count, share, threshold, and (count desc,
+    key) rank."""
+    from .skew import key_skew_profile
+
+    m = entry_mentions(spark, sf_dir)
+    return key_skew_profile(m, ["curie"], top_k=10, n_partitions=32)
+
+
+def _sql_kg_key_skew(top_k: int = 10, n_partitions: int = 32) -> str:
+    return f"""
+        WITH m AS ({_SQL_MENTIONS}),
+        c AS (SELECT curie, count(*)::BIGINT AS n_rows
+              FROM m GROUP BY 1),
+        t AS (SELECT sum(n_rows)::DOUBLE AS t FROM c),
+        r AS (
+            SELECT row_number() OVER (ORDER BY n_rows DESC, curie)::INT
+                       AS rank,
+                   curie, n_rows,
+                   round(n_rows / t.t, 6) AS share_r,
+                   n_rows / t.t > 1.0 / {n_partitions}
+                       AS salt_recommended
+            FROM c, t)
+        SELECT rank, curie, n_rows, share_r, salt_recommended
+        FROM r WHERE rank <= {top_k}
+    """
+
+
 def q_sample_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail partitioning (sampling.perplexity_buckets;
     Wenzek et al. 2020, arXiv:1911.00359): per-language thirds by the
@@ -6119,6 +6152,7 @@ def extra_queries():
         "web_bloom_seen": q_web_bloom_seen,
         "web_hll_cardinality": q_web_hll_cardinality,
         "web_cms_counts": q_web_cms_counts,
+        "kg_key_skew": q_kg_key_skew,
         # round-5 demotion from the driver window (slot given to
         # kg_pattern_triples); identical contract here
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -6199,5 +6233,6 @@ def extra_oracle_sql():
         "web_bloom_seen": _sql_web_bloom_seen(),
         "web_hll_cardinality": _sql_web_hll_cardinality(),
         "web_cms_counts": _sql_web_cms_counts(),
+        "kg_key_skew": _sql_kg_key_skew(),
         "agg_pricing_summary": SQL_AGG_PRICING,
     }

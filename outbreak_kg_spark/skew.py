@@ -159,3 +159,45 @@ def salted_self_join_pairs(df: DataFrame, group_col: str, key_cols: list[str],
         )
     )
     return joined.drop("_oa", "_ob")
+
+
+def key_skew_profile(df: DataFrame, key_cols: list[str], top_k: int = 20,
+                     n_partitions: int = 200) -> DataFrame:
+    """Join/agg-key skew advisor — the 'should I salt?' question this
+    module's salted operators answer, asked BEFORE the job instead of
+    after the straggler: the top_k heaviest key values with their share
+    of total rows and a salt flag. A key is flagged when its share
+    exceeds 1/n_partitions — the point where one reducer task holds more
+    than an average partition's worth of a would-be shuffle on this key
+    (the straggler threshold; 'Disease' at 80k of 62k docs in the
+    reference data flags at any realistic partition count).
+
+    Output: (rank, <key_cols...>, n_rows, share_r, salt_recommended),
+    rank 1 = heaviest, ties broken by key value.
+
+    Scale shape: one partial-combined count agg on the key (the hot keys
+    under investigation are exactly the ones that collapse map-side —
+    profiling skew does not itself skew), a 1-row total broadcast back,
+    and TakeOrderedAndProject for the top-k: per-partition top-k, k-row
+    driver merge, no global sort."""
+    counts = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("_t"))
+    top = (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            *key_cols, "n_rows",
+            F.round(F.col("n_rows") / F.col("_t"), 6).alias("share_r"),
+            (F.col("n_rows") / F.col("_t") > 1.0 / n_partitions)
+            .alias("salt_recommended"),
+        )
+        .orderBy(F.desc("n_rows"), *key_cols)
+        .limit(top_k)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n_rows"), *key_cols)
+    # rank over the k-row result only — the window never sees the corpus
+    return top.withColumn("rank", F.row_number().over(w).cast("int")) \
+        .select("rank", *key_cols, "n_rows", "share_r",
+                "salt_recommended")

@@ -86,3 +86,24 @@ def test_pairs_match_itertools(spark):
             a2, b2 = sorted([a, b], key=lambda x: (x[1], x[0]))
             want.add((g, a2[0], b2[0]))
     assert got == want
+
+
+def test_key_skew_profile_flags_hot_key(spark):
+    from pyspark.sql import functions as F
+
+    from outbreak_kg_spark.skew import key_skew_profile
+
+    # 'hot' carries half the rows; 100 cold keys carry the rest
+    rows = [("hot",)] * 500 + [(f"cold{i}",) for i in range(100) for _ in range(5)]
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew_profile(df, ["k"], top_k=5, n_partitions=32).collect()
+    assert out[0].rank == 1 and out[0].k == "hot"
+    assert out[0].n_rows == 500 and out[0].share_r == 0.5
+    assert out[0].salt_recommended
+    # cold keys: 5/1000 = 0.005 < 1/32 -> no salt
+    for r in out[1:]:
+        assert not r.salt_recommended
+    # ranks are dense and tie-broken deterministically (all colds tie at
+    # 5 rows -> lexicographic key order)
+    assert [r.rank for r in out] == [1, 2, 3, 4, 5]
+    assert [r.k for r in out[1:]] == sorted(r.k for r in out[1:])
