@@ -143,6 +143,8 @@ HEADLINE = [
     "web_cms_counts",
     # join-key skew advisor over the NER mention stream
     "kg_key_skew",
+    # KMV bottom-k overlap estimates between two URL sets
+    "web_kmv_overlap",
 ]
 
 

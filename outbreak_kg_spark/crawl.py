@@ -441,3 +441,86 @@ def cms_query(keys: DataFrame, cms: DataFrame, key_col: str = "url",
              .cast("long").alias("est_count"))
     )
     return keys.join(est, key_col, "left")
+
+
+def kmv_sketch(df: DataFrame, key_col: str = "url", k: int = 256,
+               salt: str = "kmv-v1") -> DataFrame:
+    """KMV (k minimum values / bottom-k theta) sketch (Bar-Yossef et
+    al. 2002; Beyer et al. 2007) — the SET-OVERLAP member of the sketch
+    family: where HLL answers 'how many distinct', KMV's k smallest
+    distinct hash values ALSO support intersection/Jaccard between two
+    sketches (how much does crawl B overlap crawl A) — the question a
+    recrawl-budget planner asks before fetching.
+
+    Output: (pos, hv) — the k smallest distinct md5-48 values, ranked.
+    Two sketches merge by union -> distinct -> bottom-k again (a KMV of
+    the union, exactly — tested). Estimators (see kmv_estimate):
+    distinct ~ (k-1) * 2^48 / hv_k; Jaccard(A,B) ~ |bottom-k of A∪B
+    present in both| / k.
+
+    Scale shape: distinct-hash bottom-k = one projection +
+    TakeOrderedAndProject after a distinct on the 48-bit hash (the only
+    exchange; the hash is near-unique so the agg is as wide as the key
+    set, same as any distinct) — no global sort."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(
+                ":", F.lit(salt), F.col(key_col).cast("string"))),
+            1, 12),
+        16, 10,
+    ).cast("long")
+    from pyspark.sql import Window
+
+    top = (
+        df.select(h.alias("hv")).distinct()
+        .orderBy("hv").limit(k)
+    )
+    w = Window.orderBy("hv")
+    # rank over the k-row result only
+    return top.withColumn("pos", F.row_number().over(w).cast("int")) \
+        .select("pos", "hv")
+
+
+def kmv_estimate(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
+    """Distinct-union / Jaccard / intersection estimates from two
+    kmv_sketch relations: bottom-k of the merged hash sets is a KMV of
+    the union; the fraction of those present in BOTH sketches estimates
+    Jaccard; intersection = J * union_est. One row out; every input is
+    <= k rows, so the whole computation is driver-trivial regardless of
+    the corpora the sketches summarize.
+
+    Output: (union_est_r, jaccard_r, intersect_est_r)."""
+    from pyspark.sql import Window
+
+    au = a.select("hv").withColumn("_in_a", F.lit(1))
+    bu = b.select("hv").withColumn("_in_b", F.lit(1))
+    merged = (
+        au.join(bu.select("hv"), "hv", "full_outer")
+        .select("hv").distinct()
+        .orderBy("hv").limit(k)
+    )
+    both = (
+        merged.join(au.select("hv"), "hv", "left_semi")
+        .join(bu.select("hv"), "hv", "left_semi")
+    )
+    kth = merged.agg(F.max("hv").alias("_kth"),
+                     F.count(F.lit(1)).alias("_n"))
+    shared = both.agg(F.count(F.lit(1)).alias("_s"))
+    space = float(1 << 48)
+    return kth.crossJoin(shared).select(
+        F.round(
+            F.when(
+                F.col("_n") < k,  # small sets: the sketch IS the set
+                F.col("_n").cast("double"),
+            ).otherwise(
+                F.lit(space) * (k - 1) / F.col("_kth")),
+            4,
+        ).alias("union_est_r"),
+        F.round(F.col("_s") / F.col("_n"), 6).alias("jaccard_r"),
+        F.round(
+            (F.col("_s") / F.col("_n"))
+            * F.when(F.col("_n") < k, F.col("_n").cast("double"))
+            .otherwise(F.lit(space) * (k - 1) / F.col("_kth")),
+            4,
+        ).alias("intersect_est_r"),
+    )

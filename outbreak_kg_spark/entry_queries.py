@@ -6010,6 +6010,89 @@ def _sql_kg_key_skew(top_k: int = 10, n_partitions: int = 32) -> str:
     """
 
 
+def q_web_kmv_overlap(spark, sf_dir):
+    """KMV overlap estimation (crawl.kmv_sketch + kmv_estimate): two
+    doc-derived URL sets with an engineered overlap window (residues
+    [0,700) vs [350,1050) of a 1201-cycle) sketched at k=256, the
+    union/Jaccard/intersection estimates returned with the exact values
+    alongside for the error read. The oracle rebuilds both bottom-k
+    sketches from the same md5-48 space and replays all three
+    estimators."""
+    from .crawl import kmv_estimate, kmv_sketch
+
+    d = _docs(spark, sf_dir)
+    key = F.pmod(F.col("doc_id") * 7, F.lit(1201))
+
+    def side(lo, hi):
+        return d.filter((key >= lo) & (key < hi)).select(
+            F.concat(F.lit("https://k.example/"),
+                     key.cast("string")).alias("url"))
+
+    a, b = side(0, 700), side(350, 1050)
+    est = kmv_estimate(kmv_sketch(a), kmv_sketch(b))
+    exact = (
+        a.select("url").withColumn("_a", F.lit(1))
+        .join(b.select("url").withColumn("_b", F.lit(1)), "url",
+              "full_outer")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("exact_union"),
+            F.sum((F.col("_a").isNotNull()
+                   & F.col("_b").isNotNull()).cast("long"))
+            .alias("exact_intersect"),
+        )
+    )
+    return est.crossJoin(exact)
+
+
+def _sql_web_kmv_overlap(k: int = 256, salt: str = "kmv-v1") -> str:
+    space = float(1 << 48)
+
+    def sk(lo, hi, name):
+        return f"""
+        {name} AS (
+            SELECT DISTINCT ('0x' || substr(md5('{salt}:' ||
+                'https://k.example/' || r), 1, 12))::BIGINT AS hv
+            FROM (SELECT DISTINCT (doc_id * 7) % 1201 AS r
+                  FROM documents
+                  WHERE (doc_id * 7) % 1201 >= {lo}
+                    AND (doc_id * 7) % 1201 < {hi})
+            ORDER BY hv LIMIT {k})"""
+
+    return f"""
+        WITH {sk(0, 700, "a")}, {sk(350, 1050, "b")},
+        merged AS (
+            SELECT hv FROM (SELECT hv FROM a UNION SELECT hv FROM b)
+            ORDER BY hv LIMIT {k}),
+        agg AS (
+            SELECT max(hv) AS kth, count(*) AS n FROM merged),
+        sh AS (
+            SELECT count(*) AS s FROM merged
+            WHERE hv IN (SELECT hv FROM a)
+              AND hv IN (SELECT hv FROM b)),
+        ue AS (
+            SELECT CASE WHEN agg.n < {k} THEN agg.n::DOUBLE
+                        ELSE {space!r} * ({k} - 1) / agg.kth END AS u,
+                   agg.n AS n, sh.s AS s
+            FROM agg, sh),
+        ex AS (
+            SELECT count(*)::BIGINT AS exact_union,
+                   sum((a2.r IS NOT NULL AND b2.r IS NOT NULL)::INT)
+                       ::BIGINT AS exact_intersect
+            FROM (SELECT DISTINCT (doc_id * 7) % 1201 AS r
+                  FROM documents WHERE (doc_id * 7) % 1201 < 700) a2
+            FULL OUTER JOIN
+                 (SELECT DISTINCT (doc_id * 7) % 1201 AS r
+                  FROM documents WHERE (doc_id * 7) % 1201 >= 350
+                    AND (doc_id * 7) % 1201 < 1050) b2
+              ON a2.r = b2.r)
+        SELECT round(ue.u, 4) AS union_est_r,
+               round(ue.s / ue.n::DOUBLE, 6) AS jaccard_r,
+               round(ue.s / ue.n::DOUBLE * ue.u, 4) AS intersect_est_r,
+               ex.exact_union, ex.exact_intersect
+        FROM ue, ex
+    """
+
+
 def q_sample_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail partitioning (sampling.perplexity_buckets;
     Wenzek et al. 2020, arXiv:1911.00359): per-language thirds by the
@@ -6153,6 +6236,7 @@ def extra_queries():
         "web_hll_cardinality": q_web_hll_cardinality,
         "web_cms_counts": q_web_cms_counts,
         "kg_key_skew": q_kg_key_skew,
+        "web_kmv_overlap": q_web_kmv_overlap,
         # round-5 demotion from the driver window (slot given to
         # kg_pattern_triples); identical contract here
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -6234,5 +6318,6 @@ def extra_oracle_sql():
         "web_hll_cardinality": _sql_web_hll_cardinality(),
         "web_cms_counts": _sql_web_cms_counts(),
         "kg_key_skew": _sql_kg_key_skew(),
+        "web_kmv_overlap": _sql_web_kmv_overlap(),
         "agg_pricing_summary": SQL_AGG_PRICING,
     }

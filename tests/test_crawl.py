@@ -228,3 +228,31 @@ def test_cms_never_undercounts_and_merges(spark):
               .agg(F.sum("n").alias("n")))
     whole = {(r.row_idx, r.bucket, r.n) for r in cms_build(df).collect()}
     assert {(r.row_idx, r.bucket, r.n) for r in merged.collect()} == whole
+
+
+def test_kmv_overlap_estimates_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    from outbreak_kg_spark.crawl import kmv_estimate, kmv_sketch
+
+    def urls(a, b):
+        return spark.range(a, b).select(
+            F.concat(F.lit("u-"), F.col("id")).alias("url"))
+
+    # A=[0,10k), B=[5k,15k): union 15k, J=1/3, inter 5k
+    a, b = kmv_sketch(urls(0, 10000)), kmv_sketch(urls(5000, 15000))
+    r = kmv_estimate(a, b).collect()[0]
+    assert abs(r.union_est_r - 15000) / 15000 < 0.15
+    assert abs(r.jaccard_r - 1 / 3) < 0.1
+    assert abs(r.intersect_est_r - 5000) / 5000 < 0.25
+    # small sets: the sketch IS the set -> all three exact
+    s = kmv_estimate(kmv_sketch(urls(0, 100)),
+                     kmv_sketch(urls(50, 150))).collect()[0]
+    assert (s.union_est_r, s.intersect_est_r) == (150.0, 50.0)
+    assert s.jaccard_r == round(50 / 150, 6)
+    # merge law: bottom-k of two sketches' union == sketch of the union
+    m = (kmv_sketch(urls(0, 10000)).select("hv")
+         .union(kmv_sketch(urls(5000, 15000)).select("hv"))
+         .distinct().orderBy("hv").limit(256))
+    direct = [r.hv for r in kmv_sketch(urls(0, 15000)).collect()]
+    assert sorted(r.hv for r in m.collect()) == direct
