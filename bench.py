@@ -145,6 +145,8 @@ HEADLINE = [
     "kg_key_skew",
     # KMV bottom-k overlap estimates between two URL sets
     "web_kmv_overlap",
+    # Gini shard-balance audit of the 16-shard hash layout
+    "sample_shard_balance",
 ]
 
 

@@ -6093,6 +6093,48 @@ def _sql_web_kmv_overlap(k: int = 256, salt: str = "kmv-v1") -> str:
     """
 
 
+def q_sample_shard_balance(spark, sf_dir):
+    """Shard-balance audit (sampling.shard_balance) of the
+    deterministic shard assignment the pack/shuffle writers use: docs
+    hashed into 16 range shards, per-shard counts + share + the Gini
+    of the size distribution on every row (hash sharding should read
+    near 0; a drifting Gini is the layout regression tripwire). The
+    oracle replays the count agg, the sorted-cumulative Gini closed
+    form, and the share arithmetic."""
+    from .sampling import hash_hex, shard_balance, _range_shard
+
+    d = _docs(spark, sf_dir)
+    sharded = d.select(
+        _range_shard(hash_hex("doc_id", "shard-v1"), 16).alias("shard"))
+    return shard_balance(sharded)
+
+
+def _sql_sample_shard_balance(n_shards: int = 16) -> str:
+    thrs = sampling.shard_thresholds(n_shards)
+    h = sampling.sql_hash_hex("doc_id", "shard-v1")
+    case = "CASE " + " ".join(
+        f"WHEN {h} < '{t}' THEN {i}" for i, t in enumerate(thrs)
+    ) + f" ELSE {n_shards - 1} END"
+    return f"""
+        WITH s AS (SELECT {case} AS shard FROM documents),
+        sizes AS (SELECT shard, count(*)::BIGINT AS n_rows
+                  FROM s GROUP BY 1),
+        ranked AS (
+            SELECT shard, n_rows,
+                   row_number() OVER (ORDER BY n_rows, shard) AS i
+            FROM sizes),
+        g AS (
+            SELECT count(*)::DOUBLE AS n, sum(n_rows)::DOUBLE AS t,
+                   sum(i * n_rows)::DOUBLE AS iw
+            FROM ranked)
+        SELECT sizes.shard, sizes.n_rows,
+               round(sizes.n_rows / g.t, 6) AS share_r,
+               round(2.0 * g.iw / (g.n * g.t) - (g.n + 1) / g.n, 6)
+                   AS gini_r
+        FROM sizes, g
+    """
+
+
 def q_sample_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail partitioning (sampling.perplexity_buckets;
     Wenzek et al. 2020, arXiv:1911.00359): per-language thirds by the
@@ -6237,6 +6279,7 @@ def extra_queries():
         "web_cms_counts": q_web_cms_counts,
         "kg_key_skew": q_kg_key_skew,
         "web_kmv_overlap": q_web_kmv_overlap,
+        "sample_shard_balance": q_sample_shard_balance,
         # round-5 demotion from the driver window (slot given to
         # kg_pattern_triples); identical contract here
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -6319,5 +6362,6 @@ def extra_oracle_sql():
         "web_cms_counts": _sql_web_cms_counts(),
         "kg_key_skew": _sql_kg_key_skew(),
         "web_kmv_overlap": _sql_web_kmv_overlap(),
+        "sample_shard_balance": _sql_sample_shard_balance(),
         "agg_pricing_summary": SQL_AGG_PRICING,
     }

@@ -761,3 +761,41 @@ def leakage_safe_split(df: DataFrame, group_col: str, id_col: str,
     dedups at all), not here."""
     return hash_split(df, group_col, weights=weights, salt=salt,
                       split_col=split_col)
+
+
+def shard_balance(df: DataFrame, shard_col: str = "shard") -> DataFrame:
+    """Shard-balance audit of a sharded/partitioned output: per-shard
+    row counts, share, and the Gini coefficient of the size
+    distribution carried on every row — the one-number skew read for a
+    training-shard layout (0 = perfectly even loaders; a Gini creeping
+    up across runs means the shard hash or the upstream filter drifted;
+    a data-parallel trainer's step time is its SLOWEST shard, so
+    imbalance is wall-clock, not cosmetics).
+
+    Gini rides the sorted-cumulative closed form
+    (2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over ascending sizes) computed
+    with one window over the SHARD-SIZE frame — dimension-sized (the
+    shard count, not the corpus), after the one partial-combined count
+    agg any per-shard statistic needs.
+
+    Output: (shard, n_rows, share_r, gini_r)."""
+    from pyspark.sql import Window
+
+    sizes = df.groupBy(shard_col).agg(
+        F.count(F.lit(1)).alias("n_rows"))
+    w = Window.orderBy("n_rows", shard_col)
+    ranked = sizes.withColumn("_i", F.row_number().over(w))
+    g = ranked.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("n_rows").alias("_t"),
+        F.sum(F.col("_i") * F.col("n_rows")).alias("_iw"),
+    ).select(
+        (2.0 * F.col("_iw") / (F.col("_n") * F.col("_t"))
+         - (F.col("_n") + 1) / F.col("_n")).alias("_g"),
+        "_t",
+    )
+    return sizes.crossJoin(F.broadcast(g)).select(
+        shard_col, "n_rows",
+        F.round(F.col("n_rows") / F.col("_t"), 6).alias("share_r"),
+        F.round("_g", 6).alias("gini_r"),
+    )

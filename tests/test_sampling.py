@@ -513,3 +513,24 @@ def test_leakage_safe_split_groups_never_straddle(spark):
     v_small = {r.doc_id for r in small if r.split == "val"}
     v_big = {r.doc_id for r in big if r.split == "val"}
     assert v_small and v_small <= v_big
+
+
+def test_shard_balance_gini_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from outbreak_kg_spark.sampling import shard_balance
+
+    # perfectly even -> gini exactly 0
+    even = spark.range(1000).select((F.col("id") % 10).alias("shard"))
+    r = shard_balance(even).collect()
+    assert all(x.gini_r == 0.0 and x.share_r == 0.1 for x in r)
+    # one shard holds 91%, nine split the rest -> gini near the
+    # theoretical 10-shard ceiling of 0.9
+    skew = spark.range(1000).select(
+        F.when(F.col("id") < 910, 0)
+        .otherwise((F.col("id") % 9) + 1).alias("shard"))
+    g = shard_balance(skew).collect()[0].gini_r
+    assert 0.7 < g < 0.9
+    # two-row degenerate: [1, 3] -> gini = 0.25 by the closed form
+    t = spark.createDataFrame([(0,)] * 1 + [(1,)] * 3, "shard int")
+    assert shard_balance(t).collect()[0].gini_r == 0.25
