@@ -147,6 +147,8 @@ HEADLINE = [
     "web_kmv_overlap",
     # Gini shard-balance audit of the 16-shard hash layout
     "sample_shard_balance",
+    # seed-teleport personalized PageRank over the shared link graph
+    "graph_ppr",
 ]
 
 

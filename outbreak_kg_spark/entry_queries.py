@@ -6135,6 +6135,61 @@ def _sql_sample_shard_balance(n_shards: int = 16) -> str:
     """
 
 
+def q_graph_ppr(spark, sf_dir):
+    """Personalized PageRank (graphrank.personalized_pagerank;
+    Haveliwala 2002) over the shared pagerank link graph with seed set
+    {1, 2, 3}: ranks measure relatedness to the seeds (global hubs no
+    longer dominate), dangling mass returns to the seeds. 6 iterations
+    at damping 0.85; the oracle unrolls the identical recurrence as
+    MATERIALIZED CTEs (the same 2^k-inlining trap the pagerank oracle
+    documents)."""
+    from .graphrank import personalized_pagerank
+
+    d = _docs(spark, sf_dir)
+    edges = d.select(
+        (F.col("doc_id") % 101).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 101).alias("dst"),
+    ).filter(F.col("src") % 10 != 0)
+    seeds = spark.createDataFrame([(1,), (2,), (3,)], "node long")
+    out = personalized_pagerank(edges, seeds, iterations=6)
+    return out.select("node", F.round("rank", 8).alias("rank_r"))
+
+
+def _sql_graph_ppr(iterations: int = 6, damping: float = 0.85) -> str:
+    its = []
+    for k in range(1, iterations + 1):
+        its.append(f"""
+        it{k} AS MATERIALIZED (
+          SELECT n.node,
+                 (1-{damping}) * n.tele + {damping}*(
+                     coalesce(ct.contrib, 0) + dm.mass * n.tele) AS r
+          FROM nodes n
+          CROSS JOIN (SELECT coalesce(sum(p.r), 0) AS mass FROM it{k-1} p
+                      WHERE p.node NOT IN (SELECT src FROM edges)) dm
+          LEFT JOIN (SELECT e.dst AS node, sum(p.r/od.deg) AS contrib
+                     FROM it{k-1} p JOIN edges e ON p.node = e.src
+                     JOIN outdeg od ON od.src = p.node
+                     GROUP BY e.dst) ct USING (node)
+        )""")
+    return f"""
+    WITH edges AS (
+        SELECT DISTINCT doc_id % 101 AS src, (doc_id*7 + 3) % 101 AS dst
+        FROM documents WHERE (doc_id % 101) % 10 <> 0
+    ),
+    nodes AS (
+        SELECT node,
+               CASE WHEN node IN (1, 2, 3) THEN 1.0/3 ELSE 0.0 END
+                   AS tele
+        FROM (SELECT DISTINCT node FROM
+              (SELECT src AS node FROM edges
+               UNION SELECT dst FROM edges))),
+    outdeg AS (SELECT src, count(*)::DOUBLE AS deg FROM edges GROUP BY src),
+    it0 AS (SELECT node, tele AS r FROM nodes),
+    {",".join(its)}
+    SELECT node, round(r, 8) AS rank_r FROM it{iterations}
+    """
+
+
 def q_sample_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail partitioning (sampling.perplexity_buckets;
     Wenzek et al. 2020, arXiv:1911.00359): per-language thirds by the
@@ -6280,6 +6335,7 @@ def extra_queries():
         "kg_key_skew": q_kg_key_skew,
         "web_kmv_overlap": q_web_kmv_overlap,
         "sample_shard_balance": q_sample_shard_balance,
+        "graph_ppr": q_graph_ppr,
         # round-5 demotion from the driver window (slot given to
         # kg_pattern_triples); identical contract here
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -6363,5 +6419,6 @@ def extra_oracle_sql():
         "kg_key_skew": _sql_kg_key_skew(),
         "web_kmv_overlap": _sql_web_kmv_overlap(),
         "sample_shard_balance": _sql_sample_shard_balance(),
+        "graph_ppr": _sql_graph_ppr(),
         "agg_pricing_summary": SQL_AGG_PRICING,
     }

@@ -335,3 +335,28 @@ def test_degree_profile_histogram_and_slope(spark):
     one = degree_profile(flat).collect()
     assert len(one) == 1 and one[0].slope_r == 0.0
     assert math.isfinite(one[0].slope_r)
+
+
+def test_personalized_pagerank_seed_locality(spark):
+    import pytest as _pytest
+
+    from outbreak_kg_spark.graphrank import pagerank, personalized_pagerank
+
+    # two disconnected 3-cycles; seeding in the first must leave the
+    # second at EXACTLY rank 0 while global pagerank ranks both alike
+    edges = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    ppr = {r.node: r.rank
+           for r in personalized_pagerank(e, seeds,
+                                          iterations=8).collect()}
+    assert all(ppr[n] > 0 for n in (1, 2, 3))
+    assert all(ppr[n] == 0.0 for n in (10, 11, 12))
+    # mass conserved (both components' teleport goes to the seed side)
+    assert sum(ppr.values()) == _pytest.approx(1.0, abs=1e-9)
+    gp = {r.node: r.rank for r in pagerank(e, iterations=8).collect()}
+    assert gp[10] > 0  # the global variant ranks the other cycle too
+    # empty seed set is a usage error, not a silent uniform fallback
+    with _pytest.raises(ValueError):
+        personalized_pagerank(
+            e, spark.createDataFrame([], "node long"))
