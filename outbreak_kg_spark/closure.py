@@ -38,10 +38,20 @@ def transitive_closure(
     `isa*0..` (kg/client.py:140 — the anchor matches itself) is one equi-join,
     for BOTH endpoint sets.
     """
+    # Keep the native key type when both endpoint columns already agree
+    # (guide §2.3 "narrower types"): every round of the loop shuffles the
+    # accumulated closure on these columns, and casting long ids to
+    # strings would double the exchanged bytes and the compare cost of
+    # the per-round groupBy. Heterogeneous inputs still normalize to
+    # string (the curie-keyed callers pass strings anyway).
+    same_type = (edges.schema[child_col].dataType
+                 == edges.schema[parent_col].dataType)
+    _key = (F.col if same_type
+            else (lambda c: F.col(c).cast("string")))
     base = (
         edges.select(
-            F.col(child_col).cast("string").alias("node"),
-            F.col(parent_col).cast("string").alias("ancestor"),
+            _key(child_col).alias("node"),
+            _key(parent_col).alias("ancestor"),
         )
         .filter(F.col("node").isNotNull() & F.col("ancestor").isNotNull())
         .dropDuplicates()

@@ -81,12 +81,72 @@ def _sql_values_closure() -> str:
     return ", ".join(f"('{n}', '{a}')" for n, a in _entry_closure_pairs())
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+def _spread_partitions(spark: SparkSession, path: str) -> int:
+    """Scale-adaptive scan parallelization decision (guide §2.5 "input
+    skew": one small/unsplittable file ⇒ one scan task).
+
+    The driver's test tables are single parquet files with ONE row group
+    (verified: documents/events/embeddings at every sf), and Spark can
+    only parallelize a parquet file across row groups — so every
+    expression/UDF chain above such a scan runs in ONE task regardless
+    of cluster size. Returns the partition count to spread the scan
+    over when the input is too small to occupy the cluster on its own,
+    else 0 (at 100 TB the scan splits naturally into thousands of
+    tasks and a repartition here would only add a full-data exchange).
+
+    The threshold is derived from the input size, not a local constant:
+    spread only when total bytes < defaultParallelism x 16 MB, i.e.
+    when even generously sized splits could not keep every core busy.
+    """
+    import os as _os
+
+    try:
+        if _os.path.isdir(path):
+            sizes = [
+                _os.path.getsize(_os.path.join(path, f))
+                for f in _os.listdir(path)
+                if not f.startswith((".", "_"))
+            ]
+        else:
+            sizes = [_os.path.getsize(path)]
+    except OSError:
+        return 0
+    par = spark.sparkContext.defaultParallelism
+    if len(sizes) >= par or sum(sizes) >= par * (16 << 20):
+        return 0
+    return par
 
 
-def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def _read_spread(spark: SparkSession, path: str,
+                 spread: bool = True) -> DataFrame:
+    df = spark.read.parquet(path)
+    if not spread:
+        return df
+    n = _spread_partitions(spark, path)
+    return df.repartition(n) if n else df
+
+
+def _docs(spark: SparkSession, sf_dir: str,
+          spread: bool = True) -> DataFrame:
+    """documents scan. spread defaults ON: nearly every consumer runs
+    text-heavy per-row work (NER/Arrow UDFs, per-n-gram md5 chains,
+    regex extraction) where 32-way parallelism dominates the tiny
+    exchange. Consumers that only read doc_id arithmetic (synthetic
+    graph/sketch fixtures) pass spread=False — measured SLOWER with the
+    exchange (bench_extra r6: graph_triangles 1.5s -> 3.6s and friends),
+    because their per-row work is too cheap to amortize an extra stage."""
+    return _read_spread(spark, f"{sf_dir}/documents.parquet", spread)
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str,
+         spread: bool = False) -> DataFrame:
+    """Star-schema scan. spread defaults OFF: lineitem/orders/events
+    consumers are cheap JVM scans + aggs where the repartition exchange
+    measurably regressed them (bench_extra r6: agg_pricing 1.4s -> 2.1s,
+    events windows ~2x). Opted IN per call site where per-row work is
+    heavy enough to win (embeddings vector math, the Expand-amplified
+    orders profile)."""
+    return _read_spread(spark, f"{sf_dir}/{name}.parquet", spread)
 
 
 # Ambiguous DECOY surfaces exercising the scored trie resolution
@@ -195,8 +255,19 @@ def mentions_from_docs(spark: SparkSession, docs: DataFrame) -> DataFrame:
     """Entry-trie NER over an arbitrary (doc_id, text) frame — the same
     plan _entry_mentions_plan builds from parquet; public so bench probes
     (BENCH/run_hotkey.py) can feed transformed corpora (e.g. an injected
-    hot entity) without touching the test data on disk."""
-    udf = make_annotate_udf(spark, entry_gazetteer_df(spark))
+    hot entity) without touching the test data on disk.
+
+    r6: the annotate(offsets)+explode+dropDuplicates chain became the
+    distinct-terms UDF (ground.make_distinct_terms_udf, guide §4): the
+    Python side runs the set fast-path scan and emits each doc's distinct
+    (ns, id, entry_name) set directly, so the Arrow channel never carries
+    surfaces/offsets and the per-(doc, curie) dedup EXCHANGE disappears —
+    per-doc distinctness is established inside the UDF, and doc_id rows
+    are unique in every corpus this seam sees (parquet doc_id key;
+    hotkey probes preserve ids). Same relation, property-tested."""
+    from .ground import make_distinct_terms_udf
+
+    udf = make_distinct_terms_udf(spark, entry_gazetteer_df(spark))
     m = docs.select("doc_id", F.explode(udf(F.col("text"))).alias("a"))
     return (
         m.select(
@@ -204,7 +275,6 @@ def mentions_from_docs(spark: SparkSession, docs: DataFrame) -> DataFrame:
             F.concat_ws(":", "a.ns", "a.id").alias("curie"),
             F.col("a.entry_name").alias("name"),
         )
-        .dropDuplicates(["doc_id", "curie"])
         .join(
             F.broadcast(
                 spark.createDataFrame(
@@ -358,18 +428,38 @@ SQL_KG_INTERESTING_PAIRS = f"""
 
 
 def q_kg_isa_closure(spark, sf_dir):
-    """J7: transitive closure (iterative self-join w/ checkpoints) over the
-    part-key binary tree; oracle is a recursive CTE."""
+    """J7: transitive closure over the part-key binary tree; oracle is a
+    recursive CTE.
+
+    r6 rewrite (guide §1.2/§8 — fix the algorithm before the plan): the
+    edge relation is the FUNCTION graph p -> floor(p/2), so each node has
+    exactly one parent chain and its depth-k ancestor is p >> k. The
+    closure is therefore a single codegen projection — explode the
+    filtered (p >> k, k) sequence — with zero joins and zero iterations,
+    replacing ~5 rounds of the generic filtered-doubling loop (each a
+    union + groupBy + eager checkpoint + stats action). Same relation:
+    chains reach 1 exactly while p >> k >= 1, every intermediate value is
+    itself a part key (partkeys are contiguous from 1), min-depth is
+    trivially unique on a single path. The 1..40 bound covers partkeys to
+    2^40 and is filter-trimmed per row; equivalence is held by the
+    unchanged recursive-CTE oracle (rows+schema+hash) at every sf. The
+    generic transitive_closure operator stays driver-gated through
+    kg_typed_subtree and kg_mixed_path."""
     part = _tbl(spark, sf_dir, "part")
-    edges = part.select(
-        F.col("p_partkey").alias("subj"),
-        F.floor(F.col("p_partkey") / 2).cast("long").alias("obj"),
-    ).filter((F.col("obj") >= 1) & (F.col("obj") != F.col("subj")))
-    cl = transitive_closure(edges, "subj", "obj", include_self=False)
-    return cl.select(
-        F.col("node").cast("long").alias("node"),
-        F.col("ancestor").cast("long").alias("ancestor"),
-        F.col("depth").cast("int").alias("depth"),
+    ancs = F.expr(
+        "filter(transform(sequence(1, 40), k -> "
+        "struct(shiftright(cast(p_partkey as bigint), k) as ancestor, "
+        "k as depth)), s -> s.ancestor >= 1 "
+        "and s.ancestor != cast(p_partkey as bigint))"
+    )
+    return (
+        part.select(F.col("p_partkey").cast("long").alias("node"),
+                    F.explode(ancs).alias("a"))
+        .select(
+            "node",
+            F.col("a.ancestor").cast("long").alias("ancestor"),
+            F.col("a.depth").cast("int").alias("depth"),
+        )
     )
 
 
@@ -844,7 +934,11 @@ def q_kg_pattern_triples(spark, sf_dir):
     predicates fire; the original text (dot-free, cue-free) forms sentence
     0 and contributes mentions but no triples — cue gating, not bare
     co-occurrence, is what the oracle checks."""
-    from .triples import pattern_triples_grouped, sentence_mentions
+    from .triples import (
+        make_sentence_groups_udf,
+        sentence_mention_groups,
+        triples_from_sentence_groups,
+    )
 
     d = _docs(spark, sf_dir)
     i = F.col("doc_id")
@@ -863,15 +957,16 @@ def q_kg_pattern_triples(spark, sf_dir):
         F.lit(" ."),
     )
     docs = d.select("doc_id", F.concat("text", tail).alias("text"))
-    tdim = spark.createDataFrame(
-        [(c, ty) for c, _t, ty in ENTRY_GAZ], "curie string, node_type string")
-    # the grouped one-pass plan reads the mention relation ONCE (no
-    # persist needed — vs the relational pattern_triples whose four legs
-    # would each re-run the NER UDF); equality of the two plans is
-    # pytest-asserted in test_triples
-    sm = sentence_mentions(
-        docs, make_annotate_udf(spark, entry_gazetteer_df(spark)), tdim)
-    return pattern_triples_grouped(sm)
+    # r6: ONE fused Arrow pass builds the per-(doc, sentence) mention
+    # groups directly (make_sentence_groups_udf) — replacing the
+    # per-mention substr/regexp_replace/split sentence math and the
+    # collect_list groupBy exchange of the declarative chain; the cue
+    # rules then run unchanged over the grouped relation. Equality with
+    # the declarative chain is pytest-asserted in test_triples.
+    gudf = make_sentence_groups_udf(
+        spark, entry_gazetteer_df(spark),
+        {c: ty for c, _t, ty in ENTRY_GAZ})
+    return triples_from_sentence_groups(sentence_mention_groups(docs, gudf))
 
 
 def _sql_pattern_triples() -> str:
@@ -1682,7 +1777,7 @@ def _crawl_snapshots(spark, sf_dir):
     exercise every crawl_delta path: urls missing from one side (added /
     removed), content mutated between snapshots (changed), and stale extra
     captures inside a snapshot that latest-capture dedup must discard."""
-    d = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    d = _docs(spark, sf_dir, spread=False).select("doc_id", "source", "text")
     url = F.concat(F.lit("https://"), F.col("source"), F.lit("/d/"),
                    F.col("doc_id").cast("string")).alias("url")
     old_base = d.filter(F.col("doc_id") % 20 != 7).select(
@@ -2482,7 +2577,7 @@ def q_graph_triangles(spark, sf_dir):
     community density for link-ring / template-farm detection."""
     from .graphrank import triangle_counts
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     fams = [(7, 3), (13, 5), (3, 11)]
     edges = None
     for a, c in fams:
@@ -2551,7 +2646,7 @@ def q_retrieval_rrf_fuse(spark, sf_dir):
 
     bm = q_retrieval_bm25_topk(spark, sf_dir).select(
         "query_id", "doc_id", "rank")
-    emb = _tbl(spark, sf_dir, "embeddings")
+    emb = _tbl(spark, sf_dir, "embeddings", spread=True)
     qv = emb.filter(F.col("vec_id").isin([1, 2, 3, 4])).select(
         F.col("vec_id").alias("query_id"), "embedding")
     cos = similarity.cosine_topk(emb, qv, k=10).select(
@@ -2848,7 +2943,7 @@ SQL_GRAPH_COMPONENTS = """
 
 
 def q_similarity_cosine_topk(spark, sf_dir):
-    emb = _tbl(spark, sf_dir, "embeddings")
+    emb = _tbl(spark, sf_dir, "embeddings", spread=True)
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -2880,7 +2975,7 @@ SQL_COSINE_TOPK = """
 def q_similarity_neardup(spark, sf_dir):
     """Brute-force cosine near-dup pairs (threshold tuned to the synthetic
     embedding distribution; the LSH-bucketed variant is ann_topk below)."""
-    emb = _tbl(spark, sf_dir, "embeddings").select(
+    emb = _tbl(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     from .similarity import _dot, _norm
@@ -2918,7 +3013,7 @@ def q_similarity_ann_topk(spark, sf_dir):
     deterministic md5-derived constants computed once in Python and inlined
     as literals on BOTH sides, so DuckDB reproduces the exact buckets and
     the per-bucket cosine ranking (round-1 item 8: was no_oracle)."""
-    emb = _tbl(spark, sf_dir, "embeddings")
+    emb = _tbl(spark, sf_dir, "embeddings", spread=True)
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -3663,6 +3758,10 @@ def q_streaming_episodes(spark, sf_dir):
         _EPISODE_SCRATCH_DIRS.add(tmp)
         atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     src = (
+        # raw read, no _tbl spread: the source is deliberately written as
+        # ONE file (coalesce(1) below) so the replay is single-batch
+        # deterministic — a repartition here would only add an exchange
+        # and permute the file's row order for zero parallelism gain
         spark.read.parquet(f"{sf_dir}/events.parquet")
         .select(
             F.concat_ws(
@@ -3737,7 +3836,7 @@ def q_similarity_neardup_lsh(spark, sf_dir):
     to lose, deterministically."""
     from .similarity import cosine_near_dup_pairs
 
-    emb = _tbl(spark, sf_dir, "embeddings")
+    emb = _tbl(spark, sf_dir, "embeddings", spread=True)
     out = cosine_near_dup_pairs(emb, dim=64, threshold=0.35, n_planes=6)
     return out.select("a", "b", F.round("cosine", 6).alias("cosine_r"))
 
@@ -3776,7 +3875,7 @@ def _entry_media(spark, sf_dir):
     binary columns without external data."""
     from .multimodal import MEDIA
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     imgs = d.select(
         F.concat(F.lit("i"), F.col("doc_id").cast("string")).alias("media_id"),
         F.lit("image").alias("kind"),
@@ -4277,7 +4376,7 @@ def q_similarity_ivf_topk(spark, sf_dir):
     assignment, inverted-list probe join, candidate ranking) is checkable
     against the brute-force oracle — the normal nprobe<k path differs
     only in which centroid lists are admitted."""
-    emb = _tbl(spark, sf_dir, "embeddings")
+    emb = _tbl(spark, sf_dir, "embeddings", spread=True)
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -4513,7 +4612,7 @@ def q_graph_labelprop(spark, sf_dir):
     recurrence round by round as materialized chained CTEs."""
     from .graphrank import label_propagation
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     base = F.col("doc_id") % 60
     blk = base - base % 6
     intra = d.select(
@@ -4575,7 +4674,7 @@ def q_similarity_quantized_topk(spark, sf_dir):
     BECAUSE it evaluates identically in Spark and DuckDB (each engine's
     round() differs on halves), making the full two-stage plan — codes,
     shortlist ordering, rerank — exactly replayable as the oracle."""
-    emb = _tbl(spark, sf_dir, "embeddings")
+    emb = _tbl(spark, sf_dir, "embeddings", spread=True)
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding")
     out = similarity.quantized_topk(emb, queries, k=10, rerank=40)
@@ -4638,7 +4737,7 @@ def q_graph_kcore(spark, sf_dir):
     would catch the unconverged oracle)."""
     from .graphrank import k_core
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     i = F.col("doc_id")
     blk = i - i % 10
     legs = [
@@ -4704,7 +4803,7 @@ def q_similarity_rp_project(spark, sf_dir):
     whole-stage-codegen projection — zero exchanges, zero Python.
     posexplode_OUTER + null filter per the InferFiltersFromGenerate
     house rule for computed-array generates."""
-    emb = _tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    emb = _tbl(spark, sf_dir, "embeddings", spread=True).filter(F.col("vec_id") < 400)
     out = similarity.random_projection(emb, dim=64, out_dim=6)
     return (
         out.select(
@@ -4793,7 +4892,7 @@ def q_dedup_semantic(spark, sf_dir):
     _bucket_pairs / connected_components, each oracle- or
     property-gated elsewhere; semantic_dedup's k>1 composition is
     pytest-gated against brute-force in test_dedup_similarity."""
-    emb = _tbl(spark, sf_dir, "embeddings")
+    emb = _tbl(spark, sf_dir, "embeddings", spread=True)
     out = similarity.semantic_dedup(
         emb, dim=64, k=1, iters=2, threshold=0.35, max_cluster_size=None
     )
@@ -4941,7 +5040,7 @@ def q_kg_scd2_history(spark, sf_dir):
     passes and the null-safe change filter exactly."""
     from . import incremental
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     return incremental.scd2_history(
         ev, key_col="user_id", attr_col="event_type",
         ts_col="ts", tiebreak_col="event_id")
@@ -4981,7 +5080,7 @@ def q_kg_batch_episodes(spark, sf_dir):
     no float round-trip) and both window passes exactly."""
     from . import streaming as streaming_mod
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     return streaming_mod.batch_episodes(
         ev, key_col="user_id", ts_col="ts", doc_col="event_id",
         gap="12 hours")
@@ -5023,7 +5122,7 @@ def q_layout_zorder(spark, sf_dir):
     locality property is pytest-gated in test_layout instead.)"""
     from . import layout
 
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = _tbl(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey", "o_custkey",
         layout.zorder_key2(
@@ -5054,7 +5153,7 @@ def q_graph_walks(spark, sf_dir):
     and 1-based list indexing."""
     from .graphrank import random_walks
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     edges = d.select(
         (F.col("doc_id") % 101).alias("src"),
         ((F.col("doc_id") * 7 + 3) % 101).alias("dst"),
@@ -5109,7 +5208,7 @@ def q_graph_skipgram(spark, sf_dir):
     laterals over the same clipped window."""
     from .graphrank import random_walks, skipgram_pairs
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     edges = d.select(
         (F.col("doc_id") % 101).alias("src"),
         ((F.col("doc_id") * 7 + 3) % 101).alias("dst"),
@@ -5186,7 +5285,7 @@ def q_web_crawl_frontier(spark, sf_dir):
     claim of the salted decomposition."""
     from .crawl import frontier_schedule
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     site = F.pmod("doc_id", F.lit(11)).cast("string")
     frontier = d.select(
         F.concat(F.lit("site-"), site, F.lit(".example")).alias("host"),
@@ -5229,7 +5328,7 @@ def q_kg_attr_asof(spark, sf_dir):
     from . import incremental
     from .temporal import asof_join
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     hist = incremental.scd2_history(
         ev, key_col="user_id", attr_col="event_type",
         ts_col="ts", tiebreak_col="event_id")
@@ -5282,7 +5381,7 @@ def q_table_profile(spark, sf_dir):
     plan, which is the point of the contract."""
     from .catalog import profile_table
 
-    return profile_table(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    return profile_table(_tbl(spark, sf_dir, "orders", spread=True))
 
 
 def _sql_table_profile() -> str:
@@ -5521,7 +5620,7 @@ def q_events_rolling_counts(spark, sf_dir):
     of within-timestamp order; DuckDB replays the identical frame."""
     from .temporal import rolling_counts
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     return rolling_counts(ev, "user_id", "ts", 6 * 3600, "value").select(
         "event_id", "user_id", "ts", "n_window", "sum_window")
 
@@ -5546,7 +5645,7 @@ def q_table_histogram(spark, sf_dir):
     from .catalog import column_histogram
 
     return column_histogram(
-        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        _tbl(spark, sf_dir, "orders"),
         "o_totalprice", bins=8)
 
 
@@ -5618,7 +5717,7 @@ def q_sample_leakage_safe(spark, sf_dir):
     metrics). 90/5/5 weights so val/test are populated at gate scale.
     The oracle replays the text override, the md5-group min-id dedup,
     and the byte-identical hash-threshold CASE."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     text2 = F.when(
         F.col("doc_id") % 10 < 2,
         F.concat(F.lit("shared boilerplate text number "),
@@ -5714,7 +5813,7 @@ def q_graph_degree_profile(spark, sf_dir):
     agg and the closed-form slope with identical double arithmetic."""
     from .graphrank import degree_profile
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     edges = d.select(
         (F.col("doc_id") % 97).alias("src"),
         ((F.col("doc_id") * 7 + 3) % 101).alias("dst"),
@@ -5765,7 +5864,7 @@ def q_kg_edge_diff(spark, sf_dir):
     replays both snapshot aggs and the presence-flag full-outer CASE."""
     from .incremental import edge_diff
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
 
     def snap(excl):
         return (
@@ -5824,7 +5923,7 @@ def q_web_bloom_seen(spark, sf_dir):
     replays the all-k-bits-set probe."""
     from .crawl import bloom_build, bloom_probe
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     urls = d.select(
         F.concat(F.lit("https://site-"),
                  F.pmod("doc_id", F.lit(7)).cast("string"),
@@ -5878,7 +5977,7 @@ def q_web_hll_cardinality(spark, sf_dir):
     correction with identical doubles."""
     from .crawl import hll_estimate, hll_registers
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     reps = spark.range(3).select(F.col("id").alias("rep"))
     urls = d.crossJoin(F.broadcast(reps)).select(
         F.concat(F.lit("https://h.example/"),
@@ -5938,7 +6037,7 @@ def q_web_cms_counts(spark, sf_dir):
     query."""
     from .crawl import cms_build, cms_query
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     urls = d.select(
         F.concat(F.lit("https://c.example/"),
                  F.pmod(F.col("doc_id") * F.col("doc_id"), F.lit(701))
@@ -6020,7 +6119,7 @@ def q_web_kmv_overlap(spark, sf_dir):
     estimators."""
     from .crawl import kmv_estimate, kmv_sketch
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     key = F.pmod(F.col("doc_id") * 7, F.lit(1201))
 
     def side(lo, hi):
@@ -6103,7 +6202,7 @@ def q_sample_shard_balance(spark, sf_dir):
     form, and the share arithmetic."""
     from .sampling import hash_hex, shard_balance, _range_shard
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     sharded = d.select(
         _range_shard(hash_hex("doc_id", "shard-v1"), 16).alias("shard"))
     return shard_balance(sharded)
@@ -6145,7 +6244,7 @@ def q_graph_ppr(spark, sf_dir):
     documents)."""
     from .graphrank import personalized_pagerank
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     edges = d.select(
         (F.col("doc_id") % 101).alias("src"),
         ((F.col("doc_id") * 7 + 3) % 101).alias("dst"),

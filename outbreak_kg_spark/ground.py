@@ -433,6 +433,54 @@ def make_annotate_udf(spark: SparkSession, gazetteer: DataFrame,
     return annotate
 
 
+_TERM_ARR = ArrayType(
+    StructType(
+        [
+            StructField("ns", StringType()),
+            StructField("id", StringType()),
+            StructField("entry_name", StringType()),
+        ]
+    )
+)
+
+
+def make_distinct_terms_udf(spark: SparkSession, gazetteer: DataFrame,
+                            ns_priority=DEFAULT_NS_PRIORITY,
+                            context: bool = False):
+    """Distinct-terms NER UDF: text -> sorted array<struct ns,id,entry_name>
+    of the DISTINCT groundings, deduplicated on (ns, id) per doc.
+
+    The offset-free twin of make_annotate_udf for consumers that discard
+    surfaces/offsets and per-doc multiplicity (the mentions relation —
+    kg_ner_mentions and everything riding entry_mentions). Two wins over
+    annotate+explode+dropDuplicates (guide §4): the Python side runs the
+    multi-token-head-gated set scan (scan_distinct_terms — no Match
+    objects, no per-occurrence tuples), and the Arrow channel carries a
+    few distinct groundings per doc instead of every occurrence with its
+    surface and offsets. Equal term sets are property-tested against
+    scan_text (test_ground)."""
+    rows = _gaz_rows(gazetteer)
+    trie = compile_gazetteer(rows, ns_priority, context=context)
+    bc = spark.sparkContext.broadcast((trie, multi_token_heads(trie)))
+
+    def _distinct(text):
+        t, mheads = bc.value
+        if text is None:
+            return []
+        best: dict = {}
+        for ns, id_, name in scan_distinct_terms(text, t, mheads):
+            k = (ns, id_)
+            if k not in best or name < best[k]:
+                best[k] = name
+        return sorted((ns, id_, nm) for (ns, id_), nm in best.items())
+
+    @pandas_udf(_TERM_ARR)
+    def distinct_terms(texts: pd.Series) -> pd.Series:
+        return texts.map(_distinct)
+
+    return distinct_terms
+
+
 def annotate_sections(section_texts: DataFrame, annotate_udf) -> DataFrame:
     """(doc_id, section_idx, field, text) -> exploded MENTIONS rows."""
     m = section_texts.select(

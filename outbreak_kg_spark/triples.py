@@ -33,6 +33,7 @@ Scale shape (the whole point of doing this sentence-scoped):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -320,6 +321,20 @@ def pattern_triples_grouped(
                 F.struct("curie", "node_type", "surfaces")).alias("ms"),
         )
     )
+    return triples_from_sentence_groups(g, id_col, cases_re, date_re)
+
+
+def triples_from_sentence_groups(
+    g: DataFrame,
+    id_col: str = "doc_id",
+    cases_re: str = CASES_RE,
+    date_re: str = DATE_RE,
+) -> DataFrame:
+    """The cue-rule stage of pattern_triples_grouped over an already
+    per-(doc, sentence) grouped relation ``g`` with columns (id_col,
+    sent_idx, sentence, ms: array<struct curie, node_type, surfaces>) —
+    factored out so the fused sentence-group UDF (sentence_mention_groups)
+    can feed it without paying the collect_list exchange."""
     low = F.lower(F.col("sentence"))
 
     def typed(t):
@@ -385,6 +400,114 @@ def pattern_triples_grouped(
         .select(id_col, "t.subj", "t.pred", "t.obj", "t.n_cases")
         .dropDuplicates([id_col, "subj", "pred", "obj"])
     )
+
+
+def make_sentence_groups_udf(spark, gazetteer, type_map: dict,
+                             ns_priority=None, boundary: str = "."):
+    """Fused per-doc NER + sentence placement + per-sentence grouping in
+    ONE Arrow pass: text -> array<struct(sent_idx, sentence, ms)> where
+    ``ms`` is the per-sentence mention group (curie, node_type, surfaces)
+    that pattern_triples_grouped's collect_list agg would build.
+
+    Motivation (guide §2.4/§4): the declarative chain pays, per MENTION
+    row, a substr + regexp_replace over the doc prefix (sentence index)
+    and a full-text split (sentence lookup), then one groupBy exchange to
+    form the (doc, sentence) groups. All of that is per-doc-local work —
+    the scan already sees the whole doc — so the fused UDF computes it
+    in Python where it is O(doc length) once: boundary positions found
+    once, mention index via bisect, sentences split once, groups built
+    in a dict. The downstream cue rules then run on the SAME grouped
+    relation shape with zero pre-distinct exchanges.
+
+    ``type_map`` is the (curie -> node_type) dimension as a plain dict
+    (vocabulary-sized — same broadcast budget as the trie itself);
+    mentions with no type entry are dropped, mirroring the inner type
+    join of sentence_mentions. Group surfaces are the sorted distinct
+    surface sets; ms is sorted by curie (deterministic where
+    collect_list order was arbitrary — downstream triples are
+    order-insensitive). Equality with the declarative chain is
+    pytest-asserted (test_triples)."""
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from .ground import (
+        DEFAULT_NS_PRIORITY,
+        _gaz_rows,
+        compile_gazetteer,
+        scan_text,
+    )
+
+    schema = ArrayType(StructType([
+        StructField("sent_idx", IntegerType()),
+        StructField("sentence", StringType()),
+        StructField("ms", ArrayType(StructType([
+            StructField("curie", StringType()),
+            StructField("node_type", StringType()),
+            StructField("surfaces", ArrayType(StringType())),
+        ]))),
+    ]))
+    rows = _gaz_rows(gazetteer)
+    trie = compile_gazetteer(rows, ns_priority or DEFAULT_NS_PRIORITY)
+    bc = spark.sparkContext.broadcast((trie, dict(type_map), boundary))
+
+    @pandas_udf(schema)
+    def sentence_groups(texts: pd.Series) -> pd.Series:
+        from bisect import bisect_left
+
+        t, tmap, bnd = bc.value
+        bre = _re.compile("[" + _re.escape(bnd) + "]")
+
+        def per_doc(text):
+            if not text:
+                return []
+            matches = scan_text(text, t)
+            if not matches:
+                return []
+            bpos = [m.start() for m in bre.finditer(text)]
+            sents = bre.split(text)
+            groups: dict = {}
+            for surf, start, _end, ns, id_, name in matches:
+                curie = ns + ":" + id_
+                nt = tmap.get(curie)
+                if nt is None:
+                    continue
+                si = bisect_left(bpos, start)
+                grp = groups.setdefault(si, {})
+                cur = grp.get(curie)
+                if cur is None:
+                    grp[curie] = [name, nt, {surf}]
+                else:
+                    if name > cur[0]:  # F.max("name") parity
+                        cur[0] = name
+                    cur[2].add(surf)
+            return [
+                (si, sents[si],
+                 [(c, v[1], sorted(v[2]))
+                  for c, v in sorted(grp.items())])
+                for si, grp in sorted(groups.items())
+            ]
+
+        return texts.map(per_doc)
+
+    return sentence_groups
+
+
+def sentence_mention_groups(docs: DataFrame, groups_udf,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """docs -> the (id, sent_idx, sentence, ms) grouped relation of
+    pattern_triples_grouped, built by the fused UDF with no exchange."""
+    return docs.select(
+        id_col, F.explode(groups_udf(F.col(text_col))).alias("g")
+    ).select(id_col, "g.sent_idx", "g.sentence", "g.ms")
 
 
 def section_sentence_mentions(

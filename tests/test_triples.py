@@ -379,3 +379,30 @@ def test_triple_provenance(spark, udf, tdim):
     causes = got[("MESH:P01", "causes", "MESH:D01")]
     assert causes == (8, [1, 2, 3, 4, 5])  # count exact, sample capped
     assert got[("MESH:D01", "located_in", "geonames:G01")] == (1, [9])
+
+
+def test_fused_sentence_groups_equals_declarative(spark, udf, tdim, gaz):
+    """r6 fused path: make_sentence_groups_udf + triples_from_sentence_groups
+    computes the SAME triple relation as sentence_mentions ->
+    pattern_triples_grouped, over all four rules, multi-sentence docs,
+    synonym surfaces and negatives."""
+    rows = [
+        (1, "saw 120 cases of cholera in nairobi on 2024-03-05 today"),
+        (2, "vibrio causes cholera . again vibrio causes cholera"),
+        (3, "cholera spreading . meanwhile in nairobi"),
+        (4, "measles and lagos with no cue . 7 cases of measles in lagos"),
+        (5, "nothing relevant here"),
+        (6, "9 cases of cholera . cholera in lagos on 2024-01-02 ."),
+        (7, ""),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sm = triples.sentence_mentions(docs, udf, tdim)
+    want = {tuple(r) for r in triples.pattern_triples_grouped(sm).collect()}
+    tmap = {f"{ns}:{i}": ty for ns, i, _e, _s, ty in
+            [(r[0], r[1], r[2], r[3], r[4]) for r in
+             gaz.select("ns", "id", "entry_name", "synonym",
+                        "node_type").collect()]}
+    gudf = triples.make_sentence_groups_udf(spark, gaz, tmap)
+    got = {tuple(r) for r in triples.triples_from_sentence_groups(
+        triples.sentence_mention_groups(docs, gudf)).collect()}
+    assert got == want and len(want) >= 6
