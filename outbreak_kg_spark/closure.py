@@ -202,15 +202,23 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     # sym holds BOTH orientations (self-loops once); undirected edge count
-    # is what driver_max_edges is specified against. The size probe is
-    # BOUNDED by the threshold (count over a limit stops scanning once the
+    # is what driver_max_edges is specified against. The routing decision
+    # is BOUNDED by the threshold (a capped limit+collect stops once the
     # cap is reached), so callers of the distributed path never pay a
-    # full count for the routing decision; with driver_max_edges<=0 no
-    # probe job runs at all. stats['edges'] is therefore a floor
-    # (min(true, cap)) on the distributed path, exact on the driver path.
+    # full count for it; with driver_max_edges<=0 no probe job runs at
+    # all. stats['edges'] is therefore a floor (min(true, cap)) on the
+    # distributed path, exact on the driver path.
+    # The routing probe and the driver collect are ONE job (r6): collect
+    # up to cap rows directly — when the graph is under the threshold
+    # those rows ARE the edge list, so the old separate limit+count probe
+    # job (a full extra pass of fixed latency over the upstream chain)
+    # is subsumed. Over-threshold graphs discard the capped sample and
+    # take the distributed path exactly as before.
+    sym_rows = None
     if driver_max_edges > 0:
         cap = 2 * driver_max_edges + 1
-        n_edges = (sym.limit(cap).count() + 1) // 2
+        sym_rows = sym.limit(cap).collect()
+        n_edges = (len(sym_rows) + 1) // 2
     else:
         n_edges = None
     if n_edges is not None and n_edges <= driver_max_edges:
@@ -226,7 +234,7 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for r in sym.collect():
+        for r in sym_rows:
             a, b = r[0], r[1]
             if a not in parent:
                 parent[a] = a

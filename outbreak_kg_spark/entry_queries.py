@@ -4970,9 +4970,14 @@ def q_sample_dsir_topk(spark, sf_dir):
     needs a true value ~1e-15 from a rounding boundary), after which
     both sum identical doubles in identical array order."""
     d = _docs(spark, sf_dir)
-    lr = sampling.dsir_logratios(
-        d, F.pmod("doc_id", F.lit(17)) == 0, n_buckets=_DSIR_BUCKETS)
-    return sampling.dsir_topk(d, lr, _DSIR_K)
+    # r6: stage the md5 feature hashing ONCE (persisted int arrays, no
+    # text) and feed both the count pass and the scoring pass from it —
+    # the hashing was the dominant per-row cost and ran twice before.
+    staged = sampling.dsir_staged_feats(
+        d, F.pmod("doc_id", F.lit(17)) == 0,
+        n_buckets=_DSIR_BUCKETS).persist()
+    lr = sampling.dsir_logratios(staged=staged, n_buckets=_DSIR_BUCKETS)
+    return sampling.dsir_topk(d, lr, _DSIR_K, staged=staged)
 
 
 def _sql_sample_dsir_topk() -> str:

@@ -214,8 +214,17 @@ def query_graph(
         F.col("name").alias("alert_name"),
         F.col("timestamp").alias("alert_timestamp"),
     )
-    base = mentions.select(F.col("subj").alias("alert_curie")).dropDuplicates()
-    result = alerts.join(base, "alert_curie", "inner")
+    result = alerts
+    if not any(a is not None for a in (disease_curie, geolocation_curie,
+                                       pathogen_curie, symptom_curie)):
+        # the mentions-bearing filter is only needed when NO typed
+        # constraint will supply it: every constraint below inner-joins a
+        # subset of the distinct mention subjects onto alert_curie, so
+        # with >= 1 constraint this dedup exchange + join is provably
+        # redundant (r6 — one full exchange off the flagship plan)
+        base = mentions.select(
+            F.col("subj").alias("alert_curie")).dropDuplicates()
+        result = result.join(base, "alert_curie", "inner")
     if timestamp is not None:
         result = result.filter(F.col("alert_timestamp") == timestamp)
     for anchor, ntype, prefix, cl in [

@@ -43,16 +43,16 @@ def bm25_topk(docs: DataFrame, queries: DataFrame,
     df is computed AFTER the query-vocabulary semi join — a term's
     document frequency over docs containing it is unchanged by the
     filter, and the corpus-vocabulary agg never runs. N and avgdl ride a
-    1-row broadcast crossJoin (no collect). The dl join keys on doc_id
-    with a UNIQUE build side. Scores are rounded to 6 BEFORE ranking so
+    1-row broadcast crossJoin (no collect). Document length rides the
+    filtered posting rows into the tf agg (no separate dl relation or
+    doc_id join — r6). Scores are rounded to 6 BEFORE ranking so
     rank boundaries are identical cross-engine."""
     base = docs.select(
         F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("_toks")
     )
-    dl = base.select("doc_id", F.size("_toks").cast("double").alias("_dl"))
-    stats = dl.agg(
+    stats = base.agg(
         F.count(F.lit(1)).cast("double").alias("_n"),
-        F.avg("_dl").alias("_avgdl"),
+        F.avg(F.size("_toks").cast("double")).alias("_avgdl"),
     )
     qterms = queries.select(
         F.col(query_id_col).alias("query_id"),
@@ -62,12 +62,20 @@ def bm25_topk(docs: DataFrame, queries: DataFrame,
     qvocab = qterms.select("term").distinct()
     tf = (
         # outer + null filter dodges the inferred size()>0 filter that
-        # would re-tokenize every doc a second time (dedup.passage_dedup)
-        base.select("doc_id", F.explode_outer("_toks").alias("term"))
+        # would re-tokenize every doc a second time (dedup.passage_dedup).
+        # _dl (doc length) RIDES the posting rows into the tf agg instead
+        # of joining a separate corpus-sized dl relation later (r6, guide
+        # §2.4): that join cost two exchanges on doc_id plus a third full
+        # tokenization scan; carrying 8 bytes per surviving posting is
+        # free by comparison because postings are already query-vocabulary
+        # filtered.
+        base.select("doc_id", F.size("_toks").cast("double").alias("_dl"),
+                    F.explode_outer("_toks").alias("term"))
         .filter(F.col("term").isNotNull())
         .join(F.broadcast(qvocab), "term", "left_semi")
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("double").alias("_tf"))
+        .agg(F.count(F.lit(1)).cast("double").alias("_tf"),
+             F.max("_dl").alias("_dl"))
     )
     dfreq = (
         tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("_df"))
@@ -83,7 +91,6 @@ def bm25_topk(docs: DataFrame, queries: DataFrame,
     scored = (
         tf.join(F.broadcast(qterms), "term")
         .join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
         .select(
             "query_id", "doc_id",
             (

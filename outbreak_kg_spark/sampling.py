@@ -547,9 +547,10 @@ def temperature_resample(df: DataFrame, strata_col: str = "lang",
     )
 
 
-def dsir_logratios(df: DataFrame, is_target, text_col: str = "text",
+def dsir_logratios(df: DataFrame = None, is_target=None,
+                   text_col: str = "text",
                    *, n_buckets: int = 64, alpha: float = 1.0,
-                   toks=None) -> list[float]:
+                   toks=None, staged: DataFrame = None) -> list[float]:
     """DSIR bucket log-likelihood ratios (Xie et al. 2023,
     arXiv:2302.03169 "Data Selection for Language Models via Importance
     Resampling"): per hashed-(1,2)-gram bucket b,
@@ -581,11 +582,13 @@ def dsir_logratios(df: DataFrame, is_target, text_col: str = "text",
 
     from .textstats import _hashed_feature_buckets, tokens_col
 
-    toks = tokens_col(text_col) if toks is None else toks
-    staged = df.select(is_target.alias("_t"), toks.alias("_toks"))
-    feats = _hashed_feature_buckets(F.col("_toks"), n_buckets)
+    if staged is None:
+        toks = tokens_col(text_col) if toks is None else toks
+        pre = df.select(is_target.alias("_t"), toks.alias("_toks"))
+        feats = _hashed_feature_buckets(F.col("_toks"), n_buckets)
+        staged = pre.select("_t", feats.alias("_feats"))
     ex = (
-        staged.select("_t", F.explode_outer(feats).alias("_b"))
+        staged.select("_t", F.explode_outer("_feats").alias("_b"))
         .filter(F.col("_b").isNotNull())
     )
     rows = (
@@ -613,6 +616,28 @@ def dsir_logratios(df: DataFrame, is_target, text_col: str = "text",
     ]
 
 
+def dsir_staged_feats(df: DataFrame, is_target, text_col: str = "text",
+                      id_col: str = "doc_id", *,
+                      n_buckets: int = 64) -> DataFrame:
+    """One-scan staging for the DSIR pass pair: (id, _t, _feats).
+
+    dsir_logratios (count pass) and dsir_topk (scoring pass) each need
+    the hashed-(1,2)-gram feature array, and the md5 per n-gram
+    occurrence is the dominant per-row cost of both. Persist this frame
+    and hand it to both via their ``staged=`` parameter so the hashing
+    runs ONCE per corpus instead of once per pass (guide §1.2 — the two
+    SCANS are inherent to exact counts, recomputing the features was
+    not). The persisted rows carry only the id, the target flag and int
+    arrays — no text."""
+    from .textstats import _hashed_feature_buckets, tokens_col
+
+    pre = df.select(F.col(id_col), is_target.alias("_t"),
+                    tokens_col(text_col).alias("_toks"))
+    return pre.select(
+        id_col, "_t",
+        _hashed_feature_buckets(F.col("_toks"), n_buckets).alias("_feats"))
+
+
 def dsir_logweight_col(feats_col, logratios: list[float]):
     """Per-doc DSIR log importance weight as one Column: the SUM of
     bucket log-ratios over every (1,2)-gram feature occurrence — the
@@ -632,7 +657,7 @@ def dsir_logweight_col(feats_col, logratios: list[float]):
 
 def dsir_topk(df: DataFrame, logratios: list[float], k: int,
               text_col: str = "text", id_col: str = "doc_id",
-              salt: str = "dsir-v1") -> DataFrame:
+              salt: str = "dsir-v1", staged: DataFrame = None) -> DataFrame:
     """DSIR selection: Gumbel-top-k sample of ``k`` documents with
     probability proportional to their importance weight
     p_target(doc)/p_raw(doc) — the Gumbel-max trick makes weighted
@@ -657,10 +682,13 @@ def dsir_topk(df: DataFrame, logratios: list[float], k: int,
     scheme."""
     from .textstats import _hashed_feature_buckets, tokens_col
 
-    pre = df.select(
-        F.col(id_col), tokens_col(text_col).alias("_toks"))
-    feats = _hashed_feature_buckets(F.col("_toks"), len(logratios))
-    staged = pre.select(id_col, feats.alias("_feats"))
+    if staged is None:
+        pre = df.select(
+            F.col(id_col), tokens_col(text_col).alias("_toks"))
+        feats = _hashed_feature_buckets(F.col("_toks"), len(logratios))
+        staged = pre.select(id_col, feats.alias("_feats"))
+    else:
+        staged = staged.select(id_col, "_feats")
     u = (
         (F.conv(hash_hex(id_col, salt), 16, 10).cast("double") + 0.5)
         / F.lit(float(_HASH_SPACE))
