@@ -445,7 +445,7 @@ def q_kg_isa_closure(spark, sf_dir):
     unchanged recursive-CTE oracle (rows+schema+hash) at every sf. The
     generic transitive_closure operator stays driver-gated through
     kg_typed_subtree and kg_mixed_path."""
-    part = _tbl(spark, sf_dir, "part")
+    part = _tbl(spark, sf_dir, "part", spread=True)
     ancs = F.expr(
         "filter(transform(sequence(1, 40), k -> "
         "struct(shiftright(cast(p_partkey as bigint), k) as ancestor, "
@@ -4216,9 +4216,11 @@ def _curate_corpus_df(spark, sf_dir):
     corpus has no exact dups and uniform quality). doc_id+1000 = identical
     copy (exact-dup stage); doc_id+2000 = tail-truncated copy (near-dup
     stage). Identical construction in the DuckDB oracle."""
-    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 150).select(
-        "doc_id", "text"
-    )
+    # spread=False: the curation fixture keeps only doc_id < 150 (190
+    # rows with the injected copies) — a latency-bound chain where the
+    # spread exchange and 32-way task scheduling only add fixed cost
+    d = _docs(spark, sf_dir, spread=False).filter(
+        F.col("doc_id") < 150).select("doc_id", "text")
     exact_copies = d.filter(F.col("doc_id") < 20).select(
         (F.col("doc_id") + 1000).alias("doc_id"), "text"
     )
