@@ -42,7 +42,7 @@ _EXTRACT_STRUCT = StructType(
 
 
 @pandas_udf(_EXTRACT_STRUCT)
-def _extract_udf(text: pd.Series) -> pd.DataFrame:
+def _extract_udf_impl(text: pd.Series) -> pd.DataFrame:
     # Arrow batch in, Arrow batch out. The state machine itself is inherently
     # sequential per document (byte-identity forbids vectorized
     # approximations — SURVEY.md §4.3.6), but it runs inside the Arrow batch,
@@ -53,6 +53,16 @@ def _extract_udf(text: pd.Series) -> pd.DataFrame:
         lambda secs: [(s["title"], s["content"]) for s in secs]
     )
     return df
+
+
+# asNondeterministic (guide §4.4): every consumer filters on the computed
+# struct's `valid` field, and filter pushdown otherwise clones the whole
+# extraction — one ArrowEvalPython below the pushed filter (BEFORE any
+# spread exchange, i.e. on the unsplit scan) and a second above it, so
+# each page paid the state machine twice and the first pass ran with no
+# parallelism. The function is pure; the flag only stops the optimizer
+# from cloning/reordering it.
+_extract_udf = _extract_udf_impl.asNondeterministic()
 
 
 def extract_pages(pages: DataFrame) -> DataFrame:

@@ -12,6 +12,8 @@ the canonical text remains covered by the modular stage and its tests.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -66,34 +68,72 @@ def make_fused_udf(spark: SparkSession, gazetteer: DataFrame,
         (trie, multi_token_heads(trie), frozenset(exclude_tokens)))
 
     @pandas_udf(_FUSED_STRUCT)
-    def fused(texts: pd.Series) -> pd.DataFrame:
+    def fused(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         t, mheads, excl = bc.value
-        out = []
-        for page in texts:
-            # the fused consumer never reads the canonical rendering
-            # (it scans title/content directly), so skip building it
-            ex = extract_alert(page if page is not None else "",
-                               with_canonical=False)
-            if not ex["valid"]:
-                out.append((None, False, []))
-                continue
-            terms = set()
-            for sec in ex["sections"]:
-                for field_text in (sec["title"], sec["content"]):
-                    if excl:
-                        # surface-form exclusion needs the original-case
-                        # surface — use the offset-carrying scan
-                        for (surf, _a, _b, ns, id_, name) in scan_text(
-                            field_text, t
-                        ):
-                            if surf not in excl:
-                                terms.add((ns, id_, name))
-                    else:
-                        terms |= scan_distinct_terms(field_text, t, mheads)
-            out.append((ex["archive_number"], True, sorted(terms)))
-        return pd.DataFrame(out, columns=["archive_number", "valid", "terms"])
 
-    return fused
+        # Per-TASK memo of field-text -> distinct grounding set (guide
+        # §4.5: heavyweight state once per task). Real corpora repeat
+        # section text constantly (site boilerplate, syndicated alerts,
+        # re-crawls), and tokenization dominates the scan cost, so
+        # scanning each distinct field text once and unioning cached
+        # frozensets turns the duplicate-heavy case into a dict probe.
+        # The memo lives only for the task (iterator scope): nothing
+        # persists across tasks, jobs, or runs. Size-capped so a
+        # pathological all-unique partition cannot grow without bound.
+        scan_cache: dict[str, frozenset] = {}
+
+        def scan_one(field_text: str) -> frozenset:
+            if excl:
+                # surface-form exclusion needs the original-case
+                # surface — use the offset-carrying scan
+                return frozenset(
+                    (ns, id_, name)
+                    for (surf, _a, _b, ns, id_, name) in scan_text(
+                        field_text, t)
+                    if surf not in excl
+                )
+            return frozenset(scan_distinct_terms(field_text, t, mheads))
+
+        def field_terms(field_text: str) -> frozenset:
+            # short fields (section titles, one-line headers) are cheaper
+            # to scan than to memoize — and they are frequently unique
+            # (numbered titles), which would bloat the memo for zero hits
+            if len(field_text) < 64:
+                return scan_one(field_text)
+            got = scan_cache.get(field_text)
+            if got is None:
+                got = scan_one(field_text)
+                if len(scan_cache) >= 200_000:
+                    scan_cache.clear()
+                scan_cache[field_text] = got
+            return got
+
+        for texts in batches:
+            out = []
+            for page in texts:
+                # the fused consumer never reads the canonical rendering
+                # (it scans title/content directly), so skip building it
+                ex = extract_alert(page if page is not None else "",
+                                   with_canonical=False)
+                if not ex["valid"]:
+                    out.append((None, False, []))
+                    continue
+                terms = set()
+                for sec in ex["sections"]:
+                    terms |= field_terms(sec["title"])
+                    terms |= field_terms(sec["content"])
+                out.append((ex["archive_number"], True, sorted(terms)))
+            yield pd.DataFrame(
+                out, columns=["archive_number", "valid", "terms"])
+
+    # asNondeterministic (guide §4.4): consumers filter on the UDF-computed
+    # struct (`.filter("x.valid")`), and the optimizer's filter pushdown
+    # otherwise duplicates the whole extract+NER evaluation — one
+    # ArrowEvalPython below the pushed filter and a second in the
+    # projection — so every page paid the UDF twice (confirmed with the
+    # UDF profiler: 2x extract_alert calls per input row). The function is
+    # pure; the flag only forbids the optimizer to clone or reorder it.
+    return fused.asNondeterministic()
 
 
 def fused_page_terms(pages: DataFrame, fused_udf) -> DataFrame:

@@ -18,6 +18,7 @@ form, blocklists are broadcast isin-filters.
 from __future__ import annotations
 
 import re
+from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -463,20 +464,34 @@ def make_distinct_terms_udf(spark: SparkSession, gazetteer: DataFrame,
     trie = compile_gazetteer(rows, ns_priority, context=context)
     bc = spark.sparkContext.broadcast((trie, multi_token_heads(trie)))
 
-    def _distinct(text):
-        t, mheads = bc.value
-        if text is None:
-            return []
-        best: dict = {}
-        for ns, id_, name in scan_distinct_terms(text, t, mheads):
-            k = (ns, id_)
-            if k not in best or name < best[k]:
-                best[k] = name
-        return sorted((ns, id_, nm) for (ns, id_), nm in best.items())
-
     @pandas_udf(_TERM_ARR)
-    def distinct_terms(texts: pd.Series) -> pd.Series:
-        return texts.map(_distinct)
+    def distinct_terms(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        t, mheads = bc.value
+        # per-TASK memo of text -> sorted distinct groundings (guide §4.5):
+        # duplicate section texts (boilerplate, re-crawls, replicated
+        # corpora) pay the tokenize+scan once per task instead of per row.
+        # Iterator scope — nothing survives the task. Size-capped.
+        cache: dict[str, list] = {}
+
+        def _distinct(text):
+            if text is None:
+                return []
+            got = cache.get(text)
+            if got is None:
+                best: dict = {}
+                for ns, id_, name in scan_distinct_terms(text, t, mheads):
+                    k = (ns, id_)
+                    if k not in best or name < best[k]:
+                        best[k] = name
+                got = sorted(
+                    (ns, id_, nm) for (ns, id_), nm in best.items())
+                if len(cache) >= 200_000:
+                    cache.clear()
+                cache[text] = got
+            return got
+
+        for texts in batches:
+            yield texts.map(_distinct)
 
     return distinct_terms
 

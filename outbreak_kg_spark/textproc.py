@@ -14,6 +14,7 @@ These functions are called from inside Arrow-batched pandas UDFs
 from __future__ import annotations
 
 import datetime
+import functools
 import re
 
 # Header field patterns (reference promed_ner.py:63-65). The date pattern
@@ -29,7 +30,12 @@ _RE_ARCHIVE = re.compile(r"Archive Number: (\d{8}\.\d+)?")
 _RE_FASTDATE = re.compile(r"(\d{4})-(\d{2})-(\d{2}) (\d{2}):(\d{2}):(\d{2})\Z")
 
 
+@functools.lru_cache(maxsize=4096)
 def _parse_date(s: str) -> datetime.datetime:
+    # lru_cache: feeds and crawls carry few distinct per-second stamps
+    # relative to row count, and datetime objects are immutable so the
+    # cached instance is safely shared; misses (and raising inputs, which
+    # lru_cache never caches) behave exactly as before
     m = _RE_FASTDATE.match(s)
     if m:
         y, mo, d, h, mi, se = map(int, m.groups())

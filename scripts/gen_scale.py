@@ -1,0 +1,95 @@
+"""Measurement-only scale-up of the driver test data (guide §1).
+
+Builds an approximate sfK directory by replicating every sf0.1 table R
+times with disjoint key spaces: replica r of a table adds r * stride to
+each key column (stride = max_key + 1 of the base table), and foreign
+keys are offset with the referenced table's stride so per-key join
+fan-out is preserved exactly. Dimension tables (region, nation) are
+copied unchanged. Output mirrors the driver layout: one parquet file
+per table, single row group.
+
+This is NOT the driver's sf1.0 (its generator is private to the
+driver); it is a deterministic 10x-volume stand-in with identical
+schema, identical per-key fan-out, and 10x distinct keys, used to check
+that optimizations hold when per-query work is seconds, not
+milliseconds. Never used by queries or tests.
+
+Usage: python scripts/gen_scale.py [--repl 10] [--out /root/sfgen/sf1.0]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+BASE = "/root/testdata/sf0.1"
+
+# key columns per table: (column, keyspace) — keyspace names the table
+# whose stride applies (FKs use the referenced table's stride)
+KEYS = {
+    "customer": [("c_custkey", "customer")],
+    "documents": [("doc_id", "documents")],
+    "embeddings": [("vec_id", "embeddings")],
+    "events": [("event_id", "events"), ("user_id", "users")],
+    "lineitem": [("l_orderkey", "orders"), ("l_partkey", "part"),
+                 ("l_suppkey", "supplier")],
+    "orders": [("o_orderkey", "orders"), ("o_custkey", "customer")],
+    "part": [("p_partkey", "part")],
+    "supplier": [("s_suppkey", "supplier")],
+}
+COPY = ["region", "nation"]
+
+
+def main() -> None:
+    args = sys.argv[1:]
+
+    def _arg(name, default):
+        return args[args.index(name) + 1] if name in args else default
+
+    repl = int(_arg("--repl", "10"))
+    out_dir = _arg("--out", "/root/sfgen/sf1.0")
+    os.makedirs(out_dir, exist_ok=True)
+
+    tables = {}
+    for name in list(KEYS) + COPY:
+        tables[name] = pq.read_table(f"{BASE}/{name}.parquet")
+
+    strides = {}
+    for name, keys in KEYS.items():
+        for col, space in keys:
+            if space == name or space == "users":
+                src = tables["events"] if space == "users" else tables[name]
+                mx = pc.max(src[col]).as_py()
+                strides[space] = max(strides.get(space, 0), int(mx) + 1)
+
+    for name in COPY:
+        pq.write_table(tables[name], f"{out_dir}/{name}.parquet")
+        print(f"{name}: copied {tables[name].num_rows}")
+
+    for name, keys in KEYS.items():
+        base = tables[name]
+        reps = []
+        for r in range(repl):
+            t = base
+            for col, space in keys:
+                idx = t.schema.get_field_index(col)
+                typ = t.schema.field(idx).type
+                shifted = pc.add(t[col], pa.scalar(r * strides[space],
+                                                   type=typ))
+                t = t.set_column(idx, t.schema.field(idx), shifted)
+            reps.append(t)
+        big = pa.concat_tables(reps).combine_chunks()
+        pq.write_table(big, f"{out_dir}/{name}.parquet",
+                       row_group_size=max(big.num_rows, 1))
+        print(f"{name}: {base.num_rows} -> {big.num_rows}")
+
+    with open(f"{out_dir}/_DONE", "w") as fh:
+        fh.write("ok\n")
+
+
+if __name__ == "__main__":
+    main()
