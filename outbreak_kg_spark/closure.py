@@ -194,30 +194,28 @@ def connected_components(
     as the gazetteer / k-means-centroid collects; pass driver_max_edges=0
     to force the distributed loop.
     """
-    sym = (
+    sym_raw = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
-        .dropDuplicates()
-        .localCheckpoint(eager=True)
     )
-    # sym holds BOTH orientations (self-loops once); undirected edge count
-    # is what driver_max_edges is specified against. The routing decision
-    # is BOUNDED by the threshold (a capped limit+collect stops once the
-    # cap is reached), so callers of the distributed path never pay a
-    # full count for it; with driver_max_edges<=0 no probe job runs at
-    # all. stats['edges'] is therefore a floor (min(true, cap)) on the
-    # distributed path, exact on the driver path.
-    # The routing probe and the driver collect are ONE job (r6): collect
-    # up to cap rows directly — when the graph is under the threshold
-    # those rows ARE the edge list, so the old separate limit+count probe
-    # job (a full extra pass of fixed latency over the upstream chain)
-    # is subsumed. Over-threshold graphs discard the capped sample and
-    # take the distributed path exactly as before.
+    # The routing probe and the driver collect are ONE job over the RAW
+    # symmetrized edges (r6): collect up to cap rows directly — when the
+    # graph is under the threshold those rows ARE the edge list (union-find
+    # is insensitive to duplicate edges), so the small-graph path pays
+    # neither the dropDuplicates exchange nor the eager-checkpoint
+    # materialization job the distributed loop needs; both happen below,
+    # only on the over-threshold path. The probe is BOUNDED by the
+    # threshold (a capped limit+collect stops once the cap is reached);
+    # with driver_max_edges<=0 no probe job runs at all. stats['edges'] is
+    # a row-count floor that may count repeated input edges (routing is
+    # merely conservative for multigraph inputs: a graph with many
+    # duplicate edges may take the distributed loop although its distinct
+    # form is small — results identical either way).
     sym_rows = None
     if driver_max_edges > 0:
         cap = 2 * driver_max_edges + 1
-        sym_rows = sym.limit(cap).collect()
+        sym_rows = sym_raw.limit(cap).collect()
         n_edges = (len(sym_rows) + 1) // 2
     else:
         n_edges = None
@@ -250,7 +248,7 @@ def connected_components(
             stats["edges"] = n_edges
         from pyspark.sql.types import StructField, StructType
 
-        node_t = sym.schema["a"].dataType
+        node_t = sym_raw.schema["a"].dataType
         return edges.sparkSession.createDataFrame(
             [(x, find(x)) for x in parent],
             StructType([StructField("node", node_t, False),
@@ -259,6 +257,10 @@ def connected_components(
     if stats is not None:
         stats["mode"] = "distributed_hash_min"
         stats["edges"] = n_edges
+    # distributed loop: dedup + eager checkpoint (lineage truncation for
+    # the iterative rounds) happen only here — the driver path above never
+    # pays this job
+    sym = sym_raw.dropDuplicates().localCheckpoint(eager=True)
     comp = (
         sym.select(F.col("a").alias("node"))
         .union(sym.select(F.col("b").alias("node")))

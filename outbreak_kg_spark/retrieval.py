@@ -50,9 +50,16 @@ def bm25_topk(docs: DataFrame, queries: DataFrame,
     base = docs.select(
         F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("_toks")
     )
-    stats = base.agg(
+    # N/avgdl leg counts tokens WITHOUT building the token array a second
+    # time (r6, guide §2.3 "shuffle fewer bytes" applied to the scan):
+    # size(filter(split(lower(t), '\\s+'), x != '')) is exactly the number
+    # of non-whitespace runs, so regexp_count(t, '\\S+') — no lower(), no
+    # array allocation, no lambda — computes the identical length. NULL
+    # texts yield NULL under both forms and avg() skips them either way.
+    stats = docs.agg(
         F.count(F.lit(1)).cast("double").alias("_n"),
-        F.avg(F.size("_toks").cast("double")).alias("_avgdl"),
+        F.avg(F.regexp_count(F.col(text_col), F.lit(r"\S+"))
+              .cast("double")).alias("_avgdl"),
     )
     qterms = queries.select(
         F.col(query_id_col).alias("query_id"),

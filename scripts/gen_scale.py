@@ -70,11 +70,44 @@ def main() -> None:
         pq.write_table(tables[name], f"{out_dir}/{name}.parquet")
         print(f"{name}: copied {tables[name].num_rows}")
 
+    import random
+
+    def mutate(name: str, t: pa.Table, r: int) -> pa.Table:
+        """Per-replica content variation so the scaled corpus is not 10
+        exact copies (which would fabricate duplicate/near-dup structure
+        the real generator does not have): document texts get a
+        deterministic per-(doc, replica) word shuffle (token multiset and
+        length preserved — NER/token stats see identical per-doc work,
+        n-gram/shingle structure varies), embedding vectors are rotated
+        by r components (norm preserved, direction distinct)."""
+        if r == 0:
+            return t
+        if name == "documents":
+            idx = t.schema.get_field_index("text")
+            ids = t["doc_id"].to_pylist()
+            texts = t["text"].to_pylist()
+            out = []
+            for did, tx in zip(ids, texts):
+                words = tx.split(" ")
+                random.Random((did, r)).shuffle(words)
+                out.append(" ".join(words))
+            return t.set_column(idx, t.schema.field(idx),
+                                pa.array(out, pa.string()))
+        if name == "embeddings":
+            idx = t.schema.get_field_index("embedding")
+            vecs = t["embedding"].to_pylist()
+            out = [v[r % len(v):] + v[:r % len(v)] if v else v
+                   for v in vecs]
+            return t.set_column(
+                idx, t.schema.field(idx),
+                pa.array(out, t.schema.field(idx).type))
+        return t
+
     for name, keys in KEYS.items():
         base = tables[name]
         reps = []
         for r in range(repl):
-            t = base
+            t = mutate(name, base, r)
             for col, space in keys:
                 idx = t.schema.get_field_index(col)
                 typ = t.schema.field(idx).type
