@@ -126,11 +126,21 @@ def triangle_counts(edges: DataFrame, src: str = "src",
         .select(F.least("a", "b").alias("u"),
                 F.greatest("a", "b").alias("v"))
         .distinct()
+        # materialized ONCE (eager localCheckpoint): und feeds four
+        # branches (both degree legs, the orientation join, the closing
+        # join) and Catalyst has no cross-branch sharing, so without
+        # this the upstream edge construction ran four times per call
+        # (measured 2x wall on the 10x fixture). The edge list is the
+        # operator's inherent working set — every distributed triangle
+        # plan materializes it.
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
         .groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+        # |V|-sized; read by the two orientation legs and the final join
+        .localCheckpoint(eager=True)
     )
     # orient from (degree, id)-smaller endpoint to larger
     du = deg.select(F.col("node").alias("u"), F.col("degree").alias("_du"))

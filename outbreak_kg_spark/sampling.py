@@ -738,6 +738,10 @@ def perplexity_buckets(df: DataFrame, score_col: str, strata_col: str,
     s_r = F.round(F.col(score_col), round_dp)
     scored = df.select(
         F.col(id_col), F.col(strata_col), s_r.alias("score_r"))
+    # one narrow row per doc, read twice (histogram agg + assignment
+    # join); without the checkpoint the caller's whole scoring chain
+    # (e.g. the two-pass surprisal model) re-executes for each branch
+    scored = scored.localCheckpoint(eager=True)
     hist = scored.groupBy(strata_col, "score_r").agg(
         F.count(F.lit(1)).alias("_n"))
     w = Window.partitionBy(strata_col).orderBy("score_r")

@@ -481,6 +481,12 @@ def unigram_surprisal(df: DataFrame, text_col: str = "text",
         id_col, F.explode_outer(toks).alias("token")
     ).filter(F.col("token").isNotNull())
     freq = exploded.groupBy("token").agg(F.count(F.lit(1)).alias("_tf"))
+    # vocabulary-sized; read by THREE branches (total, the frequency
+    # join's build side, and — without this — each would re-run the
+    # corpus tokenize+count upstream, since Catalyst shares nothing
+    # across branches. Materializing it once also makes pass (1) of the
+    # documented two-pass shape literal.
+    freq = freq.localCheckpoint(eager=True)
     total = freq.agg(F.sum("_tf").alias("_tot"))
     if vocab_fits_broadcast is None:
         joined = exploded.join(freq, "token")
