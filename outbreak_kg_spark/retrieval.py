@@ -84,6 +84,13 @@ def bm25_topk(docs: DataFrame, queries: DataFrame,
         .agg(F.count(F.lit(1)).cast("double").alias("_tf"),
              F.max("_dl").alias("_dl"))
     )
+    # tf feeds BOTH the df aggregate and the scoring join, and Catalyst
+    # shares nothing across branches — without this the corpus
+    # tokenize+explode+semi-join+agg ran twice per call. The
+    # materialized relation is the query-vocabulary-filtered posting
+    # table (bounded by |matched postings|, never corpus text).
+    # Measured ~25% on the 10x bench leg.
+    tf = tf.localCheckpoint(eager=True)
     dfreq = (
         tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("_df"))
         .crossJoin(F.broadcast(stats))

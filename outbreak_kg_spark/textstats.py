@@ -997,6 +997,12 @@ def collocations(df: DataFrame, text_col: str = "text",
     ).filter(F.col("_e").isNotNull()).select("_e.kind", "_e.w1", "_e.w2")
     counts = stream.groupBy("kind", "w1", "w2").agg(
         F.count(F.lit(1)).alias("c"))
+    # vocabulary+bigram-vocabulary-sized; read by FOUR branches (both
+    # totals, the unigram side, the bigram side) — without this the
+    # corpus tokenize+explode+agg upstream re-executes per branch
+    # (Catalyst shares nothing across branches), turning the documented
+    # one-pass design into four passes
+    counts = counts.localCheckpoint(eager=True)
     totals = counts.groupBy("kind").agg(F.sum("c").alias("t"))
     n_uni = totals.filter(F.col("kind") == "u").select("t")
     n_big = totals.filter(F.col("kind") == "b").select("t")
